@@ -1,0 +1,32 @@
+"""fss_tpu: a TPU-native function-secret-sharing framework.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of the
+reference CUDA/C++ library (myl7/fss): DPF, DCF, Half-Tree DPF, Grotto DCF,
+VDPF, VDMPF, the ChaCha / AES-128-MMO PRGs, SHA-256 / BLAKE3 hashes, the
+AES-Feistel small-domain PRP and Cuckoo hashing — all batched-first and
+shardable over TPU meshes.
+"""
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compile cache, mirroring the reference's per-parameter-set
+# JIT cache design (fss_crypto/_jit.py:198-253 caches generated extensions
+# under ~/.cache/fss_crypto). Specialized crypto kernels are large unrolled
+# elementwise programs; caching makes every config a one-time compile cost.
+if not _os.environ.get("FSS_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "FSS_TPU_COMPILE_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "fss_tpu", "xla"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except (OSError, AttributeError):
+        pass
+
+from fss_tpu import block, groups
+
+__all__ = ["block", "groups"]
+__version__ = "0.1.0"

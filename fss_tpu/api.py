@@ -1,0 +1,170 @@
+"""High-level, jit-cached scheme API.
+
+The reference's config surface is compile-time template parameters
+instantiated per parameter set through a codegen cache
+(fss_crypto/_jit.py:117-122). The TPU equivalent: frozen-dataclass configs
+(PRG, group, in_bits, ...) passed as *static* jit arguments — each distinct
+config compiles one specialized XLA executable, cached by jax.jit.
+
+All methods are batched-first and device-resident; scalars (alpha, x) are
+accepted as Python ints or arrays.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fss_tpu import block as blk
+from fss_tpu import groups
+from fss_tpu.prg.chacha import ChaCha
+from fss_tpu.schemes import dcf as _dcf
+from fss_tpu.schemes import dpf as _dpf
+from fss_tpu.schemes import grotto_dcf as _grotto
+
+DEFAULT_NONCE = (0x243F6A88, 0x85A308D3)  # pi digits; nothing up my sleeve
+
+
+# --- jitted kernels, specialized on (prg, group, in_bits, party) -----------
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _dpf_gen(prg, group, in_bits, s0s, a_lanes, beta):
+    return _dpf.gen(prg, group, in_bits, s0s, a_lanes, beta)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _dpf_gen_batch(prg, group, in_bits, s0s, a_lanes, betas):
+    return jax.vmap(
+        lambda s, al, be: _dpf.gen(prg, group, in_bits, s, al, be))(
+            s0s, a_lanes, betas)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _dpf_eval(prg, group, in_bits, party, s0, cws, x_lanes):
+    return _dpf.eval_points(prg, group, in_bits, party, s0, cws, x_lanes)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _dpf_eval_all(prg, group, in_bits, party, s0, cws):
+    return _dpf.eval_all(prg, group, in_bits, party, s0, cws)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _dcf_gen(prg, group, in_bits, pred, s0s, a_lanes, beta):
+    return _dcf.gen(prg, group, in_bits, pred, s0s, a_lanes, beta)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _dcf_eval(prg, group, in_bits, party, s0, cws, x_lanes):
+    return _dcf.eval_points(prg, group, in_bits, None, party, s0, cws,
+                            x_lanes)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _dcf_eval_all(prg, group, in_bits, party, s0, cws):
+    return _dcf.eval_all(prg, group, in_bits, party, s0, cws)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _grotto_gen(prg, in_bits, s0s, a_lanes):
+    return _grotto.gen(prg, groups.Bytes(), in_bits, s0s, a_lanes)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _grotto_eval_all(prg, in_bits, party, s0, cws):
+    return _grotto.eval_all(prg, in_bits, party, s0, cws)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _grotto_preprocess(prg, in_bits, party, s0, cws):
+    return _grotto.preprocess(prg, in_bits, party, s0, cws)
+
+
+@jax.jit
+def _grotto_eval(pt, x_lanes):
+    return _grotto.eval_points(pt, x_lanes)
+
+
+class Dpf:
+    """2-party DPF (reference include/fss/dpf.cuh, fss_crypto/dpf.py).
+
+    Keys: cws (in_bits+1, 8) uint32 (layout-compatible with the reference's
+    int32 tensors via bitcast).
+    """
+
+    def __init__(self, in_bits: int, group=None, prg=None):
+        self.in_bits = in_bits
+        self.group = group if group is not None else groups.Bytes()
+        self.prg = prg if prg is not None else ChaCha(mul=2,
+                                                      nonce=DEFAULT_NONCE)
+
+    def gen(self, s0s, alpha, beta):
+        a = blk.pack_inputs(alpha, self.in_bits)
+        return _dpf_gen(self.prg, self.group, self.in_bits, s0s, a, beta)
+
+    def gen_batch(self, s0s, alphas, betas):
+        """Vectorized gen over a leading key-batch axis."""
+        a = blk.pack_inputs(alphas, self.in_bits)
+        return _dpf_gen_batch(self.prg, self.group, self.in_bits,
+                              s0s, a, betas)
+
+    def eval(self, party: int, s0, cws, xs):
+        x = blk.pack_inputs(xs, self.in_bits)
+        return _dpf_eval(self.prg, self.group, self.in_bits, int(party),
+                         s0, cws, x)
+
+    def eval_all(self, party: int, s0, cws):
+        return _dpf_eval_all(self.prg, self.group, self.in_bits, int(party),
+                             s0, cws)
+
+
+class Dcf:
+    """2-party DCF (reference include/fss/dcf.cuh, fss_crypto/dcf.py)."""
+
+    def __init__(self, in_bits: int, group=None, prg=None, pred: str = "lt"):
+        self.in_bits = in_bits
+        self.group = group if group is not None else groups.Bytes()
+        self.prg = prg if prg is not None else ChaCha(mul=4,
+                                                      nonce=DEFAULT_NONCE)
+        assert pred in ("lt", "gt")
+        self.pred = pred
+
+    def gen(self, s0s, alpha, beta):
+        a = blk.pack_inputs(alpha, self.in_bits)
+        return _dcf_gen(self.prg, self.group, self.in_bits, self.pred,
+                        s0s, a, beta)
+
+    def eval(self, party: int, s0, cws, xs):
+        x = blk.pack_inputs(xs, self.in_bits)
+        return _dcf_eval(self.prg, self.group, self.in_bits, int(party),
+                         s0, cws, x)
+
+    def eval_all(self, party: int, s0, cws):
+        return _dcf_eval_all(self.prg, self.group, self.in_bits, int(party),
+                             s0, cws)
+
+
+class GrottoDcf:
+    """Grotto DCF over F2 (reference include/fss/grotto_dcf.cuh)."""
+
+    def __init__(self, in_bits: int, prg=None):
+        self.in_bits = in_bits
+        self.prg = prg if prg is not None else ChaCha(mul=2,
+                                                      nonce=DEFAULT_NONCE)
+
+    def gen(self, s0s, alpha):
+        a = blk.pack_inputs(alpha, self.in_bits)
+        return _grotto_gen(self.prg, self.in_bits, s0s, a)
+
+    def preprocess(self, party: int, s0, cws):
+        return _grotto_preprocess(self.prg, self.in_bits, int(party), s0, cws)
+
+    def eval(self, pt, xs):
+        x = blk.pack_inputs(xs, self.in_bits)
+        return _grotto_eval(pt, x)
+
+    def eval_all(self, party: int, s0, cws):
+        return _grotto_eval_all(self.prg, self.in_bits, int(party), s0, cws)

@@ -1,0 +1,30 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's CI strategy (host-path-only gtest runs,
+.github/workflows/ci.yaml:16-32): the same code paths that run on TPU are
+exercised on the CPU backend, plus multi-device sharding via
+xla_force_host_platform_device_count.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+import numpy as np
+import pytest
+
+# Persistent compile cache: XLA:CPU compiles of the unrolled crypto kernels
+# are expensive on small hosts; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0x5EED)
