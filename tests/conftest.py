@@ -8,7 +8,7 @@ xla_force_host_platform_device_count.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 import numpy as np
 import pytest
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: XLA:CPU compiles of the unrolled crypto kernels
 # are expensive on small hosts; cache them across test runs.
