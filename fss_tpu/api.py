@@ -24,6 +24,7 @@ from fss_tpu.prg.chacha import ChaCha
 from fss_tpu.schemes import dcf as _dcf
 from fss_tpu.schemes import dpf as _dpf
 from fss_tpu.schemes import grotto_dcf as _grotto
+from fss_tpu.schemes import half_tree_dpf as _ht
 
 DEFAULT_NONCE = (0x243F6A88, 0x85A308D3)  # pi digits; nothing up my sleeve
 
@@ -88,6 +89,29 @@ def _grotto_eval(pt, x_lanes):
     return _grotto.eval_points(pt, x_lanes)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _ht_gen(prg, group, in_bits, hash_key, s0s, a_lanes, beta):
+    return _ht.gen(prg, group, in_bits, hash_key, s0s, a_lanes, beta)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _ht_gen_batch(prg, group, in_bits, hash_key, s0s, a_lanes, betas):
+    return jax.vmap(
+        lambda s, al, be: _ht.gen(prg, group, in_bits, hash_key, s, al, be))(
+            s0s, a_lanes, betas)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _ht_eval(prg, group, in_bits, party, hash_key, s0, cws, ocw, x_lanes):
+    return _ht.eval_points(prg, group, in_bits, party, hash_key, s0, cws,
+                           ocw, x_lanes)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _ht_eval_all(prg, group, in_bits, party, hash_key, s0, cws, ocw):
+    return _ht.eval_all(prg, group, in_bits, party, hash_key, s0, cws, ocw)
+
+
 class Dpf:
     """2-party DPF (reference include/fss/dpf.cuh, fss_crypto/dpf.py).
 
@@ -145,6 +169,43 @@ class Dcf:
     def eval_all(self, party: int, s0, cws):
         return _dcf_eval_all(self.prg, self.group, self.in_bits, int(party),
                              s0, cws)
+
+
+class HalfTreeDpf:
+    """Half-Tree DPF (reference include/fss/half_tree_dpf.cuh).
+
+    Keys: (cws (in_bits, 8) uint32, ocw (4,) uint32). ``hash_key`` is the
+    public CCR-hash tweak, a [4] uint32 block shared by both parties
+    (half_tree_dpf.cuh:44-45).
+    """
+
+    def __init__(self, in_bits: int, group=None, prg=None, hash_key=None):
+        self.in_bits = in_bits
+        self.group = group if group is not None else groups.Bytes()
+        self.prg = prg if prg is not None else ChaCha(mul=1,
+                                                      nonce=DEFAULT_NONCE)
+        if hash_key is None:
+            hash_key = np.zeros(4, dtype=np.uint32)
+        self.hash_key = jnp.asarray(hash_key, dtype=jnp.uint32)
+
+    def gen(self, s0s, alpha, beta):
+        a = blk.pack_inputs(alpha, self.in_bits)
+        return _ht_gen(self.prg, self.group, self.in_bits, self.hash_key,
+                       s0s, a, beta)
+
+    def gen_batch(self, s0s, alphas, betas):
+        a = blk.pack_inputs(alphas, self.in_bits)
+        return _ht_gen_batch(self.prg, self.group, self.in_bits,
+                             self.hash_key, s0s, a, betas)
+
+    def eval(self, party: int, s0, cws, ocw, xs):
+        x = blk.pack_inputs(xs, self.in_bits)
+        return _ht_eval(self.prg, self.group, self.in_bits, int(party),
+                        self.hash_key, s0, cws, ocw, x)
+
+    def eval_all(self, party: int, s0, cws, ocw):
+        return _ht_eval_all(self.prg, self.group, self.in_bits, int(party),
+                            self.hash_key, s0, cws, ocw)
 
 
 class GrottoDcf:
