@@ -25,6 +25,8 @@ from fss_tpu.schemes import dcf as _dcf
 from fss_tpu.schemes import dpf as _dpf
 from fss_tpu.schemes import grotto_dcf as _grotto
 from fss_tpu.schemes import half_tree_dpf as _ht
+from fss_tpu.schemes import vdpf as _vdpf
+from fss_tpu.hash.blake3 import Blake3
 
 DEFAULT_NONCE = (0x243F6A88, 0x85A308D3)  # pi digits; nothing up my sleeve
 
@@ -169,6 +171,83 @@ class Dcf:
     def eval_all(self, party: int, s0, cws):
         return _dcf_eval_all(self.prg, self.group, self.in_bits, int(party),
                              s0, cws)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _vdpf_gen(prg, xor_hash, group, in_bits, s0s, a_lanes, beta):
+    return _vdpf.gen(prg, xor_hash, group, in_bits, s0s, a_lanes, beta)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _vdpf_eval(prg, xor_hash, group, in_bits, party, s0, cws, cs, ocw,
+               x_lanes):
+    return _vdpf.eval_points(prg, xor_hash, group, in_bits, party, s0, cws,
+                             cs, ocw, x_lanes)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _vdpf_prove(hash64, pi_tildes, cs):
+    return _vdpf.prove(hash64, pi_tildes, cs)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _vdpf_eval_all(prg, xor_hash, hash64, group, in_bits, party, s0, cws,
+                   cs, ocw):
+    return _vdpf.eval_all(prg, xor_hash, hash64, group, in_bits, party, s0,
+                          cws, cs, ocw)
+
+
+DEFAULT_HASH_IV = (0x11111111, 0x22222222, 0x33333333, 0x44444444,
+                   0x55555555, 0x66666666, 0x77777777, 0x88888888)
+
+
+class Vdpf:
+    """Verifiable DPF (reference include/fss/vdpf.cuh).
+
+    Keys: (cws (in_bits, 8), cs (4, 4), ocw (4,)) uint32. ``gen`` returns an
+    extra ``fail`` flag; callers resample seeds and retry while it is 1
+    (vdpf.cuh:97, 167) — see ``gen_retry``.
+    """
+
+    def __init__(self, in_bits: int, group=None, prg=None, hash_iv=None):
+        self.in_bits = in_bits
+        self.group = group if group is not None else groups.Bytes()
+        self.prg = prg if prg is not None else ChaCha(mul=2,
+                                                      nonce=DEFAULT_NONCE)
+        h = Blake3(hash_iv if hash_iv is not None else DEFAULT_HASH_IV)
+        self.xor_hash = h.xor_hash
+        self.hash64 = h.hash64
+
+    def gen(self, s0s, alpha, beta):
+        a = blk.pack_inputs(alpha, self.in_bits)
+        return _vdpf_gen(self.prg, self.xor_hash, self.group, self.in_bits,
+                         s0s, a, beta)
+
+    def gen_retry(self, rng, alpha, beta, max_tries: int = 64):
+        """Sample seeds with ``rng`` and re-run gen until fail == 0."""
+        for _ in range(max_tries):
+            s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+            cws, cs, ocw, fail = self.gen(s0s, alpha, beta)
+            if not int(fail):
+                return s0s, cws, cs, ocw
+        raise RuntimeError("vdpf gen retry budget exhausted")
+
+    def eval(self, party: int, s0, cws, cs, ocw, xs):
+        x = blk.pack_inputs(xs, self.in_bits)
+        return _vdpf_eval(self.prg, self.xor_hash, self.group, self.in_bits,
+                          int(party), s0, cws, cs, ocw, x)
+
+    def prove(self, pi_tildes, cs):
+        return _vdpf_prove(self.hash64, pi_tildes, cs)
+
+    @staticmethod
+    def verify(pi0, pi1) -> bool:
+        return bool(_vdpf.verify(jnp.asarray(pi0), jnp.asarray(pi1)))
+
+    def eval_all(self, party: int, s0, cws, cs, ocw):
+        return _vdpf_eval_all(self.prg, self.xor_hash, self.hash64,
+                              self.group, self.in_bits, int(party), s0, cws,
+                              cs, ocw)
 
 
 class HalfTreeDpf:

@@ -18,6 +18,11 @@ import jax
 import numpy as np
 import pytest
 
+# Force the CPU backend even when a TPU plugin overrides jax_platforms at
+# interpreter startup (the axon tunnel plugin does). This makes tests compile
+# with real XLA:CPU — keep crypto kernels ROLLED (fori_loop rounds): XLA:CPU
+# compile time on long straight-line scalar-u32 chains is pathological
+# (>500s for an unrolled BLAKE3 that compiles in <1s rolled).
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: XLA:CPU compiles of the unrolled crypto kernels
