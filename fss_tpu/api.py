@@ -209,14 +209,20 @@ class Vdpf:
     (vdpf.cuh:97, 167) — see ``gen_retry``.
     """
 
-    def __init__(self, in_bits: int, group=None, prg=None, hash_iv=None):
+    def __init__(self, in_bits: int, group=None, prg=None, hash_iv=None,
+                 hashes=None):
+        """``hashes``: object exposing ``xor_hash(a, b)`` (the paper's H)
+        and ``hash64(msg)`` (H'), e.g. hash.Blake3 or hash.Sha256; defaults
+        to Blake3 keyed with ``hash_iv`` (or DEFAULT_HASH_IV)."""
         self.in_bits = in_bits
         self.group = group if group is not None else groups.Bytes()
         self.prg = prg if prg is not None else ChaCha(mul=2,
                                                       nonce=DEFAULT_NONCE)
-        h = Blake3(hash_iv if hash_iv is not None else DEFAULT_HASH_IV)
-        self.xor_hash = h.xor_hash
-        self.hash64 = h.hash64
+        if hashes is None:
+            hashes = Blake3(hash_iv if hash_iv is not None
+                            else DEFAULT_HASH_IV)
+        self.xor_hash = hashes.xor_hash
+        self.hash64 = hashes.hash64
 
     def gen(self, s0s, alpha, beta):
         a = blk.pack_inputs(alpha, self.in_bits)
