@@ -26,6 +26,9 @@ from fss_tpu.schemes import dpf as _dpf
 from fss_tpu.schemes import grotto_dcf as _grotto
 from fss_tpu.schemes import half_tree_dpf as _ht
 from fss_tpu.schemes import vdpf as _vdpf
+from fss_tpu.schemes import cuckoo as _cuckoo
+from fss_tpu.schemes import vdmpf as _vdmpf
+from fss_tpu.prp.feistel import ceil_log2
 from fss_tpu.hash.blake3 import Blake3
 
 DEFAULT_NONCE = (0x243F6A88, 0x85A308D3)  # pi digits; nothing up my sleeve
@@ -254,6 +257,77 @@ class Vdpf:
         return _vdpf_eval_all(self.prg, self.xor_hash, self.hash64,
                               self.group, self.in_bits, int(party), s0, cws,
                               cs, ocw)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
+def _vdmpf_batch_eval(prg, xor_hash, hash64, group, in_bits, bucket_bits,
+                      party, kappa, sigma, m_b, s0, cws, cs, ocw, xs):
+    key = _vdmpf.VdmpfKey(sigma, m_b[0], m_b[1], s0, cws, cs, ocw)
+    return _vdmpf.batch_eval(prg, xor_hash, hash64, group, in_bits,
+                             bucket_bits, party, key, xs, kappa)
+
+
+class Vdmpf:
+    """Verifiable multi-point function (reference include/fss/vdmpf.cuh).
+
+    ``max_points`` sizes the bucket array (>= 30); ``bucket_bits`` bounds
+    the inner VDPF domain (defaults to the smallest size that fits the
+    worst-case runtime bucket size at t = 30).
+    """
+
+    def __init__(self, in_bits: int, max_points: int = 30,
+                 bucket_bits: int | None = None, group=None, prg=None,
+                 hash_iv=None, hashes=None, kappa: int = 3,
+                 ch_lambda: int = 80):
+        self.in_bits = in_bits
+        self.max_points = max_points
+        self.kappa = kappa
+        self.ch_lambda = ch_lambda
+        self.m = _cuckoo.ch_bucket(max_points, ch_lambda)
+        if bucket_bits is None:
+            n = 1 << in_bits
+            m_min = _cuckoo.ch_bucket(30, ch_lambda)
+            bucket_bits = max(1, ceil_log2(
+                (n * kappa + m_min - 1) // m_min + 1))
+        self.bucket_bits = bucket_bits
+        self.group = group if group is not None else groups.Bytes()
+        self.prg = prg if prg is not None else ChaCha(mul=2,
+                                                      nonce=DEFAULT_NONCE)
+        if hashes is None:
+            hashes = Blake3(hash_iv if hash_iv is not None
+                            else DEFAULT_HASH_IV)
+        self.xor_hash = hashes.xor_hash
+        self.hash64 = hashes.hash64
+
+    def gen(self, sigma, s0s, alphas, betas, ch_retry: int = 1000):
+        """s0s: [m, 2, 4]; alphas: t ints (t >= 30); betas: [t, 4].
+        Returns (key0, key1, fail)."""
+        return _vdmpf.gen(self.prg, self.xor_hash, self.group, self.in_bits,
+                          self.bucket_bits, self.max_points, sigma, s0s,
+                          alphas, betas, self.kappa, self.ch_lambda,
+                          ch_retry)
+
+    def gen_retry(self, rng, alphas, betas, max_tries: int = 16):
+        """Sample sigma + seeds with ``rng`` until gen succeeds
+        (vdmpf.cuh:133 retry contract)."""
+        for _ in range(max_tries):
+            sigma = bytes(rng.integers(0, 256, size=16, dtype=np.uint8))
+            s0s = blk.block(rng.integers(0, 2**32, size=(self.m, 2, 4)))
+            k0, k1, fail = self.gen(sigma, s0s, alphas, betas)
+            if not fail:
+                return k0, k1
+        raise RuntimeError("vdmpf gen retry budget exhausted")
+
+    def batch_eval(self, party: int, key: "_vdmpf.VdmpfKey", xs):
+        xs = jnp.asarray(xs, dtype=jnp.uint32)
+        return _vdmpf_batch_eval(
+            self.prg, self.xor_hash, self.hash64, self.group, self.in_bits,
+            self.bucket_bits, int(party), self.kappa, key.sigma,
+            (key.m_rt, key.b_size_rt), key.s0, key.cws, key.cs, key.ocw, xs)
+
+    @staticmethod
+    def verify(pi0, pi1) -> bool:
+        return bool(_vdmpf.verify(jnp.asarray(pi0), jnp.asarray(pi1)))
 
 
 class HalfTreeDpf:

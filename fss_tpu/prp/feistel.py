@@ -1,0 +1,155 @@
+"""Small-domain PRP: 4-round Feistel with AES-128 round PRF + cycle-walking.
+
+Reference: include/fss/prp/aes128_feistel.cuh (host-only OpenSSL there;
+fully batched and device-capable here). Semantics carried bit-exactly:
+  - b = ceil(log2(domain)), half = (b + 1) // 2, mask = 2^half - 1;
+  - per-round AES key = seed with round index XORed into lane 0
+    (aes128_feistel.cuh:142-144);
+  - PRF = AES(round_key, pack128(right)) truncated to half bits;
+  - cycle-walk until the output lands in [0, domain)
+    (aes128_feistel.cuh:136-157).
+
+The PRP seed (sigma) is public key material known host-side, so the four
+per-round AES key schedules are expanded once in NumPy at construction; the
+batched path is then pure VPU work + table gathers. Values are carried as
+(hi, lo) uint32 pairs, supporting domains up to 2^62 without x64 mode.
+
+The cycle-walk is a lax.while_loop re-permuting only the still-out-of-range
+lanes — expected < 4 iterations total since 2^(2*half) < 4 * domain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fss_tpu.prg import aes as _aes
+
+_U32MASK = 0xFFFFFFFF
+
+
+def ceil_log2(x: int) -> int:
+    """ceil(log2(x)); 0 for x <= 1 (aes128_feistel.cuh:50-59)."""
+    if x <= 1:
+        return 0
+    return (x - 1).bit_length()
+
+
+def _seed_bytes(sigma) -> bytes:
+    """sigma as the int4's 16 memory bytes (lanes little-endian)."""
+    if isinstance(sigma, (bytes, bytearray)):
+        assert len(sigma) == 16
+        return bytes(sigma)
+    lanes = np.asarray(sigma, dtype=np.uint32)
+    assert lanes.shape == (16,) or lanes.shape == (4,)
+    if lanes.shape == (16,):
+        return lanes.astype(np.uint8).tobytes()
+    return lanes.astype("<u4").tobytes()
+
+
+@dataclasses.dataclass(frozen=True)
+class Aes128Feistel:
+    """PRP over [0, domain), keyed by a 16-byte sigma; static per key."""
+
+    sigma: bytes
+    domain: int
+
+    def __post_init__(self):
+        object.__setattr__(self, "sigma", _seed_bytes(self.sigma))
+        assert self.domain >= 2
+        b = ceil_log2(self.domain)
+        half = (b + 1) // 2
+        assert half <= 32, "domains above 2^62 unsupported on this path"
+        object.__setattr__(self, "_half", half)
+        object.__setattr__(self, "_mask",
+                           np.uint32((1 << half) - 1 if half < 32
+                                     else _U32MASK))
+        # Round key = sigma with the round index XORed into lane 0
+        # (byte 0, little-endian) — aes128_feistel.cuh:142-144.
+        rks = []
+        for r in range(4):
+            kb = bytearray(self.sigma)
+            kb[0] ^= r
+            rks.append(_aes.key_expansion(bytes(kb)))
+        object.__setattr__(self, "_round_keys", tuple(rks))
+
+    # -- device path --------------------------------------------------------
+
+    def _feistel(self, hi, lo):
+        half = self._half
+        mask = self._mask
+        if half == 32:
+            left, right = hi, lo
+        else:
+            left = ((hi << np.uint32(32 - half))
+                    | (lo >> np.uint32(half))) & mask
+            right = lo & mask
+        for rk in self._round_keys:
+            # PRF input block = pack128(right): lane 0 = right, rest 0.
+            zero = jnp.zeros_like(right)
+            w0 = _aes._bswap32(right)
+            o0, _, _, _ = _aes.aes128_encrypt_words(rk, w0, zero, zero, zero)
+            f = _aes._bswap32(o0) & mask
+            left = left ^ f
+            left, right = right, left
+        if half == 32:
+            return left, right
+        new_lo = ((left << np.uint32(half)) | right) & np.uint32(_U32MASK)
+        new_hi = left >> np.uint32(32 - half)
+        return new_hi, new_lo
+
+    def permu(self, xs) -> tuple:
+        """Batched PRP: xs as (hi, lo) uint32 arrays or a single uint32/
+        int array (hi = 0). Returns (hi, lo) uint32 arrays."""
+        if isinstance(xs, tuple):
+            hi, lo = (jnp.asarray(v, dtype=jnp.uint32) for v in xs)
+        else:
+            lo = jnp.asarray(xs, dtype=jnp.uint32)
+            hi = jnp.zeros_like(lo)
+        d_hi = np.uint32(self.domain >> 32)
+        d_lo = np.uint32(self.domain & _U32MASK)
+
+        def in_domain(hi, lo):
+            return (hi < d_hi) | ((hi == d_hi) & (lo < d_lo))
+
+        hi, lo = self._feistel(hi, lo)
+
+        def cond(state):
+            hi, lo = state
+            return jnp.any(~in_domain(hi, lo))
+
+        def body(state):
+            hi, lo = state
+            nhi, nlo = self._feistel(hi, lo)
+            ok = in_domain(hi, lo)
+            return jnp.where(ok, hi, nhi), jnp.where(ok, lo, nlo)
+
+        hi, lo = jax.lax.while_loop(cond, body, (hi, lo))
+        return hi, lo
+
+    # -- host oracle (used by Cuckoo insertion and tests) --------------------
+
+    def permu_host(self, x: int) -> int:
+        """Scalar NumPy/int path, bit-exact twin of ``permu``."""
+        assert 0 <= x < self.domain
+        half = self._half
+        mask = (1 << half) - 1
+        val = x
+        while True:
+            left = (val >> half) & mask
+            right = val & mask
+            for r in range(4):
+                kb = bytearray(self.sigma)
+                kb[0] ^= r
+                block = right.to_bytes(16, "little")
+                out = _aes.aes128_encrypt_reference(bytes(kb), block)
+                f = int.from_bytes(out, "little") & mask
+                left ^= f
+                left, right = right, left
+            val = (left << half) | right
+            if val < self.domain:
+                return val
