@@ -1,0 +1,39 @@
+"""Pallas DPF eval kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from fss_tpu import block as blk
+from fss_tpu import groups
+from fss_tpu.ops import dpf_pallas
+from fss_tpu.prg.chacha import ChaCha
+from fss_tpu.schemes import dpf as _dpf
+
+NONCE = (0xABCD1234, 0x55AA55AA)
+
+
+@pytest.mark.parametrize("gname,g", [
+    ("uint32", groups.Uint(32)),
+    ("bytes", groups.Bytes()),
+    ("uint127", groups.Uint(128, mod=1 << 127)),
+])
+def test_pallas_eval_matches_reference(gname, g, rng):
+    in_bits = 8
+    B = 300  # not a multiple of the tile => exercises padding
+    prg = ChaCha(mul=2, nonce=NONCE)
+    import jax
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    cws = jax.vmap(
+        lambda s, a, b: _dpf.gen(prg, g, in_bits, s,
+                                 blk.pack_inputs(a, in_bits), b))(
+                                     s0s, alphas, betas)
+    xs = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    for party in (0, 1):
+        ref = np.asarray(_dpf.eval_points(prg, g, in_bits, party,
+                                          s0s[:, party], cws, xs))
+        got = np.asarray(dpf_pallas.eval_points(
+            NONCE, g, in_bits, party, s0s[:, party], cws, xs,
+            block_rows=8, interpret=True))
+        assert np.array_equal(got, ref), f"party {party}"
