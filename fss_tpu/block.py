@@ -46,6 +46,7 @@ def set_lsb(blk: jax.Array, bit) -> jax.Array:
     ``bit`` may be a bool scalar or a broadcastable uint32/bool array of the
     block's batch shape.
     """
+    blk = jnp.asarray(blk)
     bitv = jnp.asarray(bit, dtype=U32) & _ONE
     w = (blk[..., 3] & _NOT_ONE) | bitv
     return blk.at[..., 3].set(w)
@@ -57,6 +58,7 @@ def get_lsb(blk: jax.Array) -> jax.Array:
 
 
 def clear_lsb(blk: jax.Array) -> jax.Array:
+    blk = jnp.asarray(blk)
     return blk.at[..., 3].set(blk[..., 3] & _NOT_ONE)
 
 

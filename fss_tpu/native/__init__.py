@@ -1,0 +1,180 @@
+"""Native host engine: ctypes bindings for the C++ library.
+
+Compiled on demand with g++ and cached by source hash under
+~/.cache/fss_tpu/native (override with FSS_TPU_NATIVE_CACHE) — the same
+compile-once-per-config deploy shape as the reference's JIT-compiled torch
+extensions (fss_crypto/_jit.py:198-253), minus the per-parameter-set
+codegen: the C ABI takes scheme parameters at runtime.
+
+Public surface: ``engine()`` returns a NativeEngine with prg / dpf_gen /
+dpf_eval / dpf_eval_batch / dpf_eval_all, operating on numpy uint32 arrays
+in the standard key layouts.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "src", "fss_native.cpp")
+
+PRG_CHACHA = 0
+PRG_AES128_MMO = 1
+GROUP_BYTES = 0
+GROUP_UINT = 1
+
+_ENGINE = None
+
+
+def _build() -> str:
+    cache_root = os.environ.get(
+        "FSS_TPU_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "fss_tpu",
+                     "native"))
+    os.makedirs(cache_root, exist_ok=True)
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    key = hashlib.sha256(src).hexdigest()[:16]
+    so_path = os.path.join(cache_root, f"fss_native_{key}.so")
+    if os.path.exists(so_path):
+        return so_path
+    tmp = so_path + ".tmp"
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-maes",
+           "-msse4.2", "-o", tmp, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, so_path)
+    return so_path
+
+
+class NativeEngine:
+    def __init__(self):
+        self._lib = ctypes.CDLL(_build())
+        self._lib.fss_native_has_aesni.restype = ctypes.c_int
+
+    @property
+    def has_aesni(self) -> bool:
+        return bool(self._lib.fss_native_has_aesni())
+
+    @staticmethod
+    def _u32(arr):
+        a = np.ascontiguousarray(arr, dtype=np.uint32)
+        return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+    @staticmethod
+    def _u64(arr):
+        a = np.ascontiguousarray(arr, dtype=np.uint64)
+        return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+    @staticmethod
+    def _u8(arr):
+        if arr is None:
+            return None, None
+        a = np.ascontiguousarray(np.frombuffer(arr, dtype=np.uint8)
+                                 if isinstance(arr, (bytes, bytearray))
+                                 else arr, dtype=np.uint8)
+        return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def _prg_args(self, prg_kind, nonce, aes_keys, rounds):
+        nonce_arr = np.zeros(2, dtype=np.uint32)
+        if nonce is not None:
+            nonce_arr[:] = [int(n) & 0xFFFFFFFF for n in nonce]
+        _, nonce_p = self._u32(nonce_arr)
+        keys_buf = b"".join(aes_keys) if aes_keys else None
+        keys_hold, keys_p = self._u8(keys_buf)
+        return (nonce_arr, nonce_p, keys_hold, keys_p,
+                ctypes.c_int(int(rounds)))
+
+    def prg(self, prg_kind: int, mul: int, seed, nonce=None, aes_keys=None,
+            rounds: int = 20) -> np.ndarray:
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        seed_a, seed_p = self._u32(seed)
+        out = np.zeros((mul, 4), dtype=np.uint32)
+        _, out_p = self._u32(out)
+        self._lib.fss_prg(ctypes.c_int(prg_kind), ctypes.c_int(mul),
+                          nonce_p, keys_p, rounds_c, seed_p, out_p)
+        return out
+
+    def dpf_gen(self, in_bits: int, prg_kind: int, group_kind: int,
+                group_bits: int, s0s, alpha: int, beta, nonce=None,
+                aes_keys=None, rounds: int = 20) -> np.ndarray:
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        s0s_a, s0s_p = self._u32(s0s)
+        beta_a, beta_p = self._u32(beta)
+        cws = np.zeros((in_bits + 1, 8), dtype=np.uint32)
+        _, cws_p = self._u32(cws)
+        self._lib.fss_dpf_gen(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            s0s_p, ctypes.c_uint64(alpha & (2**64 - 1)),
+            ctypes.c_uint64(alpha >> 64), beta_p, cws_p)
+        return cws
+
+    def dpf_eval(self, in_bits: int, prg_kind: int, group_kind: int,
+                 group_bits: int, party: int, s0, cws, xs, nonce=None,
+                 aes_keys=None, rounds: int = 20) -> np.ndarray:
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        s0_a, s0_p = self._u32(s0)
+        cws_a, cws_p = self._u32(cws)
+        xs = np.atleast_1d(np.asarray(xs, dtype=object))
+        lo = np.array([int(x) & (2**64 - 1) for x in xs], dtype=np.uint64)
+        hi = np.array([int(x) >> 64 for x in xs], dtype=np.uint64)
+        _, lo_p = self._u64(lo)
+        _, hi_p = self._u64(hi)
+        ys = np.zeros((len(xs), 4), dtype=np.uint32)
+        _, ys_p = self._u32(ys)
+        self._lib.fss_dpf_eval(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            ctypes.c_int(party), s0_p, cws_p, lo_p, hi_p,
+            ctypes.c_int64(len(xs)), ys_p)
+        return ys
+
+    def dpf_eval_batch(self, in_bits: int, prg_kind: int, group_kind: int,
+                       group_bits: int, party: int, s0s, cws_batch, xs,
+                       nonce=None, aes_keys=None,
+                       rounds: int = 20) -> np.ndarray:
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        s0s_a, s0s_p = self._u32(s0s)
+        cws_a, cws_p = self._u32(cws_batch)
+        lo = np.ascontiguousarray(xs, dtype=np.uint64)
+        _, lo_p = self._u64(lo)
+        n = len(lo)
+        ys = np.zeros((n, 4), dtype=np.uint32)
+        _, ys_p = self._u32(ys)
+        self._lib.fss_dpf_eval_batch(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            ctypes.c_int(party), s0s_p, cws_p, lo_p, ctypes.c_int64(n),
+            ys_p)
+        return ys
+
+    def dpf_eval_all(self, in_bits: int, prg_kind: int, group_kind: int,
+                     group_bits: int, party: int, s0, cws, nonce=None,
+                     aes_keys=None, rounds: int = 20) -> np.ndarray:
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        s0_a, s0_p = self._u32(s0)
+        cws_a, cws_p = self._u32(cws)
+        ys = np.zeros((1 << in_bits, 4), dtype=np.uint32)
+        _, ys_p = self._u32(ys)
+        self._lib.fss_dpf_eval_all(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            ctypes.c_int(party), s0_p, cws_p, ys_p)
+        return ys
+
+
+def engine() -> NativeEngine:
+    """Process-wide singleton (compiles the library on first use)."""
+    global _ENGINE
+    if _ENGINE is None:
+        _ENGINE = NativeEngine()
+    return _ENGINE

@@ -1,0 +1,484 @@
+// fss_tpu native host engine.
+//
+// C++ implementations of the host-side hot paths: the ChaCha and
+// AES-128-MMO (AES-NI) PRGs, and DPF Gen / Eval / EvalAll with the Bytes
+// and Uint output groups. Bit-exact with the JAX implementations (which
+// are themselves semantics-parity with the reference CUDA library,
+// include/fss/dpf.cuh + prg/chacha.cuh + prg/aes128_mmo_raw.cuh).
+//
+// Role in the TPU framework: dealer-side key generation on hosts without a
+// TPU, an independent bit-exactness oracle for the device kernels, and
+// CPU-benchmark parity with the reference's single-core numbers.
+//
+// Exposed as a plain C ABI; loaded from Python with ctypes
+// (fss_tpu/native/__init__.py), compiled on demand and cached — the same
+// deploy shape as the reference's JIT-compiled torch extensions
+// (fss_crypto/_jit.py).
+
+#include <cstdint>
+#include <cstring>
+
+#if defined(__AES__) || defined(__x86_64__)
+#include <immintrin.h>
+#include <wmmintrin.h>
+#define FSS_HAVE_AESNI 1
+#else
+#define FSS_HAVE_AESNI 0
+#endif
+
+namespace {
+
+struct Block {
+  uint32_t w[4];
+};
+
+inline Block bxor(const Block &a, const Block &b) {
+  Block r;
+  for (int i = 0; i < 4; ++i) r.w[i] = a.w[i] ^ b.w[i];
+  return r;
+}
+
+inline uint32_t get_lsb(const Block &b) { return b.w[3] & 1u; }
+
+inline Block set_lsb(Block b, uint32_t bit) {
+  b.w[3] = (b.w[3] & ~1u) | (bit & 1u);
+  return b;
+}
+
+// ---------------------------------------------------------------------------
+// ChaCha PRG: the nonstandard single-block variant (prg/chacha.cuh):
+// row0 = 16B/32B constant, rows 1-2 = seed twice, row3 = 0,0,nonce;
+// feed-forward by XOR against the inputs, per-mul rows only.
+// ---------------------------------------------------------------------------
+
+inline uint32_t rotl32(uint32_t x, int n) {
+  return (x << n) | (x >> (32 - n));
+}
+
+inline void quarter_round(uint32_t &a, uint32_t &b, uint32_t &c,
+                          uint32_t &d) {
+  a += b; d = rotl32(d ^ a, 16);
+  c += d; b = rotl32(b ^ c, 12);
+  a += b; d = rotl32(d ^ a, 8);
+  c += d; b = rotl32(b ^ c, 7);
+}
+
+const uint32_t kConst16[4] = {0x61707865u, 0x3120646Eu, 0x79622D36u,
+                              0x6B206574u};
+const uint32_t kConst32[4] = {0x61707865u, 0x3320646Eu, 0x79622D32u,
+                              0x6B206574u};
+
+void chacha_prg(const Block &seed, const uint32_t nonce[2], int mul,
+                int rounds, Block out[/*mul*/]) {
+  const uint32_t *cst = (mul <= 2) ? kConst16 : kConst32;
+  uint32_t s[16];
+  for (int i = 0; i < 4; ++i) s[i] = cst[i];
+  for (int i = 0; i < 4; ++i) s[4 + i] = seed.w[i];
+  for (int i = 0; i < 4; ++i) s[8 + i] = seed.w[i];
+  s[12] = 0; s[13] = 0; s[14] = nonce[0]; s[15] = nonce[1];
+
+  for (int r = 0; r < rounds / 2; ++r) {
+    quarter_round(s[0], s[4], s[8], s[12]);
+    quarter_round(s[1], s[5], s[9], s[13]);
+    quarter_round(s[2], s[6], s[10], s[14]);
+    quarter_round(s[3], s[7], s[11], s[15]);
+    quarter_round(s[0], s[5], s[10], s[15]);
+    quarter_round(s[1], s[6], s[11], s[12]);
+    quarter_round(s[2], s[7], s[8], s[13]);
+    quarter_round(s[3], s[4], s[9], s[14]);
+  }
+
+  // out index 0 = rows 4-7 ^ seed is the *second* output (out1 in the
+  // reference ordering); follow the reference's output order exactly:
+  // mul=1 -> {row4^seed}; mul=2 -> {row0^const, row4^seed};
+  // mul=4 -> + {row8^seed, row12^{0,0,nonce}}.
+  int idx = 0;
+  if (mul >= 2) {
+    for (int i = 0; i < 4; ++i) out[idx].w[i] = s[i] ^ cst[i];
+    ++idx;
+  }
+  for (int i = 0; i < 4; ++i) out[idx].w[i] = s[4 + i] ^ seed.w[i];
+  ++idx;
+  if (mul == 4) {
+    for (int i = 0; i < 4; ++i) out[idx].w[i] = s[8 + i] ^ seed.w[i];
+    ++idx;
+    out[idx].w[0] = s[12];
+    out[idx].w[1] = s[13];
+    out[idx].w[2] = s[14] ^ nonce[0];
+    out[idx].w[3] = s[15] ^ nonce[1];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// AES-128-MMO PRG via AES-NI: out_i = AES_{k_i}(seed) ^ seed.
+// ---------------------------------------------------------------------------
+
+#if FSS_HAVE_AESNI
+
+template <int R>
+inline __m128i key_assist(__m128i key) {
+  __m128i t = _mm_aeskeygenassist_si128(key, R);
+  t = _mm_shuffle_epi32(t, _MM_SHUFFLE(3, 3, 3, 3));
+  key = _mm_xor_si128(key, _mm_slli_si128(key, 4));
+  key = _mm_xor_si128(key, _mm_slli_si128(key, 4));
+  key = _mm_xor_si128(key, _mm_slli_si128(key, 4));
+  return _mm_xor_si128(key, t);
+}
+
+struct AesKeySchedule {
+  __m128i rk[11];
+};
+
+void aes128_expand(const uint8_t key[16], AesKeySchedule &ks) {
+  ks.rk[0] = _mm_loadu_si128(reinterpret_cast<const __m128i *>(key));
+  ks.rk[1] = key_assist<0x01>(ks.rk[0]);
+  ks.rk[2] = key_assist<0x02>(ks.rk[1]);
+  ks.rk[3] = key_assist<0x04>(ks.rk[2]);
+  ks.rk[4] = key_assist<0x08>(ks.rk[3]);
+  ks.rk[5] = key_assist<0x10>(ks.rk[4]);
+  ks.rk[6] = key_assist<0x20>(ks.rk[5]);
+  ks.rk[7] = key_assist<0x40>(ks.rk[6]);
+  ks.rk[8] = key_assist<0x80>(ks.rk[7]);
+  ks.rk[9] = key_assist<0x1b>(ks.rk[8]);
+  ks.rk[10] = key_assist<0x36>(ks.rk[9]);
+}
+
+inline __m128i aes128_encrypt(const AesKeySchedule &ks, __m128i block) {
+  block = _mm_xor_si128(block, ks.rk[0]);
+  for (int r = 1; r < 10; ++r) block = _mm_aesenc_si128(block, ks.rk[r]);
+  return _mm_aesenclast_si128(block, ks.rk[10]);
+}
+
+void aes_mmo_prg(const AesKeySchedule *ks, int mul, const Block &seed,
+                 Block out[]) {
+  __m128i s = _mm_loadu_si128(reinterpret_cast<const __m128i *>(seed.w));
+  for (int i = 0; i < mul; ++i) {
+    __m128i e = aes128_encrypt(ks[i], s);
+    _mm_storeu_si128(reinterpret_cast<__m128i *>(out[i].w),
+                     _mm_xor_si128(e, s));
+  }
+}
+
+#endif  // FSS_HAVE_AESNI
+
+// ---------------------------------------------------------------------------
+// PRG dispatch
+// ---------------------------------------------------------------------------
+
+struct Prg {
+  int kind;  // 0 = chacha, 1 = aes128_mmo
+  int mul;
+  uint32_t nonce[2];
+  int rounds;
+#if FSS_HAVE_AESNI
+  AesKeySchedule ks[4];
+#endif
+
+  void gen(const Block &seed, Block out[]) const {
+    if (kind == 0) {
+      chacha_prg(seed, nonce, mul, rounds, out);
+    } else {
+#if FSS_HAVE_AESNI
+      aes_mmo_prg(ks, mul, seed, out);
+#endif
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Output groups: kind 0 = bytes (XOR), 1 = uint<bits> wrapping,
+// bits = 128 means Uint<u128, 2^127> (the only supported 128-bit mod).
+// Values are unsigned __int128 built from little-endian lanes.
+// ---------------------------------------------------------------------------
+
+typedef unsigned __int128 u128;
+
+struct Group {
+  int kind;
+  int bits;
+
+  u128 mask() const {
+    if (bits >= 128) return ~(u128)0 >> 1;  // 2^127 - 1
+    return ((u128)1 << bits) - 1;
+  }
+
+  u128 from_block(const Block &b) const {
+    u128 v = 0;
+    for (int i = 3; i >= 0; --i) v = (v << 32) | b.w[i];
+    if (kind == 0) return v;
+    if (bits == 128) {
+      // Clamped bit sits inside the encoding (group/uint.cuh:58-62).
+      u128 hi = (u128)(b.w[3] >> 1) << 96;
+      u128 lo = v & (((u128)1 << 96) - 1);
+      return (hi | lo) & mask();
+    }
+    return v & mask();
+  }
+
+  void into_block(u128 v, Block &b) const {
+    if (kind == 1 && bits == 128) {
+      b.w[0] = (uint32_t)v;
+      b.w[1] = (uint32_t)(v >> 32);
+      b.w[2] = (uint32_t)(v >> 64);
+      b.w[3] = (uint32_t)(v >> 96) << 1;  // group/uint.cuh:76-81
+      return;
+    }
+    b.w[0] = (uint32_t)v;
+    b.w[1] = (uint32_t)(v >> 32);
+    b.w[2] = (uint32_t)(v >> 64);
+    b.w[3] = (uint32_t)(v >> 96);
+  }
+
+  u128 add(u128 a, u128 b) const {
+    if (kind == 0) return a ^ b;
+    if (bits == 128) {
+      u128 m = ((u128)1 << 127);
+      u128 s = a + b;
+      if (s >= m) s -= m;
+      return s;
+    }
+    return (a + b) & mask();
+  }
+
+  u128 neg(u128 a) const {
+    if (kind == 0) return a;
+    if (bits == 128) {
+      u128 m = ((u128)1 << 127);
+      return a == 0 ? 0 : m - a;
+    }
+    return (u128)(0 - a) & mask();
+  }
+};
+
+// ---------------------------------------------------------------------------
+// DPF (dpf.cuh semantics; independent implementation)
+// ---------------------------------------------------------------------------
+
+inline int input_bit(uint64_t lo, uint64_t hi, int in_bits, int level) {
+  int pos = in_bits - 1 - level;  // MSB-first walk
+  if (pos >= 64) return (int)((hi >> (pos - 64)) & 1u);
+  return (int)((lo >> pos) & 1u);
+}
+
+void dpf_gen(const Prg &prg, const Group &grp, int in_bits,
+             const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
+             const Block &beta, Block *cws /* (in_bits+1) x 2 blocks */) {
+  Block s0 = set_lsb(s0s[0], 0), s1 = set_lsb(s0s[1], 0);
+  uint32_t t0 = 0, t1 = 1;
+  Block b_buf = set_lsb(beta, 0);
+
+  for (int i = 0; i < in_bits; ++i) {
+    Block o0[2], o1[2];
+    prg.gen(s0, o0);
+    prg.gen(s1, o1);
+    uint32_t t0l = get_lsb(o0[0]), t0r = get_lsb(o0[1]);
+    uint32_t t1l = get_lsb(o1[0]), t1r = get_lsb(o1[1]);
+    Block s0l = set_lsb(o0[0], 0), s0r = set_lsb(o0[1], 0);
+    Block s1l = set_lsb(o1[0], 0), s1r = set_lsb(o1[1], 0);
+
+    int ab = input_bit(a_lo, a_hi, in_bits, i);
+    Block s_cw = ab ? bxor(s0l, s1l) : bxor(s0r, s1r);
+    uint32_t tl_cw = t0l ^ t1l ^ (uint32_t)ab ^ 1u;
+    uint32_t tr_cw = t0r ^ t1r ^ (uint32_t)ab;
+
+    Block keep0 = ab ? s0r : s0l;
+    Block keep1 = ab ? s1r : s1l;
+    uint32_t tk0 = ab ? t0r : t0l;
+    uint32_t tk1 = ab ? t1r : t1l;
+    uint32_t tcw = ab ? tr_cw : tl_cw;
+
+    s0 = t0 ? bxor(keep0, s_cw) : keep0;
+    s1 = t1 ? bxor(keep1, s_cw) : keep1;
+    t0 = tk0 ^ (t0 & tcw);
+    t1 = tk1 ^ (t1 & tcw);
+
+    cws[2 * i] = set_lsb(s_cw, tl_cw);
+    cws[2 * i + 1].w[0] = tr_cw;
+    cws[2 * i + 1].w[1] = cws[2 * i + 1].w[2] = cws[2 * i + 1].w[3] = 0;
+  }
+
+  u128 v = grp.add(grp.add(grp.from_block(b_buf),
+                           grp.neg(grp.from_block(s0))),
+                   grp.from_block(s1));
+  if (t1 & 1u) v = grp.neg(v);
+  grp.into_block(v, cws[2 * in_bits]);
+  cws[2 * in_bits + 1].w[0] = cws[2 * in_bits + 1].w[1] = 0;
+  cws[2 * in_bits + 1].w[2] = cws[2 * in_bits + 1].w[3] = 0;
+}
+
+void dpf_eval(const Prg &prg, const Group &grp, int in_bits, int party,
+              const Block &seed, const Block *cws, uint64_t x_lo,
+              uint64_t x_hi, Block &y_out) {
+  Block s = set_lsb(seed, 0);
+  uint32_t t = (uint32_t)party;
+  for (int i = 0; i < in_bits; ++i) {
+    Block o[2];
+    prg.gen(s, o);
+    uint32_t tl = get_lsb(o[0]), tr = get_lsb(o[1]);
+    Block sl = set_lsb(o[0], 0), sr = set_lsb(o[1], 0);
+    Block s_cw = set_lsb(cws[2 * i], 0);
+    uint32_t tl_cw = get_lsb(cws[2 * i]);
+    uint32_t tr_cw = cws[2 * i + 1].w[0] & 1u;
+    if (t) {
+      sl = bxor(sl, s_cw);
+      sr = bxor(sr, s_cw);
+      tl ^= tl_cw;
+      tr ^= tr_cw;
+    }
+    int xb = input_bit(x_lo, x_hi, in_bits, i);
+    s = xb ? sr : sl;
+    t = xb ? tr : tl;
+  }
+  u128 y = grp.from_block(s);
+  if (t) y = grp.add(y, grp.from_block(cws[2 * in_bits]));
+  if (party) y = grp.neg(y);
+  grp.into_block(y, y_out);
+}
+
+void dpf_eval_all(const Prg &prg, const Group &grp, int in_bits, int party,
+                  const Block &seed, const Block *cws, Block *ys) {
+  // Breadth-first in-place expansion: level i occupies ys[0 .. 2^i), each
+  // entry the packed (s, t) node, expanded back-to-front to stay in place.
+  ys[0] = set_lsb(set_lsb(seed, 0), (uint32_t)party);
+  for (int i = 0; i < in_bits; ++i) {
+    uint64_t m = 1ull << i;
+    Block s_cw = set_lsb(cws[2 * i], 0);
+    uint32_t tl_cw = get_lsb(cws[2 * i]);
+    uint32_t tr_cw = cws[2 * i + 1].w[0] & 1u;
+    for (uint64_t j = m; j-- > 0;) {
+      Block node = ys[j];
+      uint32_t t = get_lsb(node);
+      Block s = set_lsb(node, 0);
+      Block o[2];
+      prg.gen(s, o);
+      uint32_t tl = get_lsb(o[0]), tr = get_lsb(o[1]);
+      Block sl = set_lsb(o[0], 0), sr = set_lsb(o[1], 0);
+      if (t) {
+        sl = bxor(sl, s_cw);
+        sr = bxor(sr, s_cw);
+        tl ^= tl_cw;
+        tr ^= tr_cw;
+      }
+      ys[2 * j] = set_lsb(sl, tl);
+      ys[2 * j + 1] = set_lsb(sr, tr);
+    }
+  }
+  u128 ocw = grp.from_block(cws[2 * in_bits]);
+  uint64_t n = 1ull << in_bits;
+  for (uint64_t j = 0; j < n; ++j) {
+    uint32_t t = get_lsb(ys[j]);
+    u128 y = grp.from_block(set_lsb(ys[j], 0));
+    if (t) y = grp.add(y, ocw);
+    if (party) y = grp.neg(y);
+    grp.into_block(y, ys[j]);
+  }
+}
+
+Prg make_prg(int prg_kind, int mul, const uint32_t nonce[2],
+             const uint8_t *aes_keys, int rounds) {
+  Prg prg;
+  prg.kind = prg_kind;
+  prg.mul = mul;
+  prg.nonce[0] = nonce ? nonce[0] : 0;
+  prg.nonce[1] = nonce ? nonce[1] : 0;
+  prg.rounds = rounds;
+#if FSS_HAVE_AESNI
+  if (prg_kind == 1 && aes_keys) {
+    for (int i = 0; i < mul; ++i) aes128_expand(aes_keys + 16 * i, prg.ks[i]);
+  }
+#endif
+  return prg;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int fss_native_has_aesni(void) { return FSS_HAVE_AESNI; }
+
+// PRG one-shot (oracle surface). out: mul*4 uint32.
+void fss_prg(int prg_kind, int mul, const uint32_t nonce[2],
+             const uint8_t *aes_keys, int rounds, const uint32_t seed[4],
+             uint32_t *out) {
+  Prg prg = make_prg(prg_kind, mul, nonce, aes_keys, rounds);
+  Block s;
+  std::memcpy(s.w, seed, 16);
+  Block o[4];
+  prg.gen(s, o);
+  std::memcpy(out, o, 16 * (size_t)mul);
+}
+
+// DPF key generation. cws: (in_bits+1)*8 uint32 (row layout parity with
+// fss_tpu / fss_crypto).
+void fss_dpf_gen(int in_bits, int prg_kind, const uint32_t nonce[2],
+                 const uint8_t *aes_keys, int rounds, int group_kind,
+                 int group_bits, const uint32_t s0s[8], uint64_t alpha_lo,
+                 uint64_t alpha_hi, const uint32_t beta[4], uint32_t *cws) {
+  Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  Block s0s_b[2], beta_b;
+  std::memcpy(s0s_b, s0s, 32);
+  std::memcpy(beta_b.w, beta, 16);
+  dpf_gen(prg, grp, in_bits, s0s_b, alpha_lo, alpha_hi, beta_b,
+          reinterpret_cast<Block *>(cws));
+}
+
+// Batched point evaluation: n_points inputs against ONE key.
+void fss_dpf_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
+                  const uint8_t *aes_keys, int rounds, int group_kind,
+                  int group_bits, int party, const uint32_t s0[4],
+                  const uint32_t *cws, const uint64_t *xs_lo,
+                  const uint64_t *xs_hi, int64_t n_points, uint32_t *ys) {
+  Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  Block seed;
+  std::memcpy(seed.w, s0, 16);
+  const Block *cws_b = reinterpret_cast<const Block *>(cws);
+  for (int64_t i = 0; i < n_points; ++i) {
+    Block y;
+    dpf_eval(prg, grp, in_bits, party, seed, cws_b, xs_lo[i],
+             xs_hi ? xs_hi[i] : 0, y);
+    std::memcpy(ys + 4 * i, y.w, 16);
+  }
+}
+
+// Batched per-instance evaluation: one (seed, key, x) triple per instance
+// (the GPU-bench shape, for CPU throughput benchmarks).
+void fss_dpf_eval_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
+                        const uint8_t *aes_keys, int rounds, int group_kind,
+                        int group_bits, int party, const uint32_t *s0s,
+                        const uint32_t *cws_batch, const uint64_t *xs_lo,
+                        int64_t n, uint32_t *ys) {
+  Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  size_t key_stride = (size_t)(in_bits + 1) * 8;
+  for (int64_t i = 0; i < n; ++i) {
+    Block seed;
+    std::memcpy(seed.w, s0s + 4 * i, 16);
+    Block y;
+    dpf_eval(prg, grp, in_bits, party, seed,
+             reinterpret_cast<const Block *>(cws_batch + key_stride * i),
+             xs_lo[i], 0, y);
+    std::memcpy(ys + 4 * i, y.w, 16);
+  }
+}
+
+// Full-domain evaluation. ys: 2^in_bits * 4 uint32.
+void fss_dpf_eval_all(int in_bits, int prg_kind, const uint32_t nonce[2],
+                      const uint8_t *aes_keys, int rounds, int group_kind,
+                      int group_bits, int party, const uint32_t s0[4],
+                      const uint32_t *cws, uint32_t *ys) {
+  Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  Block seed;
+  std::memcpy(seed.w, s0, 16);
+  dpf_eval_all(prg, grp, in_bits, party, seed,
+               reinterpret_cast<const Block *>(cws),
+               reinterpret_cast<Block *>(ys));
+}
+
+}  // extern "C"
