@@ -115,6 +115,26 @@ class NativeEngine:
             ctypes.c_uint64(alpha >> 64), beta_p, cws_p)
         return cws
 
+    def dpf_gen_batch(self, in_bits: int, prg_kind: int, group_kind: int,
+                      group_bits: int, s0s_batch, alphas, betas, nonce=None,
+                      aes_keys=None, rounds: int = 20) -> np.ndarray:
+        """n independent gens in one native call: s0s [n, 2, 4],
+        alphas [n] uint64, betas [n, 4] -> cws [n, in_bits+1, 8]."""
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        s0s_a, s0s_p = self._u32(s0s_batch)
+        betas_a, betas_p = self._u32(betas)
+        lo = np.ascontiguousarray(alphas, dtype=np.uint64)
+        _, lo_p = self._u64(lo)
+        n = len(lo)
+        cws = np.zeros((n, in_bits + 1, 8), dtype=np.uint32)
+        _, cws_p = self._u32(cws)
+        self._lib.fss_dpf_gen_batch(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            s0s_p, lo_p, None, betas_p, ctypes.c_int64(n), cws_p)
+        return cws
+
     def dpf_eval(self, in_bits: int, prg_kind: int, group_kind: int,
                  group_bits: int, party: int, s0, cws, xs, nonce=None,
                  aes_keys=None, rounds: int = 20) -> np.ndarray:

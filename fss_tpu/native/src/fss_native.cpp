@@ -427,6 +427,25 @@ void fss_dpf_gen(int in_bits, int prg_kind, const uint32_t nonce[2],
           reinterpret_cast<Block *>(cws));
 }
 
+// Batched key generation: n independent (s0s, alpha, beta) instances.
+void fss_dpf_gen_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
+                       const uint8_t *aes_keys, int rounds, int group_kind,
+                       int group_bits, const uint32_t *s0s_batch,
+                       const uint64_t *alphas_lo, const uint64_t *alphas_hi,
+                       const uint32_t *betas, int64_t n, uint32_t *cws_out) {
+  Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  size_t key_stride = (size_t)(in_bits + 1) * 8;
+  for (int64_t i = 0; i < n; ++i) {
+    Block s0s_b[2], beta_b;
+    std::memcpy(s0s_b, s0s_batch + 8 * i, 32);
+    std::memcpy(beta_b.w, betas + 4 * i, 16);
+    dpf_gen(prg, grp, in_bits, s0s_b, alphas_lo[i],
+            alphas_hi ? alphas_hi[i] : 0, beta_b,
+            reinterpret_cast<Block *>(cws_out + key_stride * i));
+  }
+}
+
 // Batched point evaluation: n_points inputs against ONE key.
 void fss_dpf_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
                   const uint8_t *aes_keys, int rounds, int group_kind,

@@ -124,3 +124,18 @@ def test_dpf_eval_batch(eng, rng):
                             alphas.astype(np.uint64), nonce=NONCE)
     rec = (y0.astype(np.uint64) + y1.astype(np.uint64)) % 2**32
     assert np.array_equal(rec[:, 0], betas[:, 0])
+
+
+def test_dpf_gen_batch_matches_single(eng, rng):
+    in_bits = 8
+    n = 10
+    s0sb = rng.integers(0, 2**32, size=(n, 2, 4), dtype=np.uint32)
+    alphas = rng.integers(0, 2**in_bits, size=n, dtype=np.uint64)
+    betas = rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32)
+    cwsb = eng.dpf_gen_batch(in_bits, native.PRG_CHACHA, native.GROUP_UINT,
+                             32, s0sb, alphas, betas, nonce=NONCE)
+    for i in (0, 3, n - 1):
+        one = eng.dpf_gen(in_bits, native.PRG_CHACHA, native.GROUP_UINT,
+                          32, s0sb[i], int(alphas[i]), betas[i],
+                          nonce=NONCE)
+        assert np.array_equal(one, cwsb[i]), f"row {i}"
