@@ -27,6 +27,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fss_tpu import block as blk
 from fss_tpu.schemes import _tree, dpf as _dpf
+from fss_tpu.schemes import dcf as _dcf
+from fss_tpu.schemes import half_tree_dpf as _ht
+from fss_tpu.schemes import vdpf as _vdpf
 
 
 def data_sharding(mesh: Mesh, axis: str = "data"):
@@ -83,6 +86,194 @@ def dpf_eval_all_sharded(prg2, group, in_bits: int, party: int,
         return body(s, t, cws)
 
     return jax.jit(run)(s0, cws)
+
+
+def _shard_prefix(mesh: Mesh, axis: str, in_bits: int):
+    n_shards = mesh.shape[axis]
+    k = int(np.log2(n_shards))
+    assert 2**k == n_shards, "axis size must be a power of two"
+    assert k <= in_bits
+    return k
+
+
+def dcf_eval_all_sharded(prg4, group, in_bits: int, party: int,
+                         s0: jax.Array, cws: jax.Array, mesh: Mesh,
+                         axis: str = "domain") -> jax.Array:
+    """Full-domain DCF evaluation sharded over ``axis``: the partial value
+    v threads through the replicated prefix levels into each shard's local
+    subtree expansion (the OpenMP value-threading of dcf.cuh:294-385 lifted
+    onto the mesh)."""
+    k = _shard_prefix(mesh, axis, in_bits)
+
+    def run(s0, cws):
+        s = blk.clear_lsb(s0)[None, :]
+        t = jnp.full((1,), np.uint32(party), dtype=jnp.uint32)
+        v = group.zero((1,))
+        for i in range(k):
+            s, t, v = _dcf.expand_level(prg4, group, party, s, t, v, cws[i])
+
+        def subtree(s_r, t_r, v_r, cws):
+            idx = jax.lax.axis_index(axis)
+            s_l = jax.lax.dynamic_slice_in_dim(s_r, idx, 1, 0)
+            t_l = jax.lax.dynamic_slice_in_dim(t_r, idx, 1, 0)
+            v_l = jax.lax.dynamic_slice_in_dim(v_r, idx, 1, 0)
+            for i in range(k, in_bits):
+                s_l, t_l, v_l = _dcf.expand_level(prg4, group, party, s_l,
+                                                  t_l, v_l, cws[i])
+            return _dcf.finalize_leaves(group, in_bits, party, s_l, t_l,
+                                        v_l, cws)
+
+        body = jax.shard_map(subtree, mesh=mesh,
+                             in_specs=(P(), P(), P(), P()),
+                             out_specs=P(axis, None))
+        return body(s, t, v, cws)
+
+    return jax.jit(run)(s0, cws)
+
+
+def grotto_eval_all_sharded(prg2, in_bits: int, party: int, s0: jax.Array,
+                            cws: jax.Array, mesh: Mesh,
+                            axis: str = "domain") -> jax.Array:
+    """Sharded Grotto full-domain comparison shares: local tree expansion
+    plus a two-level prefix-XOR — per-shard associative_scan, then an
+    exclusive XOR of lower shards' totals via all_gather over ICI (the
+    running-XOR of grotto_dcf.cuh:160-162 distributed)."""
+    k = _shard_prefix(mesh, axis, in_bits)
+
+    def run(s0, cws):
+        s = blk.clear_lsb(s0)[None, :]
+        t = jnp.full((1,), np.uint32(party), dtype=jnp.uint32)
+        for i in range(k):
+            s_cw, tl_cw, tr_cw = _tree.unpack_cw_row(cws[i])
+            s, t = _tree.expand_level(prg2, s, t, s_cw, tl_cw, tr_cw)
+
+        def subtree(s_r, t_r, cws):
+            idx = jax.lax.axis_index(axis)
+            s_l = jax.lax.dynamic_slice_in_dim(s_r, idx, 1, 0)
+            t_l = jax.lax.dynamic_slice_in_dim(t_r, idx, 1, 0)
+            for i in range(k, in_bits):
+                s_cw, tl_cw, tr_cw = _tree.unpack_cw_row(cws[i])
+                s_l, t_l = _tree.expand_level(prg2, s_l, t_l, s_cw, tl_cw,
+                                              tr_cw)
+            local = jax.lax.associative_scan(jnp.bitwise_xor, t_l)
+            totals = jax.lax.all_gather(local[-1], axis)  # [n_shards]
+            lower = jax.lax.broadcasted_iota(jnp.uint32, totals.shape,
+                                             0) < idx
+            masked = jnp.where(lower, totals, jnp.zeros_like(totals))
+            offset = jax.lax.associative_scan(jnp.bitwise_xor, masked)[-1]
+            return local ^ offset
+
+        body = jax.shard_map(subtree, mesh=mesh,
+                             in_specs=(P(), P(), P()),
+                             out_specs=P(axis))
+        return body(s, t, cws)
+
+    return jax.jit(run)(s0, cws)
+
+
+def half_tree_eval_all_sharded(prg1, group, in_bits: int, party: int,
+                               hash_key: jax.Array, s0: jax.Array,
+                               cws: jax.Array, ocw: jax.Array, mesh: Mesh,
+                               axis: str = "domain") -> jax.Array:
+    """Sharded Half-Tree full-domain evaluation: replicated prefix to the
+    shard roots, local expansion to level n-1, local batched last-level
+    conversion (half_tree_dpf.cuh:241-276 on the mesh)."""
+    k = _shard_prefix(mesh, axis, in_bits)
+    assert k <= in_bits - 1, "need at least one local level before convert"
+
+    def run(s0, cws, ocw):
+        node = blk.set_lsb(s0, np.uint32(party))[None, :]
+        for i in range(k):
+            t = blk.get_lsb(node)
+            h = prg1(jnp.bitwise_xor(hash_key, node))[0]
+            left = blk.masked_xor(t, h, cws[i, 0:4])
+            right = jnp.bitwise_xor(left, node)
+            m = node.shape[0]
+            node = jnp.stack([left, right], axis=1).reshape(2 * m, 4)
+
+        def subtree(nodes, cws, ocw):
+            idx = jax.lax.axis_index(axis)
+            n_l = jax.lax.dynamic_slice_in_dim(nodes, idx, 1, 0)
+            for i in range(k, in_bits - 1):
+                t = blk.get_lsb(n_l)
+                h = prg1(jnp.bitwise_xor(hash_key, n_l))[0]
+                left = blk.masked_xor(t, h, cws[i, 0:4])
+                right = jnp.bitwise_xor(left, n_l)
+                m = n_l.shape[0]
+                n_l = jnp.stack([left, right], axis=1).reshape(2 * m, 4)
+            return _ht.convert_last_level(prg1, group, in_bits, party,
+                                          hash_key, n_l, cws, ocw)
+
+        body = jax.shard_map(subtree, mesh=mesh,
+                             in_specs=(P(), P(), P()),
+                             out_specs=P(axis, None))
+        return body(node, cws, ocw)
+
+    return jax.jit(run)(s0, cws, ocw)
+
+
+def vdpf_eval_all_sharded(prg2, xor_hash, hash64, group, in_bits: int,
+                          party: int, s0: jax.Array, cws: jax.Array,
+                          cs: jax.Array, ocw: jax.Array, mesh: Mesh,
+                          axis: str = "domain"):
+    """Sharded VDPF full-domain evaluation + proof.
+
+    Outputs and per-point hashes are local; the order-dependent proof fold
+    (vdpf.cuh:253-263) becomes the framework's documented two-level chain:
+    each shard folds its own points in index order seeded from cs, then the
+    shard proofs are folded in shard order (again seeded from cs). Both
+    parties compute the identical structure, which is all Verify needs;
+    the single-device eval_all keeps the reference's flat order.
+    """
+    k = _shard_prefix(mesh, axis, in_bits)
+
+    def run(s0, cws, cs, ocw):
+        s = blk.clear_lsb(s0)[None, :]
+        t = jnp.full((1,), np.uint32(party), dtype=jnp.uint32)
+        for i in range(k):
+            s_cw, tl_cw, tr_cw = _tree.unpack_cw_row(cws[i])
+            s, t = _tree.expand_level(prg2, s, t, s_cw, tl_cw, tr_cw)
+
+        def subtree(s_r, t_r, cws, cs, ocw):
+            idx = jax.lax.axis_index(axis)
+            s_l = jax.lax.dynamic_slice_in_dim(s_r, idx, 1, 0)
+            t_l = jax.lax.dynamic_slice_in_dim(t_r, idx, 1, 0)
+            for i in range(k, in_bits):
+                s_cw, tl_cw, tr_cw = _tree.unpack_cw_row(cws[i])
+                s_l, t_l = _tree.expand_level(prg2, s_l, t_l, s_cw, tl_cw,
+                                              tr_cw)
+            local_n = s_l.shape[0]
+            y = group.from_block(s_l)
+            y = jnp.where(t_l.astype(jnp.bool_)[..., None],
+                          group.add(y, jnp.broadcast_to(
+                              group.from_block(ocw), y.shape)), y)
+            if party:
+                y = group.neg(y)
+            ys = group.into_block(y)
+
+            base = idx.astype(jnp.uint32) * np.uint32(local_n)
+            xs = base + jax.lax.broadcasted_iota(
+                jnp.uint32, (local_n, 1), 0)[:, 0]
+            x_lanes = blk.pack_inputs(xs, min(in_bits, 32))
+            pts = xor_hash(x_lanes, s_l)
+            pts = jnp.where(t_l.astype(jnp.bool_)[..., None, None],
+                            jnp.bitwise_xor(pts, cs), pts)
+            cs_v = jax.lax.pvary(cs, (axis,))  # shard_map carry typing
+            pi_local = _vdpf.prove(hash64, pts, cs_v)
+            # Ordered shard merge: chain over shard proofs, seeded at cs.
+            all_pi = jax.lax.all_gather(pi_local, axis)  # [n_shards, 4, 4]
+            pi = _vdpf.prove(hash64, all_pi, cs_v)
+            # Every shard computed the same merged proof; emit each shard's
+            # copy (sharded on axis) and take shard 0's outside.
+            return ys, pi[None]
+
+        body = jax.shard_map(subtree, mesh=mesh,
+                             in_specs=(P(), P(), P(), P(), P()),
+                             out_specs=(P(axis, None), P(axis, None, None)))
+        ys, pi_all = body(s, t, cws, cs, ocw)
+        return ys, pi_all[0]
+
+    return jax.jit(run)(s0, cws, cs, ocw)
 
 
 def reconstruct_uint_psum(group, y_lanes: jax.Array, axis: str) -> jax.Array:

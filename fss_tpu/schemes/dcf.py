@@ -180,6 +180,46 @@ def eval_points(prg4, group, in_bits: int, pred: str, party: int,
     return group.into_block(v)
 
 
+def expand_level(prg4, group, party: int, s, t, v, cw_row):
+    """One breadth-first DCF doubling step: [M] nodes -> [2M] nodes,
+    threading the partial value v (dcf.cuh:294-385)."""
+    s_cw, tl_cw, tr_cw, v_cw = _unpack_dcf_row(group, cw_row)
+    o = prg4(s)
+    sl, tl = _tree.split_seed(o[0])
+    sr, tr = _tree.split_seed(o[2])
+    vl = group.from_block(blk.clear_lsb(o[1]))
+    vr = group.from_block(blk.clear_lsb(o[3]))
+    sl, tl, sr, tr = _tree.correct_children(
+        sl, tl, sr, tr, t, s_cw, tl_cw, tr_cw)
+
+    zero = group.zero(t.shape)
+    vl = group.add(vl, _gsel(t, v_cw, zero))
+    vr = group.add(vr, _gsel(t, v_cw, zero))
+    if party:
+        vl = group.neg(vl)
+        vr = group.neg(vr)
+    vl = group.add(vl, v)
+    vr = group.add(vr, v)
+
+    m = s.shape[0]
+    s = jnp.stack([sl, sr], axis=1).reshape(2 * m, 4)
+    t = jnp.stack([tl, tr], axis=1).reshape(2 * m)
+    v = jnp.stack([vl, vr], axis=1).reshape(2 * m, 4)
+    return s, t, v
+
+
+def finalize_leaves(group, in_bits: int, party: int, s, t, v,
+                    cws: jax.Array) -> jax.Array:
+    """Convert expanded DCF leaves to output shares (dcf.cuh:365-384)."""
+    v_last = group.from_block(cws[in_bits, 4:8])
+    term = group.from_block(s)
+    term = group.add(term, _gsel(t, jnp.broadcast_to(v_last, term.shape),
+                                 group.zero(t.shape)))
+    if party:
+        term = group.neg(term)
+    return group.into_block(group.add(v, term))
+
+
 def eval_all(prg4, group, in_bits: int, party: int, s0: jax.Array,
              cws: jax.Array) -> jax.Array:
     """Full-domain evaluation via breadth-first doubling (dcf.cuh:294-385).
@@ -191,36 +231,6 @@ def eval_all(prg4, group, in_bits: int, party: int, s0: jax.Array,
     s = blk.clear_lsb(s0)[None, :]
     t = jnp.full((1,), np.uint32(party), dtype=jnp.uint32)
     v = group.zero((1,))
-
     for i in range(in_bits):
-        s_cw, tl_cw, tr_cw, v_cw = _unpack_dcf_row(group, cws[i])
-        o = prg4(s)
-        sl, tl = _tree.split_seed(o[0])
-        sr, tr = _tree.split_seed(o[2])
-        vl = group.from_block(blk.clear_lsb(o[1]))
-        vr = group.from_block(blk.clear_lsb(o[3]))
-        sl, tl, sr, tr = _tree.correct_children(
-            sl, tl, sr, tr, t, s_cw, tl_cw, tr_cw)
-
-        zero = group.zero(t.shape)
-        vl = group.add(vl, _gsel(t, v_cw, zero))
-        vr = group.add(vr, _gsel(t, v_cw, zero))
-        if party:
-            vl = group.neg(vl)
-            vr = group.neg(vr)
-        vl = group.add(vl, v)
-        vr = group.add(vr, v)
-
-        m = s.shape[0]
-        s = jnp.stack([sl, sr], axis=1).reshape(2 * m, 4)
-        t = jnp.stack([tl, tr], axis=1).reshape(2 * m)
-        v = jnp.stack([vl, vr], axis=1).reshape(2 * m, 4)
-
-    v_last = group.from_block(cws[in_bits, 4:8])
-    term = group.from_block(s)
-    term = group.add(term, _gsel(t, jnp.broadcast_to(v_last, term.shape),
-                                 group.zero(t.shape)))
-    if party:
-        term = group.neg(term)
-    v = group.add(v, term)
-    return group.into_block(v)
+        s, t, v = expand_level(prg4, group, party, s, t, v, cws[i])
+    return finalize_leaves(group, in_bits, party, s, t, v, cws)

@@ -57,3 +57,71 @@ def test_data_sharded_eval(rng, mesh8):
     y1 = d.eval(1, s1_sh, cws_sh, xs_sh)
     rec = np.asarray(g.add(g.from_block(y0), g.from_block(y1)))
     assert np.array_equal(rec, np.asarray(blk.clear_lsb(betas)))
+
+
+def test_dcf_eval_all_sharded(rng, mesh8):
+    from fss_tpu.api import Dcf
+    g = groups.Uint(32)
+    in_bits = 9
+    d = Dcf(in_bits, group=g, prg=ChaCha(mul=4, nonce=NONCE), pred="lt")
+    s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+    beta = blk.block([604, 0, 0, 0])
+    cws = d.gen(s0s, 321, beta)
+    single = np.asarray(d.eval_all(1, s0s[1], cws))
+    sharded = pmesh.dcf_eval_all_sharded(d.prg, g, in_bits, 1, s0s[1], cws,
+                                         mesh8, axis="domain")
+    assert np.array_equal(np.asarray(sharded), single)
+
+
+def test_grotto_eval_all_sharded(rng, mesh8):
+    from fss_tpu.api import GrottoDcf
+    in_bits = 9
+    d = GrottoDcf(in_bits, prg=ChaCha(mul=2, nonce=NONCE))
+    s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+    cws = d.gen(s0s, 100)
+    t0 = np.asarray(pmesh.grotto_eval_all_sharded(
+        d.prg, in_bits, 0, s0s[0], cws, mesh8, axis="domain"))
+    t1 = np.asarray(pmesh.grotto_eval_all_sharded(
+        d.prg, in_bits, 1, s0s[1], cws, mesh8, axis="domain"))
+    exp = (np.arange(2**in_bits) >= 100).astype(np.uint32)
+    assert np.array_equal(t0 ^ t1, exp)
+    assert np.array_equal(t0, np.asarray(d.eval_all(0, s0s[0], cws)))
+
+
+def test_half_tree_eval_all_sharded(rng, mesh8):
+    from fss_tpu.api import HalfTreeDpf
+    g = groups.Uint(64)
+    in_bits = 9
+    d = HalfTreeDpf(in_bits, group=g, prg=ChaCha(mul=1, nonce=NONCE),
+                    hash_key=rng.integers(0, 2**32, size=4, dtype=np.uint32))
+    s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+    beta = blk.block(rng.integers(0, 2**32, size=(4,)))
+    cws, ocw = d.gen(s0s, 77, beta)
+    single = np.asarray(d.eval_all(0, s0s[0], cws, ocw))
+    sharded = pmesh.half_tree_eval_all_sharded(
+        d.prg, g, in_bits, 0, d.hash_key, s0s[0], cws, ocw, mesh8,
+        axis="domain")
+    assert np.array_equal(np.asarray(sharded), single)
+
+
+def test_vdpf_eval_all_sharded(rng, mesh8):
+    from fss_tpu.api import Vdpf
+    g = groups.Bytes()
+    in_bits = 9
+    d = Vdpf(in_bits, group=g, prg=ChaCha(mul=2, nonce=NONCE))
+    beta = blk.block(rng.integers(0, 2**32, size=(4,)))
+    s0s, cws, cs, ocw = d.gen_retry(rng, 123, beta)
+    ys0, pi0 = pmesh.vdpf_eval_all_sharded(
+        d.prg, d.xor_hash, d.hash64, g, in_bits, 0, s0s[0], cws, cs, ocw,
+        mesh8, axis="domain")
+    ys1, pi1 = pmesh.vdpf_eval_all_sharded(
+        d.prg, d.xor_hash, d.hash64, g, in_bits, 1, s0s[1], cws, cs, ocw,
+        mesh8, axis="domain")
+    rec = np.asarray(ys0) ^ np.asarray(ys1)
+    nz = np.nonzero(rec.any(-1))[0]
+    assert list(nz) == [123]
+    # Sharded proofs agree between the parties (documented fold variant).
+    assert np.array_equal(np.asarray(pi0), np.asarray(pi1))
+    # Output shares match the single-device path.
+    ys_single, _ = d.eval_all(0, s0s[0], cws, cs, ocw)
+    assert np.array_equal(np.asarray(ys0), np.asarray(ys_single))
