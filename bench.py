@@ -75,6 +75,129 @@ def _bench_dpf_eval(in_bits: int, log2_batch: int, iters: int = 16):
     return B / dt, dt
 
 
+def _timeit(step, args, per_iter_items: int, iters: int = 8):
+    """Throughput of a jitted scalar-checksum step; one end-of-queue fetch."""
+    import time as _t
+    chk = step(*args)
+    _ = int(chk)
+    t0 = _t.perf_counter()
+    for _ in range(iters):
+        chk = step(*args)
+    _ = int(chk)
+    dt = (_t.perf_counter() - t0) / iters
+    return per_iter_items / dt
+
+
+def _bench_registry():
+    """Secondary metrics mirroring the reference bench registry
+    (src/bench_cpu.cu / bench_gpu.cu shapes), emitted on stderr."""
+    import jax
+    import jax.numpy as jnp
+    from fss_tpu import block as blk
+    from fss_tpu import groups
+    from fss_tpu.prg.chacha import ChaCha
+    from fss_tpu.schemes import dcf as _dcf
+    from fss_tpu.schemes import dpf as _dpf
+    from fss_tpu.schemes import grotto_dcf as _gr
+    from fss_tpu.schemes import half_tree_dpf as _ht
+
+    g = groups.Uint(32)
+    rng = np.random.default_rng(42)
+    nonce = (1, 2)
+    out = []
+
+    # Per-domain Pallas eval numbers.
+    for ib in (14, 16, 20):
+        v, _ = _bench_dpf_eval(ib, LOG2_BATCH, iters=8)
+        out.append((f"dpf_eval_chacha_uint_{ib}bit", v, "evals/s/chip"))
+
+    # DPF gen, batched keys (bench_gpu.cu BM_DpfGen shape).
+    prg2 = ChaCha(mul=2, nonce=nonce)
+    B = 1 << 19
+    ib = 16
+    s0sb = jnp.asarray(blk.block(rng.integers(0, 2**32, size=(B, 2, 4))))
+    a_l = blk.pack_inputs(
+        rng.integers(0, 2**ib, size=B, dtype=np.uint32), ib)
+    betas = jnp.asarray(blk.block(rng.integers(0, 2**32, size=(B, 4))))
+    fg = jax.jit(lambda s, a, b: jnp.sum(jax.vmap(
+        lambda s1, a1, b1: _dpf.gen(prg2, g, ib, s1, a1, b1))(
+            s, a, b)[:, 0, 0]))
+    out.append(("dpf_gen_chacha_uint_16bit",
+                _timeit(fg, (s0sb, a_l, betas), B), "keys/s/chip"))
+
+    # DPF full-domain EvalAll, one key, 2^20 (no GPU analog in reference;
+    # its CPU number is 6.29 M items/s).
+    ib20 = 20
+    s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+    beta = blk.block(rng.integers(0, 2**32, size=(4,)))
+    cws = jax.jit(lambda s, b: _dpf.gen(
+        prg2, g, ib20, s, blk.pack_inputs(12345, ib20), b))(s0s, beta)
+    fa = jax.jit(lambda s, c: jnp.sum(
+        _dpf.eval_all(prg2, g, ib20, 0, s, c)[:, 0]))
+    out.append(("dpf_eval_all_chacha_uint_20bit",
+                _timeit(fa, (s0s[0], cws), 2**ib20), "items/s/chip"))
+
+    # DCF eval, per-instance keys (fused Pallas kernel).
+    from fss_tpu.ops import dcf_pallas, ht_pallas
+    prg4 = ChaCha(mul=4, nonce=nonce)
+    Bd = 1 << 19
+    cwsd = jax.jit(jax.vmap(
+        lambda s, a, b: _dcf.gen(prg4, g, ib, "lt", s, a, b)))(
+            s0sb, a_l[:Bd], betas[:Bd])
+    xsd = jnp.asarray(rng.integers(0, 2**ib, size=Bd, dtype=np.uint32))
+    dseeds, dcws_t, dxs2, dvlast, _ = jax.jit(
+        dcf_pallas.pack_keys,
+        static_argnames=("in_bits", "block_rows"))(
+            s0sb[:Bd, 0], cwsd, xsd, in_bits=ib)
+
+    @jax.jit
+    def fd(seeds4, cws_t, xs2, v_last):
+        vo, so, t = dcf_pallas.eval_packed(seeds4, cws_t, xs2, in_bits=ib,
+                                           party=0, nonce=nonce,
+                                           group_is_xor=False)
+        y = dcf_pallas.finalize(g, 0, vo, so, t, v_last, Bd)
+        return jnp.sum(y[:, 0])
+
+    out.append(("dcf_eval_chacha_uint_16bit",
+                _timeit(fd, (dseeds, dcws_t, dxs2, dvlast), Bd),
+                "evals/s/chip"))
+
+    # Half-Tree eval, per-instance keys (fused Pallas kernel).
+    prg1 = ChaCha(mul=1, nonce=nonce)
+    hk_np = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    hk = jnp.asarray(hk_np)
+    cwsh, ocwh = jax.jit(jax.vmap(
+        lambda s, a, b: _ht.gen(prg1, g, ib, hk, s, a, b)))(
+            s0sb, a_l[:Bd], betas[:Bd])
+    hseeds, hcws_t, hxs2, _, _ = jax.jit(
+        ht_pallas.pack_keys,
+        static_argnames=("in_bits", "block_rows"))(
+            s0sb[:Bd, 0], cwsh, ocwh, xsd, in_bits=ib)
+    hk_t = tuple(int(v) for v in hk_np)
+
+    @jax.jit
+    def fh(seeds4, cws_t, xs2, ocw):
+        ho, lo = ht_pallas.eval_packed(seeds4, cws_t, xs2, in_bits=ib,
+                                       party=0, nonce=nonce,
+                                       hash_key=hk_t)
+        y = ht_pallas.finalize(g, 0, ho, lo, ocw, Bd)
+        return jnp.sum(y[:, 0])
+
+    out.append(("half_tree_eval_chacha_uint_16bit",
+                _timeit(fh, (hseeds, hcws_t, hxs2, ocwh), Bd),
+                "evals/s/chip"))
+
+    # Grotto full-domain (preprocess+eval_all shape).
+    cwsg = jax.jit(lambda s: _gr.gen(
+        prg2, groups.Bytes(), ib20, s,
+        blk.pack_inputs(500, ib20)))(s0s)
+    fgr = jax.jit(lambda s, c: jnp.sum(_gr.eval_all(prg2, ib20, 0, s, c)))
+    out.append(("grotto_eval_all_20bit",
+                _timeit(fgr, (s0s[0], cwsg), 2**ib20), "items/s/chip"))
+
+    return out
+
+
 def main():
     evals_per_s, dt = _bench_dpf_eval(IN_BITS, LOG2_BATCH)
     result = {
@@ -86,12 +209,10 @@ def main():
     print(json.dumps(result))
 
     if "--all" in sys.argv:
-        for ib in (14, 16, 20):
-            v, _ = _bench_dpf_eval(ib, LOG2_BATCH, iters=8)
+        for metric, value, unit in _bench_registry():
             print(json.dumps({
-                "metric": f"dpf_eval_chacha_uint_{ib}bit",
-                "value": round(v, 1), "unit": "evals/s/chip",
-                "vs_baseline": round(v / BASELINE_EVALS_PER_S, 4)}),
+                "metric": metric, "value": round(value, 1), "unit": unit,
+                "vs_baseline": round(value / BASELINE_EVALS_PER_S, 4)}),
                 file=sys.stderr)
 
 

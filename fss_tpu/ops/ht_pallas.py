@@ -1,0 +1,168 @@
+"""Pallas TPU kernel for batched Half-Tree DPF point evaluation.
+
+Fuses the n-1 CCR-hash levels plus the last-level conversion
+(half_tree_dpf.cuh:182-226) in one kernel: each level is a single ChaCha
+mul=1 block on hash_key ^ node, an XOR fold of (x_bit ? node : 0) and
+(t ? cw : 0), all on SoA [rows, 128] word tiles. Outputs the corrected
+(high, low) leaf pair; group conversion stays outside (generic).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fss_tpu.ops._chacha_core import FULL, NOTONE, ONE, chacha_block
+
+LANES = 128
+DEFAULT_BLOCK_ROWS = 32
+
+
+def _make_kernel(in_bits: int, party: int, nonce, rounds: int, hash_key):
+    hk = tuple(np.uint32(int(k) & 0xFFFFFFFF) for k in hash_key)
+
+    def kernel(s_ref, c_ref, x_ref, ho_ref, lo_ref):
+        n0 = s_ref[0]
+        n1 = s_ref[1]
+        n2 = s_ref[2]
+        n3 = (s_ref[3] & NOTONE) | np.uint32(party)
+        x = x_ref[:]
+
+        def level(i, carry):
+            n0, n1, n2, n3 = carry
+            t = n3 & ONE
+            (h0, h1, h2, h3), = chacha_block(
+                n0 ^ hk[0], n1 ^ hk[1], n2 ^ hk[2], n3 ^ hk[3],
+                nonce, 1, rounds)
+            shift = np.uint32(in_bits - 1) - i.astype(jnp.uint32)
+            xm = jnp.where(((x >> shift) & ONE).astype(jnp.bool_), FULL,
+                           np.uint32(0))
+            tm = jnp.where(t.astype(jnp.bool_), FULL, np.uint32(0))
+            cw0 = c_ref[i, 0]
+            cw1 = c_ref[i, 1]
+            cw2 = c_ref[i, 2]
+            cw3 = c_ref[i, 3]
+            n0 = h0 ^ (n0 & xm) ^ (cw0 & tm)
+            n1 = h1 ^ (n1 & xm) ^ (cw1 & tm)
+            n2 = h2 ^ (n2 & xm) ^ (cw2 & tm)
+            n3 = h3 ^ (n3 & xm) ^ (cw3 & tm)
+            return (n0, n1, n2, n3)
+
+        n0, n1, n2, n3 = jax.lax.fori_loop(0, in_bits - 1, level,
+                                           (n0, n1, n2, n3))
+
+        # Last level (half_tree_dpf.cuh:199-225).
+        t = n3 & ONE
+        x_n = x & ONE
+        n3s = (n3 & NOTONE) | x_n
+        (h0, h1, h2, h3), = chacha_block(
+            n0 ^ hk[0], n1 ^ hk[1], n2 ^ hk[2], n3s ^ hk[3],
+            nonce, 1, rounds)
+        last0 = c_ref[in_bits - 1, 0]
+        last1 = c_ref[in_bits - 1, 1]
+        last2 = c_ref[in_bits - 1, 2]
+        last3 = c_ref[in_bits - 1, 3]
+        last4 = c_ref[in_bits - 1, 4]
+        lcw_xn = jnp.where(x_n.astype(jnp.bool_), last4 & ONE, last3 & ONE)
+        tm = jnp.where(t.astype(jnp.bool_), FULL, np.uint32(0))
+        low = (h3 & ONE) ^ (t & lcw_xn)
+        ho_ref[0] = h0 ^ (last0 & tm)
+        ho_ref[1] = h1 ^ (last1 & tm)
+        ho_ref[2] = h2 ^ (last2 & tm)
+        ho_ref[3] = (h3 & NOTONE) ^ (last3 & NOTONE & tm)
+        lo_ref[:] = low
+
+    return kernel
+
+
+def pack_keys(s0: jax.Array, cws: jax.Array, ocw: jax.Array, xs: jax.Array,
+              in_bits: int, block_rows: int = DEFAULT_BLOCK_ROWS):
+    """Stage per-instance Half-Tree keys into the SoA device layout."""
+    B = xs.shape[0]
+    tile = block_rows * LANES
+    Bp = ((B + tile - 1) // tile) * tile
+    T = Bp // LANES
+
+    def padb(a):
+        return jnp.pad(a, [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1))
+
+    seeds4 = jnp.transpose(padb(s0), (1, 0)).reshape(4, T, LANES)
+    cws_t = jnp.transpose(padb(cws), (1, 2, 0)).reshape(in_bits, 8, T,
+                                                        LANES)
+    xs2 = padb(jnp.asarray(xs, dtype=jnp.uint32)).reshape(T, LANES)
+    return seeds4, cws_t, xs2, ocw, B
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("in_bits", "party", "nonce",
+                                    "hash_key", "rounds", "block_rows",
+                                    "interpret"))
+def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
+                hash_key, rounds: int = 20,
+                block_rows: int = DEFAULT_BLOCK_ROWS,
+                interpret: bool = False):
+    nrows = seeds4.shape[1]
+    assert nrows % block_rows == 0
+    grid = (nrows // block_rows,)
+    nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
+    kern = _make_kernel(in_bits, party, nonce, rounds, hash_key)
+    ho, lo = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_bits, 8, block_rows, LANES),
+                         lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, nrows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((nrows, LANES), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seeds4, cws_t, xs2)
+    return ho, lo
+
+
+def finalize(group, party: int, ho, lo, ocw: jax.Array,
+             batch: int) -> jax.Array:
+    """Group-convert (high, low) leaves to [B, 4] shares
+    (half_tree_dpf.cuh:218-225)."""
+    high = jnp.transpose(ho.reshape(4, -1), (1, 0))[:batch]
+    low = lo.reshape(-1)[:batch]
+    y = group.from_block(high)
+    oc = group.from_block(jnp.broadcast_to(ocw, high.shape))
+    y = jnp.where(low.astype(jnp.bool_)[:, None], group.add(y, oc), y)
+    if party:
+        y = group.neg(y)
+    return group.into_block(y)
+
+
+def eval_points(prg_nonce, group, in_bits: int, party: int, hash_key,
+                s0: jax.Array, cws: jax.Array, ocw: jax.Array,
+                xs: jax.Array, rounds: int = 20,
+                block_rows: int = DEFAULT_BLOCK_ROWS,
+                interpret: bool = False) -> jax.Array:
+    hk = tuple(int(v) for v in np.asarray(hash_key, dtype=np.uint32))
+    seeds4, cws_t, xs2, ocw, B = pack_keys(s0, cws, ocw, xs, in_bits,
+                                           block_rows)
+    ho, lo = eval_packed(seeds4, cws_t, xs2, in_bits=in_bits, party=party,
+                         nonce=tuple(prg_nonce), hash_key=hk,
+                         rounds=rounds, block_rows=block_rows,
+                         interpret=interpret)
+    return finalize(group, party, ho, lo, ocw, B)

@@ -1,0 +1,76 @@
+"""DCF and Half-Tree Pallas kernels vs the XLA reference paths
+(interpret mode on CPU)."""
+
+import jax
+import numpy as np
+import pytest
+
+from fss_tpu import block as blk
+from fss_tpu import groups
+from fss_tpu.ops import dcf_pallas, ht_pallas
+from fss_tpu.prg.chacha import ChaCha
+from fss_tpu.schemes import dcf as _dcf
+from fss_tpu.schemes import half_tree_dpf as _ht
+
+NONCE = (0x600DCAFE, 0x0BADF00D)
+
+
+@pytest.mark.parametrize("gname,g", [
+    ("uint32", groups.Uint(32)),
+    ("uint64", groups.Uint(64)),
+    ("bytes", groups.Bytes()),
+])
+def test_dcf_pallas_matches_reference(gname, g, rng):
+    in_bits = 8
+    B = 200
+    prg = ChaCha(mul=4, nonce=NONCE)
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    cws = jax.vmap(
+        lambda s, a, b: _dcf.gen(prg, g, in_bits, "lt", s,
+                                 blk.pack_inputs(a, in_bits), b))(
+                                     s0s, alphas, betas)
+    xs = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    assert dcf_pallas.kernel_supports_group(g)
+    for party in (0, 1):
+        ref = np.asarray(_dcf.eval_points(prg, g, in_bits, None, party,
+                                          s0s[:, party], cws, xs))
+        got = np.asarray(dcf_pallas.eval_points(
+            NONCE, g, in_bits, party, s0s[:, party], cws, xs,
+            block_rows=8, interpret=True))
+        assert np.array_equal(got, ref), f"party {party}"
+
+
+def test_dcf_pallas_rejects_modular_group():
+    assert not dcf_pallas.kernel_supports_group(
+        groups.Uint(128, mod=1 << 127))
+    assert not dcf_pallas.kernel_supports_group(groups.Uint(32, mod=1000))
+
+
+@pytest.mark.parametrize("gname,g", [
+    ("uint32", groups.Uint(32)),
+    ("uint127", groups.Uint(128, mod=1 << 127)),
+    ("bytes", groups.Bytes()),
+])
+def test_half_tree_pallas_matches_reference(gname, g, rng):
+    in_bits = 8
+    B = 200
+    prg = ChaCha(mul=1, nonce=NONCE)
+    hash_key = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    hk = jax.numpy.asarray(hash_key)
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    cws, ocw = jax.vmap(
+        lambda s, a, b: _ht.gen(prg, g, in_bits, hk, s,
+                                blk.pack_inputs(a, in_bits), b))(
+                                    s0s, alphas, betas)
+    xs = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    for party in (0, 1):
+        ref = np.asarray(_ht.eval_points(prg, g, in_bits, party, hk,
+                                         s0s[:, party], cws, ocw, xs))
+        got = np.asarray(ht_pallas.eval_points(
+            NONCE, g, in_bits, party, hash_key, s0s[:, party], cws, ocw,
+            xs, block_rows=8, interpret=True))
+        assert np.array_equal(got, ref), f"party {party}"

@@ -1,0 +1,56 @@
+"""Wide input domains: in_bits > 32 up to 128 (reference supports
+In = uint8..__uint128_t for point eval; dpf.cuh:61-63). Inputs are Python
+ints or pre-packed [., 4] uint32 lane arrays."""
+
+import numpy as np
+import pytest
+
+from fss_tpu import block as blk
+from fss_tpu import groups
+from fss_tpu.api import Dcf, Dpf
+from fss_tpu.prg.chacha import ChaCha
+
+NONCE = (0xAAAA5555, 0x5555AAAA)
+
+
+@pytest.mark.parametrize("in_bits", [48, 64, 100, 128])
+def test_dpf_wide_domain(in_bits, rng):
+    g = groups.Bytes()
+    d = Dpf(in_bits, group=g, prg=ChaCha(mul=2, nonce=NONCE))
+    alpha = int(rng.integers(0, 2**63)) | (1 << (in_bits - 1))
+    alpha &= (1 << in_bits) - 1
+    s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+    beta = blk.block(rng.integers(0, 2**32, size=(4,)))
+    cws = d.gen(s0s, alpha, beta)
+    assert cws.shape == (in_bits + 1, 8)
+
+    y0 = d.eval(0, s0s[0], cws, alpha)
+    y1 = d.eval(1, s0s[1], cws, alpha)
+    rec = np.asarray(y0) ^ np.asarray(y1)
+    assert np.array_equal(rec, np.asarray(blk.clear_lsb(beta)))
+
+    # Batched non-alpha points as pre-packed lanes.
+    others = [(alpha ^ (1 << i)) for i in (0, in_bits // 2, in_bits - 1)]
+    x_lanes = np.stack([blk.pack_int(v) for v in others])
+    y0 = np.asarray(d.eval(0, s0s[0], cws, x_lanes))
+    y1 = np.asarray(d.eval(1, s0s[1], cws, x_lanes))
+    assert np.all((y0 ^ y1) == 0)
+
+
+def test_dcf_wide_domain_comparison(rng):
+    in_bits = 64
+    g = groups.Uint(64)
+    d = Dcf(in_bits, group=g, prg=ChaCha(mul=4, nonce=NONCE), pred="lt")
+    alpha = int(rng.integers(1, 2**63))
+    s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+    beta = blk.block([604, 0, 0, 0])
+    cws = d.gen(s0s, alpha, beta)
+
+    below = [0, alpha - 1, alpha // 2]
+    above = [alpha, alpha + 1, (1 << in_bits) - 1]
+    for x, expect in [(v, 604) for v in below] + [(v, 0) for v in above]:
+        y0 = d.eval(0, s0s[0], cws, x)
+        y1 = d.eval(1, s0s[1], cws, x)
+        rec = np.asarray(g.add(g.from_block(y0), g.from_block(y1)))
+        val = int(rec[0]) | (int(rec[1]) << 32)
+        assert val == expect, f"x={x}"
