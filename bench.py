@@ -119,11 +119,13 @@ def _bench_registry():
     a_l = blk.pack_inputs(
         rng.integers(0, 2**ib, size=B, dtype=np.uint32), ib)
     betas = jnp.asarray(blk.block(rng.integers(0, 2**32, size=(B, 4))))
-    fg = jax.jit(lambda s, a, b: jnp.sum(jax.vmap(
-        lambda s1, a1, b1: _dpf.gen(prg2, g, ib, s1, a1, b1))(
-            s, a, b)[:, 0, 0]))
+    from fss_tpu.ops import dpf_pallas as _dpfk
+    alphas_u32 = rng.integers(0, 2**ib, size=B, dtype=np.uint32)
+    fg = jax.jit(lambda s, a, b: jnp.sum(_dpfk.gen_batch(
+        nonce, g, ib, s, a, b)[:, 0, 0]))
     out.append(("dpf_gen_chacha_uint_16bit",
-                _timeit(fg, (s0sb, a_l, betas), B), "keys/s/chip"))
+                _timeit(fg, (s0sb, jnp.asarray(alphas_u32), betas), B),
+                "keys/s/chip"))
 
     # DPF full-domain EvalAll, one key, 2^20 (no GPU analog in reference;
     # its CPU number is 6.29 M items/s).

@@ -34,6 +34,28 @@ from fss_tpu.hash.blake3 import Blake3
 DEFAULT_NONCE = (0x243F6A88, 0x85A308D3)  # pi digits; nothing up my sleeve
 
 
+def _use_tpu_kernels() -> bool:
+    """Fused Pallas kernels auto-dispatch on TPU backends (escape hatch:
+    FSS_TPU_NO_KERNELS=1). The kernels are bit-exact with the XLA paths
+    (tests/test_dpf_pallas.py, tests/test_tree_kernels_pallas.py)."""
+    import os
+    if os.environ.get("FSS_TPU_NO_KERNELS"):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def _plain_u32_inputs(xs, in_bits: int) -> bool:
+    """True when xs is a flat uint32-representable batch (kernel layout)."""
+    if in_bits > 32:
+        return False
+    arr = np.asarray(xs) if not isinstance(xs, jax.Array) else xs
+    return (getattr(arr, "ndim", None) == 1
+            and arr.dtype in (np.uint32, np.int32, np.int64, np.uint64))
+
+
 # --- jitted kernels, specialized on (prg, group, in_bits, party) -----------
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
@@ -141,6 +163,14 @@ class Dpf:
                               s0s, a, betas)
 
     def eval(self, party: int, s0, cws, xs):
+        if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
+                and _plain_u32_inputs(xs, self.in_bits)
+                and jnp.asarray(cws).ndim == 3):
+            from fss_tpu.ops import dpf_pallas
+            return dpf_pallas.eval_points(
+                self.prg.nonce, self.group, self.in_bits, int(party),
+                jnp.asarray(s0), jnp.asarray(cws),
+                jnp.asarray(xs, dtype=jnp.uint32), rounds=self.prg.rounds)
         x = blk.pack_inputs(xs, self.in_bits)
         return _dpf_eval(self.prg, self.group, self.in_bits, int(party),
                          s0, cws, x)
@@ -167,6 +197,16 @@ class Dcf:
                         s0s, a, beta)
 
     def eval(self, party: int, s0, cws, xs):
+        if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
+                and _plain_u32_inputs(xs, self.in_bits)
+                and jnp.asarray(cws).ndim == 3):
+            from fss_tpu.ops import dcf_pallas
+            if dcf_pallas.kernel_supports_group(self.group):
+                return dcf_pallas.eval_points(
+                    self.prg.nonce, self.group, self.in_bits, int(party),
+                    jnp.asarray(s0), jnp.asarray(cws),
+                    jnp.asarray(xs, dtype=jnp.uint32),
+                    rounds=self.prg.rounds)
         x = blk.pack_inputs(xs, self.in_bits)
         return _dcf_eval(self.prg, self.group, self.in_bits, int(party),
                          s0, cws, x)
@@ -358,6 +398,15 @@ class HalfTreeDpf:
                              self.hash_key, s0s, a, betas)
 
     def eval(self, party: int, s0, cws, ocw, xs):
+        if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
+                and _plain_u32_inputs(xs, self.in_bits)
+                and jnp.asarray(cws).ndim == 3):
+            from fss_tpu.ops import ht_pallas
+            return ht_pallas.eval_points(
+                self.prg.nonce, self.group, self.in_bits, int(party),
+                np.asarray(self.hash_key), jnp.asarray(s0),
+                jnp.asarray(cws), jnp.asarray(ocw),
+                jnp.asarray(xs, dtype=jnp.uint32), rounds=self.prg.rounds)
         x = blk.pack_inputs(xs, self.in_bits)
         return _ht_eval(self.prg, self.group, self.in_bits, int(party),
                         self.hash_key, s0, cws, ocw, x)

@@ -129,6 +129,191 @@ def _make_eval_kernel(in_bits: int, party: int, nonce, rounds: int):
     return kernel
 
 
+def _make_gen_kernel(in_bits: int, nonce, rounds: int):
+    def kernel(s_ref, a_ref, c_ref, s0o_ref, s1o_ref, t1o_ref):
+        s00 = s_ref[0]
+        s01 = s_ref[1]
+        s02 = s_ref[2]
+        s03 = s_ref[3] & _NOTONE
+        s10 = s_ref[4]
+        s11 = s_ref[5]
+        s12 = s_ref[6]
+        s13 = s_ref[7] & _NOTONE
+        t0 = jnp.zeros_like(s00)
+        t1 = jnp.zeros_like(s00) + _ONE
+        a = a_ref[:]
+
+        def level(i, carry):
+            s00, s01, s02, s03, s10, s11, s12, s13, t0, t1 = carry
+            (l00, l01, l02, l03), (r00, r01, r02, r03) = _chacha2(
+                s00, s01, s02, s03, nonce, rounds)
+            (l10, l11, l12, l13), (r10, r11, r12, r13) = _chacha2(
+                s10, s11, s12, s13, nonce, rounds)
+            t0l = l03 & _ONE
+            t0r = r03 & _ONE
+            t1l = l13 & _ONE
+            t1r = r13 & _ONE
+            l03 &= _NOTONE
+            r03 &= _NOTONE
+            l13 &= _NOTONE
+            r13 &= _NOTONE
+
+            shift = np.uint32(in_bits - 1) - i.astype(jnp.uint32)
+            ab = (a >> shift) & _ONE
+            abb = ab.astype(jnp.bool_)
+
+            # Off-path sibling XOR is the CW (dpf.cuh:117-122).
+            cw0 = jnp.where(abb, l00 ^ l10, r00 ^ r10)
+            cw1 = jnp.where(abb, l01 ^ l11, r01 ^ r11)
+            cw2 = jnp.where(abb, l02 ^ l12, r02 ^ r12)
+            cw3 = jnp.where(abb, l03 ^ l13, r03 ^ r13)
+            tl_cw = t0l ^ t1l ^ ab ^ _ONE
+            tr_cw = t0r ^ t1r ^ ab
+
+            c_ref[i, 0] = cw0
+            c_ref[i, 1] = cw1
+            c_ref[i, 2] = cw2
+            c_ref[i, 3] = cw3 | tl_cw
+            c_ref[i, 4] = tr_cw
+
+            tcw = jnp.where(abb, tr_cw, tl_cw)
+            tm0 = jnp.where(t0.astype(jnp.bool_), _FULL, np.uint32(0))
+            tm1 = jnp.where(t1.astype(jnp.bool_), _FULL, np.uint32(0))
+            n00 = jnp.where(abb, r00, l00) ^ (cw0 & tm0)
+            n01 = jnp.where(abb, r01, l01) ^ (cw1 & tm0)
+            n02 = jnp.where(abb, r02, l02) ^ (cw2 & tm0)
+            n03 = jnp.where(abb, r03, l03) ^ (cw3 & tm0)
+            n10 = jnp.where(abb, r10, l10) ^ (cw0 & tm1)
+            n11 = jnp.where(abb, r11, l11) ^ (cw1 & tm1)
+            n12 = jnp.where(abb, r12, l12) ^ (cw2 & tm1)
+            n13 = jnp.where(abb, r13, l13) ^ (cw3 & tm1)
+            nt0 = jnp.where(abb, t0r, t0l) ^ (t0 & tcw)
+            nt1 = jnp.where(abb, t1r, t1l) ^ (t1 & tcw)
+            return (n00, n01, n02, n03, n10, n11, n12, n13, nt0, nt1)
+
+        (s00, s01, s02, s03, s10, s11, s12, s13, t0, t1) = \
+            jax.lax.fori_loop(0, in_bits, level,
+                              (s00, s01, s02, s03, s10, s11, s12, s13,
+                               t0, t1))
+        s0o_ref[0] = s00
+        s0o_ref[1] = s01
+        s0o_ref[2] = s02
+        s0o_ref[3] = s03
+        s1o_ref[0] = s10
+        s1o_ref[1] = s11
+        s1o_ref[2] = s12
+        s1o_ref[3] = s13
+        t1o_ref[:] = t1
+
+    return kernel
+
+
+def pack_gen_inputs(s0s: jax.Array, alphas: jax.Array, in_bits: int,
+                    block_rows: int = DEFAULT_BLOCK_ROWS):
+    """s0s [B, 2, 4], alphas [B] uint32 -> kernel layout. Returns
+    (seeds8 [8, T, 128], a2 [T, 128], B)."""
+    B = alphas.shape[0]
+    tile = block_rows * LANES
+    Bp = ((B + tile - 1) // tile) * tile
+    T = Bp // LANES
+
+    def padb(a):
+        return jnp.pad(a, [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1))
+
+    seeds8 = jnp.transpose(padb(s0s).reshape(Bp, 8), (1, 0)).reshape(
+        8, T, LANES)
+    a2 = padb(jnp.asarray(alphas, dtype=jnp.uint32)).reshape(T, LANES)
+    return seeds8, a2, B
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("in_bits", "nonce", "rounds",
+                                    "block_rows", "interpret"))
+def gen_packed(seeds8, a2, in_bits: int, nonce, rounds: int = 20,
+               block_rows: int = DEFAULT_BLOCK_ROWS,
+               interpret: bool = False):
+    """Fused batched Gen kernel: all levels of the BGI Gen loop
+    (dpf.cuh:93-153) for a batch of keys, two ChaCha expansions per level.
+
+    Returns (cws_t [in_bits, 5, T, 128], s0f [4, T, 128],
+    s1f [4, T, 128], t1 [T, 128]); feed to ``gen_finalize``.
+    """
+    nrows = seeds8.shape[1]
+    assert nrows % block_rows == 0
+    grid = (nrows // block_rows,)
+    nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
+    kern = _make_gen_kernel(in_bits, nonce, rounds)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((in_bits, 5, block_rows, LANES),
+                         lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((in_bits, 5, nrows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((4, nrows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((4, nrows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((nrows, LANES), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seeds8, a2)
+
+
+def gen_finalize(group, in_bits: int, cws_t, s0f, s1f, t1,
+                 betas: jax.Array, batch: int) -> jax.Array:
+    """Assemble the standard [B, in_bits+1, 8] key layout from kernel
+    outputs plus the group-typed final CW (dpf.cuh:150-152)."""
+    T = cws_t.shape[2]
+    rows = jnp.transpose(cws_t.reshape(in_bits, 5, T * LANES),
+                         (2, 0, 1))[:batch]  # [B, n, 5]
+    pad = jnp.zeros((batch, in_bits, 3), dtype=jnp.uint32)
+    rows = jnp.concatenate([rows, pad], axis=-1)
+
+    s0 = jnp.transpose(s0f.reshape(4, -1), (1, 0))[:batch]
+    s1 = jnp.transpose(s1f.reshape(4, -1), (1, 0))[:batch]
+    t1b = t1.reshape(-1)[:batch]
+    b_buf = blk.clear_lsb(betas)
+    v_cw = group.add(
+        group.add(group.from_block(b_buf),
+                  group.neg(group.from_block(s0))),
+        group.from_block(s1))
+    v_cw = jnp.where((t1b & _ONE).astype(jnp.bool_)[:, None],
+                     group.neg(v_cw), v_cw)
+    last = jnp.concatenate(
+        [group.into_block(v_cw),
+         jnp.zeros((batch, 4), dtype=jnp.uint32)], axis=-1)
+    return jnp.concatenate([rows, last[:, None, :]], axis=1)
+
+
+def gen_batch(prg_nonce, group, in_bits: int, s0s: jax.Array,
+              alphas: jax.Array, betas: jax.Array, rounds: int = 20,
+              block_rows: int = DEFAULT_BLOCK_ROWS,
+              interpret: bool = False) -> jax.Array:
+    """Batched key generation through the fused kernel; returns the
+    standard [B, in_bits+1, 8] cws layout (alphas must fit uint32)."""
+    seeds8, a2, B = pack_gen_inputs(s0s, alphas, in_bits, block_rows)
+    cws_t, s0f, s1f, t1 = gen_packed(seeds8, a2, in_bits=in_bits,
+                                     nonce=tuple(prg_nonce), rounds=rounds,
+                                     block_rows=block_rows,
+                                     interpret=interpret)
+    return gen_finalize(group, in_bits, cws_t, s0f, s1f, t1, betas, B)
+
+
 def pack_keys(s0: jax.Array, cws: jax.Array, xs: jax.Array, in_bits: int,
               block_rows: int = DEFAULT_BLOCK_ROWS):
     """Stage per-instance keys into the kernel's SoA device layout.

@@ -37,3 +37,22 @@ def test_pallas_eval_matches_reference(gname, g, rng):
             NONCE, g, in_bits, party, s0s[:, party], cws, xs,
             block_rows=8, interpret=True))
         assert np.array_equal(got, ref), f"party {party}"
+
+
+def test_pallas_gen_matches_reference(rng):
+    import jax
+    in_bits = 8
+    B = 300
+    g = groups.Uint(32)
+    prg = ChaCha(mul=2, nonce=NONCE)
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    ref = np.asarray(jax.vmap(
+        lambda s, a, b: _dpf.gen(prg, g, in_bits, s,
+                                 blk.pack_inputs(a, in_bits), b))(
+                                     s0s, alphas, betas))
+    got = np.asarray(dpf_pallas.gen_batch(
+        NONCE, g, in_bits, s0s, alphas, betas, block_rows=8,
+        interpret=True))
+    assert np.array_equal(got, ref)
