@@ -189,6 +189,26 @@ def _bench_registry():
                 _timeit(fh, (hseeds, hcws_t, hxs2, ocwh), Bd),
                 "evals/s/chip"))
 
+    # VDPF eval (per-instance keys, BLAKE3 hash; ref GPU: 262.7 M/s).
+    from fss_tpu.hash.blake3 import Blake3
+    from fss_tpu.ops import vdpf_pallas
+    from fss_tpu.schemes import vdpf as _vdpf
+    h3 = Blake3((0x11111111, 0x22222222, 0x33333333, 0x44444444,
+                 0x55555555, 0x66666666, 0x77777777, 0x88888888))
+    vcws, vcs, vocw, _ = jax.jit(jax.vmap(
+        lambda s, a, b: _vdpf.gen(prg2, h3.xor_hash, g, ib, s, a, b)))(
+            s0sb, a_l, betas)
+
+    @jax.jit
+    def fv(s0, cws, cs, ocw, xs):
+        y, p = vdpf_pallas.eval_points(nonce, h3.xor_hash, g, ib, 0, s0,
+                                       cws, cs, ocw, xs)
+        return jnp.sum(y[:, 0]) + jnp.sum(p[:, 0, 0])
+
+    out.append(("vdpf_eval_chacha_blake3_uint_16bit",
+                _timeit(fv, (s0sb[:, 0], vcws, vcs, vocw, xsd), B),
+                "evals/s/chip"))
+
     # Grotto full-domain (preprocess+eval_all shape).
     cwsg = jax.jit(lambda s: _gr.gen(
         prg2, groups.Bytes(), ib20, s,

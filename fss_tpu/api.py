@@ -282,6 +282,14 @@ class Vdpf:
         raise RuntimeError("vdpf gen retry budget exhausted")
 
     def eval(self, party: int, s0, cws, cs, ocw, xs):
+        if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
+                and _plain_u32_inputs(xs, self.in_bits)
+                and jnp.asarray(cws).ndim == 3):
+            from fss_tpu.ops import vdpf_pallas
+            return vdpf_pallas.eval_points(
+                self.prg.nonce, self.xor_hash, self.group, self.in_bits,
+                int(party), jnp.asarray(s0), jnp.asarray(cws), cs, ocw,
+                jnp.asarray(xs, dtype=jnp.uint32), rounds=self.prg.rounds)
         x = blk.pack_inputs(xs, self.in_bits)
         return _vdpf_eval(self.prg, self.xor_hash, self.group, self.in_bits,
                           int(party), s0, cws, cs, ocw, x)

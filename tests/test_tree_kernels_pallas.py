@@ -74,3 +74,32 @@ def test_half_tree_pallas_matches_reference(gname, g, rng):
             NONCE, g, in_bits, party, hash_key, s0s[:, party], cws, ocw,
             xs, block_rows=8, interpret=True))
         assert np.array_equal(got, ref), f"party {party}"
+
+
+def test_vdpf_pallas_matches_reference(rng):
+    from fss_tpu.hash.blake3 import Blake3
+    from fss_tpu.ops import vdpf_pallas
+    from fss_tpu.schemes import vdpf as _vdpf
+
+    in_bits = 8
+    B = 200
+    g = groups.Bytes()
+    prg = ChaCha(mul=2, nonce=NONCE)
+    h = Blake3(tuple(range(1, 9)))
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = blk.pack_inputs(
+        rng.integers(0, 2**in_bits, size=B, dtype=np.uint32), in_bits)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    cws, cs, ocw, _ = jax.vmap(
+        lambda s, a, b: _vdpf.gen(prg, h.xor_hash, g, in_bits, s, a, b))(
+            s0s, alphas, betas)
+    xs = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    for party in (0, 1):
+        y_ref, p_ref = _vdpf.eval_points(prg, h.xor_hash, g, in_bits,
+                                         party, s0s[:, party], cws, cs,
+                                         ocw, xs)
+        y_got, p_got = vdpf_pallas.eval_points(
+            NONCE, h.xor_hash, g, in_bits, party, s0s[:, party], cws, cs,
+            ocw, xs, block_rows=8, interpret=True)
+        assert np.array_equal(np.asarray(y_got), np.asarray(y_ref))
+        assert np.array_equal(np.asarray(p_got), np.asarray(p_ref))
