@@ -134,10 +134,19 @@ def _bench_registry():
     beta = blk.block(rng.integers(0, 2**32, size=(4,)))
     cws = jax.jit(lambda s, b: _dpf.gen(
         prg2, g, ib20, s, blk.pack_inputs(12345, ib20), b))(s0s, beta)
+    from fss_tpu.ops import eval_all_pallas as _eak
     fa = jax.jit(lambda s, c: jnp.sum(
-        _dpf.eval_all(prg2, g, ib20, 0, s, c)[:, 0]))
+        _eak.eval_all(prg2, g, ib20, 0, s, c)[:, 0]))
     out.append(("dpf_eval_all_chacha_uint_20bit",
-                _timeit(fa, (s0s[0], cws), 2**ib20), "items/s/chip"))
+                _timeit(fa, (jnp.asarray(s0s[0]), cws), 2**ib20),
+                "items/s/chip"))
+    cws24 = jax.jit(lambda s, b: _dpf.gen(
+        prg2, g, 24, s, blk.pack_inputs(777777, 24), b))(s0s, beta)
+    fa24 = jax.jit(lambda s, c: jnp.sum(
+        _eak.eval_all(prg2, g, 24, 0, s, c)[:, 0]))
+    out.append(("dpf_eval_all_chacha_uint_24bit",
+                _timeit(fa24, (jnp.asarray(s0s[0]), cws24), 2**24,
+                        iters=4), "items/s/chip"))
 
     # DCF eval, per-instance keys (fused Pallas kernel).
     from fss_tpu.ops import dcf_pallas, ht_pallas

@@ -38,20 +38,35 @@ def _qr(a, b, c, d):
     return a, b, c, d
 
 
-def chacha_block(k0, k1, k2, k3, nonce, mul: int, rounds: int = 20):
-    """Returns a tuple of ``mul`` 4-word outputs (chacha.cuh:95-126)."""
+def chacha_block(k0, k1, k2, k3, nonce, mul: int, rounds: int = 20,
+                 unroll: bool = True):
+    """Returns a tuple of ``mul`` 4-word outputs (chacha.cuh:95-126).
+
+    ``unroll=False`` rolls the rounds into a fori_loop — used by interpret
+    -mode tests on XLA:CPU, whose compile time on long unrolled scalar
+    chains is pathological. TPU kernels keep the unrolled form.
+    """
     const = CONST16 if mul <= 2 else CONST32
     zero = jnp.zeros_like(k0)
     st = [zero + c for c in const] + [k0, k1, k2, k3, k0, k1, k2, k3,
                                       zero, zero, zero + nonce[0],
                                       zero + nonce[1]]
-    for _ in range(rounds // 2):
+
+    def dround(s):
+        s = list(s)
         for ia, ib, ic, id_ in _COLS:
-            st[ia], st[ib], st[ic], st[id_] = _qr(st[ia], st[ib], st[ic],
-                                                  st[id_])
+            s[ia], s[ib], s[ic], s[id_] = _qr(s[ia], s[ib], s[ic], s[id_])
         for ia, ib, ic, id_ in _DIAG:
-            st[ia], st[ib], st[ic], st[id_] = _qr(st[ia], st[ib], st[ic],
-                                                  st[id_])
+            s[ia], s[ib], s[ic], s[id_] = _qr(s[ia], s[ib], s[ic], s[id_])
+        return s
+
+    if unroll:
+        for _ in range(rounds // 2):
+            st = dround(st)
+    else:
+        import jax
+        st = list(jax.lax.fori_loop(
+            0, rounds // 2, lambda _, s: tuple(dround(s)), tuple(st)))
     out1 = (st[4] ^ k0, st[5] ^ k1, st[6] ^ k2, st[7] ^ k3)
     if mul == 1:
         return (out1,)

@@ -56,3 +56,35 @@ def test_pallas_gen_matches_reference(rng):
         NONCE, g, in_bits, s0s, alphas, betas, block_rows=8,
         interpret=True))
     assert np.array_equal(got, ref)
+
+
+def test_eval_all_pallas_matches_reference(rng):
+    from fss_tpu.ops import eval_all_pallas
+    in_bits = 13  # smallest kernel-path domain (one tile)
+    g = groups.Uint(32)
+    prg = ChaCha(mul=2, nonce=NONCE)
+    s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+    beta = blk.block(rng.integers(0, 2**32, size=(4,)))
+    cws = _dpf.gen(prg, g, in_bits, s0s, blk.pack_inputs(777, in_bits),
+                   beta)
+    for party in (0, 1):
+        ref = np.asarray(_dpf.eval_all(prg, g, in_bits, party, s0s[party],
+                                       cws))
+        got = np.asarray(eval_all_pallas.eval_all(
+            prg, g, in_bits, party, s0s[party], cws, interpret=True))
+        assert np.array_equal(got, ref), f"party {party}"
+
+
+def test_eval_all_pallas_multi_tile(rng):
+    from fss_tpu.ops import eval_all_pallas
+    in_bits = 15  # 4 tiles
+    g = groups.Bytes()
+    prg = ChaCha(mul=2, nonce=NONCE)
+    s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+    beta = blk.block(rng.integers(0, 2**32, size=(4,)))
+    cws = _dpf.gen(prg, g, in_bits, s0s, blk.pack_inputs(31000, in_bits),
+                   beta)
+    ref = np.asarray(_dpf.eval_all(prg, g, in_bits, 0, s0s[0], cws))
+    got = np.asarray(eval_all_pallas.eval_all(
+        prg, g, in_bits, 0, s0s[0], cws, interpret=True))
+    assert np.array_equal(got, ref)
