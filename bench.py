@@ -222,7 +222,8 @@ def _bench_registry():
     cwsg = jax.jit(lambda s: _gr.gen(
         prg2, groups.Bytes(), ib20, s,
         blk.pack_inputs(500, ib20)))(s0s)
-    fgr = jax.jit(lambda s, c: jnp.sum(_gr.eval_all(prg2, ib20, 0, s, c)))
+    fgr = jax.jit(lambda s, c: jnp.sum(
+        _eak.grotto_eval_all(prg2, ib20, 0, s, c)))
     out.append(("grotto_eval_all_20bit",
                 _timeit(fgr, (s0s[0], cwsg), 2**ib20), "items/s/chip"))
 

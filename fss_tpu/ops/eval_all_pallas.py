@@ -128,22 +128,13 @@ def _expand_packed(roots4, cw_table, in_bits: int, nonce, rounds: int = 20,
     )(roots4, cw_table)
 
 
-def eval_all(prg2, group, in_bits: int, party: int, s0: jax.Array,
-             cws: jax.Array, rounds: int = 20,
-             interpret: bool = False) -> jax.Array:
-    """Full-domain DPF evaluation via the hybrid kernel; [2^in_bits, 4].
-
-    ``prg2`` must be the ChaCha PRG whose nonce/rounds drive the kernel
-    (also used for the XLA prefix so the two phases agree). Domains below
-    2^13 use the plain XLA path.
-    """
-    from fss_tpu.schemes import dpf as _dpf
-
-    threshold = MIN_BITS if interpret else KERNEL_WORTHWHILE_BITS
-    if in_bits < threshold:
-        return _dpf.eval_all(prg2, group, in_bits, party, s0, cws)
-
-    k = in_bits - MIN_BITS + 7  # prefix levels -> 2^(k) roots, 128/tile
+def expand_leaves(prg2, in_bits: int, party: int, s0: jax.Array,
+                  cws: jax.Array, rounds: int = 20,
+                  interpret: bool = False):
+    """Hybrid expansion to the leaf layer: (s_leaves [2^n, 4],
+    t_leaves [2^n]) in sequential x order. Shared by DPF EvalAll, Grotto
+    (control bits only) and VDPF EvalAll."""
+    k = in_bits - MIN_BITS + 7  # prefix levels -> 2^k roots, 128/tile
     s = blk.clear_lsb(s0)[None, :]
     t = jnp.full((1,), np.uint32(party), dtype=jnp.uint32)
     for i in range(k):
@@ -162,5 +153,39 @@ def eval_all(prg2, group, in_bits: int, party: int, s0: jax.Array,
     # [4, tiles, p(rows), l(lanes)] -> x = (tile, l, p) sequential order.
     s_leaves = jnp.transpose(so, (1, 3, 2, 0)).reshape(1 << in_bits, 4)
     t_leaves = jnp.transpose(tb, (0, 2, 1)).reshape(1 << in_bits)
+    return s_leaves, t_leaves
+
+
+def eval_all(prg2, group, in_bits: int, party: int, s0: jax.Array,
+             cws: jax.Array, rounds: int = 20,
+             interpret: bool = False) -> jax.Array:
+    """Full-domain DPF evaluation via the hybrid kernel; [2^in_bits, 4].
+
+    ``prg2`` must be the ChaCha PRG whose nonce/rounds drive the kernel
+    (also used for the XLA prefix so the two phases agree). Small domains
+    use the plain XLA path.
+    """
+    from fss_tpu.schemes import dpf as _dpf
+
+    threshold = MIN_BITS if interpret else KERNEL_WORTHWHILE_BITS
+    if in_bits < threshold:
+        return _dpf.eval_all(prg2, group, in_bits, party, s0, cws)
+    s_leaves, t_leaves = expand_leaves(prg2, in_bits, party, s0, cws,
+                                       rounds, interpret)
     return _dpf.finalize_leaves(group, in_bits, party, s_leaves, t_leaves,
                                 cws)
+
+
+def grotto_eval_all(prg2, in_bits: int, party: int, s0: jax.Array,
+                    cws: jax.Array, rounds: int = 20,
+                    interpret: bool = False) -> jax.Array:
+    """Grotto full-domain comparison shares via the hybrid kernel:
+    leaf control bits + prefix-XOR scan (grotto_dcf.cuh:151-163)."""
+    from fss_tpu.schemes import grotto_dcf as _gr
+
+    threshold = MIN_BITS if interpret else KERNEL_WORTHWHILE_BITS
+    if in_bits < threshold:
+        return _gr.eval_all(prg2, in_bits, party, s0, cws)
+    _, t_leaves = expand_leaves(prg2, in_bits, party, s0, cws, rounds,
+                                interpret)
+    return jax.lax.associative_scan(jnp.bitwise_xor, t_leaves)

@@ -88,3 +88,17 @@ def test_eval_all_pallas_multi_tile(rng):
     got = np.asarray(eval_all_pallas.eval_all(
         prg, g, in_bits, 0, s0s[0], cws, interpret=True))
     assert np.array_equal(got, ref)
+
+
+def test_grotto_eval_all_pallas(rng):
+    from fss_tpu.ops import eval_all_pallas
+    from fss_tpu.schemes import grotto_dcf as _gr
+    in_bits = 13
+    prg = ChaCha(mul=2, nonce=NONCE)
+    s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+    cws = _gr.gen(prg, groups.Bytes(), in_bits, s0s,
+                  blk.pack_inputs(1234, in_bits))
+    ref = np.asarray(_gr.eval_all(prg, in_bits, 0, s0s[0], cws))
+    got = np.asarray(eval_all_pallas.grotto_eval_all(
+        prg, in_bits, 0, s0s[0], cws, interpret=True))
+    assert np.array_equal(got, ref)
