@@ -218,6 +218,38 @@ def _bench_registry():
                 _timeit(fv, (s0sb[:, 0], vcws, vcs, vocw, xsd), B),
                 "evals/s/chip"))
 
+    # VDPF full-domain with the tree proof fold (ref CPU: 736k items/s).
+    vcws1, vcs1, vocw1, _ = jax.jit(
+        lambda s, a, b: _vdpf.gen(prg2, h3.xor_hash, g, ib20, s, a, b))(
+            s0s, blk.pack_inputs(12345, ib20), beta)
+
+    @jax.jit
+    def fva(s0, cws, cs, ocw):
+        from fss_tpu.ops import eval_all_pallas as _eak2
+        ys, pi = _eak2.vdpf_eval_all_chunked(
+            prg2, h3.xor_hash, h3.hash64, g, ib20, 0, s0, cws, cs, ocw,
+            fold="tree")
+        return jnp.sum(ys[:, 0]) + jnp.sum(pi[:, 0])
+
+    out.append(("vdpf_eval_all_tree_blake3_uint_20bit",
+                _timeit(fva, (jnp.asarray(s0s[0]), vcws1, vcs1, vocw1),
+                        2**ib20, iters=4), "items/s/chip"))
+
+    # Half-Tree full-domain (ref CPU: 10.74 M items/s, its best EvalAll).
+    hcw20, hocw20 = jax.jit(lambda s, b: _ht.gen(
+        prg1, g, ib20, hk, s, blk.pack_inputs(12345, ib20), b))(s0s, beta)
+    hk_t2 = tuple(int(v) for v in hk_np)
+
+    @jax.jit
+    def fha(s0, cws, ocw):
+        from fss_tpu.ops import eval_all_pallas as _eak3
+        return jnp.sum(_eak3.ht_eval_all(prg1, g, ib20, 0, hk_t2, s0,
+                                         cws, ocw)[:, 0])
+
+    out.append(("half_tree_eval_all_chacha_uint_20bit",
+                _timeit(fha, (jnp.asarray(s0s[0]), hcw20, hocw20),
+                        2**ib20), "items/s/chip"))
+
     # Grotto full-domain (preprocess+eval_all shape).
     cwsg = jax.jit(lambda s: _gr.gen(
         prg2, groups.Bytes(), ib20, s,

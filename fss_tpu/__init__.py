@@ -13,12 +13,13 @@ import jax as _jax
 
 # Persistent XLA compile cache, mirroring the reference's per-parameter-set
 # JIT cache design (fss_crypto/_jit.py:198-253 caches generated extensions
-# under ~/.cache/fss_crypto). Specialized crypto kernels are large unrolled
-# elementwise programs; caching makes every config a one-time compile cost.
-if not _os.environ.get("FSS_TPU_NO_COMPILE_CACHE"):
-    _cache_dir = _os.environ.get(
-        "FSS_TPU_COMPILE_CACHE",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "fss_tpu", "xla"))
+# under ~/.cache/fss_crypto). OPT-IN via FSS_TPU_COMPILE_CACHE=<dir>: on
+# hosts where compiles are served by a remote compile service (TPU
+# tunnels), cached CPU executables can carry the *remote* machine's CPU
+# features and SIGILL when loaded locally — so nothing is cached unless
+# the user asks. Never overrides a cache dir configured elsewhere.
+_cache_dir = _os.environ.get("FSS_TPU_COMPILE_CACHE")
+if _cache_dir and _jax.config.jax_compilation_cache_dir is None:
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

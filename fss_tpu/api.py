@@ -308,7 +308,20 @@ class Vdpf:
     def verify(pi0, pi1) -> bool:
         return bool(_vdpf.verify(jnp.asarray(pi0), jnp.asarray(pi1)))
 
-    def eval_all(self, party: int, s0, cws, cs, ocw):
+    def eval_all(self, party: int, s0, cws, cs, ocw,
+                 fold: str = "reference"):
+        """``fold``: "reference" keeps the reference's flat sequential
+        proof chain (byte-compatible, O(2^n) dependent hashes); "tree"
+        (log-depth Merkle fold) and "chunked" (two-level chain) are the
+        documented batched variants running the hybrid tree kernel on
+        TPU — both parties must pick the same fold."""
+        if fold in ("tree", "chunked"):
+            from fss_tpu.ops import eval_all_pallas
+            return eval_all_pallas.vdpf_eval_all_chunked(
+                self.prg, self.xor_hash, self.hash64, self.group,
+                self.in_bits, int(party), jnp.asarray(s0),
+                jnp.asarray(cws), jnp.asarray(cs), jnp.asarray(ocw),
+                rounds=getattr(self.prg, "rounds", 20), fold=fold)
         return _vdpf_eval_all(self.prg, self.xor_hash, self.hash64,
                               self.group, self.in_bits, int(party), s0, cws,
                               cs, ocw)
@@ -427,6 +440,14 @@ class HalfTreeDpf:
                         self.hash_key, s0, cws, ocw, x)
 
     def eval_all(self, party: int, s0, cws, ocw):
+        if _use_tpu_kernels() and isinstance(self.prg, ChaCha):
+            from fss_tpu.ops import eval_all_pallas
+            if self.in_bits >= eval_all_pallas.KERNEL_WORTHWHILE_BITS:
+                return eval_all_pallas.ht_eval_all(
+                    self.prg, self.group, self.in_bits, int(party),
+                    np.asarray(self.hash_key), jnp.asarray(s0),
+                    jnp.asarray(cws), jnp.asarray(ocw),
+                    rounds=self.prg.rounds)
         return _ht_eval_all(self.prg, self.group, self.in_bits, int(party),
                             self.hash_key, s0, cws, ocw)
 

@@ -176,6 +176,21 @@ class NativeEngine:
             ys_p)
         return ys
 
+    def prp_permu_batch(self, sigma: bytes, domain: int,
+                        xs) -> np.ndarray:
+        """Batched Feistel PRP (prp/aes128_feistel.cuh semantics).
+        Requires AES-NI."""
+        assert self.has_aesni
+        sig, sig_p = self._u8(sigma)
+        lo = np.ascontiguousarray(xs, dtype=np.uint64)
+        _, lo_p = self._u64(lo)
+        n = len(lo)
+        ys = np.zeros(n, dtype=np.uint64)
+        _, ys_p = self._u64(ys)
+        self._lib.fss_prp_permu_batch(sig_p, ctypes.c_uint64(domain),
+                                      lo_p, ctypes.c_int64(n), ys_p)
+        return ys
+
     def dpf_eval_all(self, in_bits: int, prg_kind: int, group_kind: int,
                      group_bits: int, party: int, s0, cws, nonce=None,
                      aes_keys=None, rounds: int = 20) -> np.ndarray:

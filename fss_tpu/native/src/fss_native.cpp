@@ -500,4 +500,58 @@ void fss_dpf_eval_all(int in_bits, int prg_kind, const uint32_t nonce[2],
                reinterpret_cast<Block *>(ys));
 }
 
+// Small-domain Feistel PRP (prp/aes128_feistel.cuh semantics): 4-round
+// balanced Feistel with AES-128 round PRF (round index XORed into key
+// byte 0) + cycle-walking. Batch API for permutation-table precompute.
+void fss_prp_permu_batch(const uint8_t sigma[16], uint64_t domain,
+                         const uint64_t *xs, int64_t n, uint64_t *ys) {
+#if FSS_HAVE_AESNI
+  int b = 0;
+  {
+    uint64_t v = domain - 1;
+    while (v > 0) {
+      v >>= 1;
+      ++b;
+    }
+  }
+  int half = (b + 1) / 2;
+  uint64_t mask = (half >= 64) ? ~0ull : ((1ull << half) - 1);
+
+  AesKeySchedule ks[4];
+  for (int r = 0; r < 4; ++r) {
+    uint8_t kb[16];
+    std::memcpy(kb, sigma, 16);
+    kb[0] ^= (uint8_t)r;
+    aes128_expand(kb, ks[r]);
+  }
+
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t val = xs[i];
+    do {
+      uint64_t left = (val >> half) & mask;
+      uint64_t right = val & mask;
+      for (int r = 0; r < 4; ++r) {
+        alignas(16) uint64_t block[2] = {right, 0};
+        __m128i e = aes128_encrypt(
+            ks[r], _mm_load_si128(reinterpret_cast<__m128i *>(block)));
+        _mm_store_si128(reinterpret_cast<__m128i *>(block), e);
+        uint64_t f = block[0] & mask;
+        left ^= f;
+        uint64_t tmp = left;
+        left = right;
+        right = tmp;
+      }
+      val = (left << half) | right;
+    } while (val >= domain);
+    ys[i] = val;
+  }
+#else
+  (void)sigma;
+  (void)domain;
+  (void)xs;
+  (void)n;
+  (void)ys;
+#endif
+}
+
 }  // extern "C"

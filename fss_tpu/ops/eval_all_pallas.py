@@ -38,6 +38,13 @@ from fss_tpu.schemes import _tree
 
 LANES = 128
 KERNEL_LEVELS = 6
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
 ROWS = 1 << KERNEL_LEVELS  # 64 leaf rows per tile
 MIN_BITS = 7 + KERNEL_LEVELS  # structural floor for the kernel path
 # Below this the XLA prefix dominates and plain breadth-first XLA wins.
@@ -128,6 +135,133 @@ def _expand_packed(roots4, cw_table, in_bits: int, nonce, rounds: int = 20,
     )(roots4, cw_table)
 
 
+def _make_ht_kernel(nonce, rounds: int, hash_key, unroll: bool = True):
+    """Half-Tree expansion + last-level conversion
+    (half_tree_dpf.cuh:241-349): 5 interleaved doublings with
+    right = left ^ parent, then one conversion level emitting the
+    corrected (high, low) leaf pair — 2 leaves per node, row-interleaved.
+    Nodes carry t in the clamped bit throughout."""
+    hk = tuple(np.uint32(int(k) & 0xFFFFFFFF) for k in hash_key)
+
+    def kernel(r_ref, c_ref, ho_ref, lo_ref):
+        n0 = r_ref[0, 0]
+        n1 = r_ref[1, 0]
+        n2 = r_ref[2, 0]
+        n3 = r_ref[3, 0]
+
+        for lvl in range(KERNEL_LEVELS - 1):
+            t = n3 & ONE
+            (h0, h1, h2, h3), = chacha_block(
+                n0 ^ hk[0], n1 ^ hk[1], n2 ^ hk[2], n3 ^ hk[3],
+                nonce, 1, rounds, unroll=unroll)
+            tm = jnp.where(t.astype(jnp.bool_), FULL, np.uint32(0))
+            l0 = h0 ^ (c_ref[lvl, 0] & tm)
+            l1 = h1 ^ (c_ref[lvl, 1] & tm)
+            l2 = h2 ^ (c_ref[lvl, 2] & tm)
+            l3 = h3 ^ (c_ref[lvl, 3] & tm)
+            q0 = l0 ^ n0
+            q1 = l1 ^ n1
+            q2 = l2 ^ n2
+            q3 = l3 ^ n3
+            m = n0.shape[0]
+            n0 = jnp.stack([l0, q0], axis=1).reshape(2 * m, LANES)
+            n1 = jnp.stack([l1, q1], axis=1).reshape(2 * m, LANES)
+            n2 = jnp.stack([l2, q2], axis=1).reshape(2 * m, LANES)
+            n3 = jnp.stack([l3, q3], axis=1).reshape(2 * m, LANES)
+
+        # Conversion level (half_tree_dpf.cuh:320-349).
+        t = n3 & ONE
+        tm = jnp.where(t.astype(jnp.bool_), FULL, np.uint32(0))
+        hcw0 = c_ref[KERNEL_LEVELS - 1, 0]
+        hcw1 = c_ref[KERNEL_LEVELS - 1, 1]
+        hcw2 = c_ref[KERNEL_LEVELS - 1, 2]
+        hcw3r = c_ref[KERNEL_LEVELS - 1, 3]
+        lcw_0 = hcw3r & ONE
+        hcw3 = hcw3r & NOTONE
+        lcw_1 = c_ref[KERNEL_LEVELS - 1, 4] & ONE
+        outs = []
+        for sigma, lcw in ((0, lcw_0), (1, lcw_1)):
+            n3s = (n3 & NOTONE) | np.uint32(sigma)
+            (h0, h1, h2, h3), = chacha_block(
+                n0 ^ hk[0], n1 ^ hk[1], n2 ^ hk[2], n3s ^ hk[3],
+                nonce, 1, rounds, unroll=unroll)
+            low = (h3 & ONE) ^ (t & lcw)
+            outs.append(((h0 ^ (hcw0 & tm), h1 ^ (hcw1 & tm),
+                          h2 ^ (hcw2 & tm),
+                          (h3 & NOTONE) ^ (hcw3 & tm)), low))
+        (a, la), (b, lb) = outs
+        m = n0.shape[0]
+        for i in range(4):
+            ho_ref[i, 0] = jnp.stack([a[i], b[i]], axis=1).reshape(
+                2 * m, LANES)
+        lo_ref[0] = jnp.stack([la, lb], axis=1).reshape(2 * m, LANES)
+
+    return kernel
+
+
+def ht_eval_all(prg1, group, in_bits: int, party: int, hash_key,
+                s0: jax.Array, cws: jax.Array, ocw: jax.Array,
+                rounds: int = 20, interpret: bool = False) -> jax.Array:
+    """Half-Tree full-domain evaluation via the hybrid kernel."""
+    from fss_tpu.schemes import half_tree_dpf as _ht
+
+    threshold = MIN_BITS if interpret else KERNEL_WORTHWHILE_BITS
+    if in_bits < threshold or (not interpret and not _on_tpu()):
+        return _ht.eval_all(prg1, group, in_bits, party,
+                            jnp.asarray(hash_key, dtype=jnp.uint32), s0,
+                            cws, ocw)
+
+    hk = jnp.asarray(hash_key, dtype=jnp.uint32)
+    k = in_bits - MIN_BITS + 7
+    node = blk.set_lsb(s0, np.uint32(party))[None, :]
+    for i in range(k):
+        t = blk.get_lsb(node)
+        h = prg1(jnp.bitwise_xor(hk, node))[0]
+        left = blk.masked_xor(t, h, cws[i, 0:4])
+        right = jnp.bitwise_xor(left, node)
+        m = node.shape[0]
+        node = jnp.stack([left, right], axis=1).reshape(2 * m, 4)
+
+    ntiles = (1 << k) // LANES
+    roots4 = jnp.transpose(node, (1, 0)).reshape(4, ntiles, 1, LANES)
+    cw_table = cws[k:in_bits, :].astype(jnp.uint32)
+    nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in prg1.nonce)
+    hk_t = tuple(int(v) for v in np.asarray(hash_key, dtype=np.uint32))
+    kern = _make_ht_kernel(nonce, rounds, hk_t, unroll=not interpret)
+    ho, lo = pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((4, 1, 1, LANES), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KERNEL_LEVELS, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, 1, ROWS, LANES), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROWS, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, ntiles, ROWS, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((ntiles, ROWS, LANES), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(roots4, cw_table)
+
+    high = jnp.transpose(ho, (1, 3, 2, 0)).reshape(1 << in_bits, 4)
+    low = jnp.transpose(lo, (0, 2, 1)).reshape(1 << in_bits)
+    y = group.from_block(high)
+    oc = group.from_block(jnp.broadcast_to(jnp.asarray(ocw), high.shape))
+    y = jnp.where(low.astype(jnp.bool_)[:, None], group.add(y, oc), y)
+    if party:
+        y = group.neg(y)
+    return group.into_block(y)
+
+
 def expand_leaves(prg2, in_bits: int, party: int, s0: jax.Array,
                   cws: jax.Array, rounds: int = 20,
                   interpret: bool = False):
@@ -168,12 +302,91 @@ def eval_all(prg2, group, in_bits: int, party: int, s0: jax.Array,
     from fss_tpu.schemes import dpf as _dpf
 
     threshold = MIN_BITS if interpret else KERNEL_WORTHWHILE_BITS
-    if in_bits < threshold:
+    if in_bits < threshold or (not interpret and not _on_tpu()):
         return _dpf.eval_all(prg2, group, in_bits, party, s0, cws)
     s_leaves, t_leaves = expand_leaves(prg2, in_bits, party, s0, cws,
                                        rounds, interpret)
     return _dpf.finalize_leaves(group, in_bits, party, s_leaves, t_leaves,
                                 cws)
+
+
+def vdpf_eval_all_chunked(prg2, xor_hash, hash64, group, in_bits: int,
+                          party: int, s0: jax.Array, cws: jax.Array,
+                          cs: jax.Array, ocw: jax.Array, rounds: int = 20,
+                          chunk: int = 256, interpret: bool = False,
+                          fold: str = "tree"):
+    """VDPF full-domain evaluation with a batched proof fold:
+    hybrid-kernel tree expansion, batched output conversion and per-point
+    hashes, then ``fold`` = "tree" (log-depth Merkle fold, default) or
+    "chunked" (two-level chain), both documented variants in
+    schemes.vdpf. Returns (ys [2^n, 4], pi [4, 4]); both parties must use
+    the same path.
+    """
+    from fss_tpu.schemes import vdpf as _vdpf
+
+    n = 1 << in_bits
+    threshold = MIN_BITS if interpret else KERNEL_WORTHWHILE_BITS
+    if in_bits >= threshold and (interpret or _on_tpu()):
+        s_leaves, t_leaves = expand_leaves(prg2, in_bits, party, s0,
+                                           cws[:in_bits], rounds,
+                                           interpret)
+    else:
+        s = blk.clear_lsb(s0)[None, :]
+        t = jnp.full((1,), np.uint32(party), dtype=jnp.uint32)
+        for i in range(in_bits):
+            s_cw, tl_cw, tr_cw = _tree.unpack_cw_row(cws[i])
+            s, t = _tree.expand_level(prg2, s, t, s_cw, tl_cw, tr_cw)
+        s_leaves, t_leaves = s, t
+
+    y = group.from_block(s_leaves)
+    y = jnp.where(t_leaves.astype(jnp.bool_)[:, None],
+                  group.add(y, jnp.broadcast_to(group.from_block(ocw),
+                                                y.shape)), y)
+    if party:
+        y = group.neg(y)
+    ys = group.into_block(y)
+
+    xs = jnp.arange(n, dtype=jnp.uint32)
+    x_lanes = blk.pack_inputs(xs, min(in_bits, 32))
+
+    # BLAKE3 hashes route through the fused Pallas hash kernels; other
+    # hash configs (e.g. SHA-256) use their jnp implementations.
+    iv = _blake3_iv_of(xor_hash)
+    if iv is not None and not interpret and _on_tpu():
+        from fss_tpu.ops import blake3_pallas as _b3
+        pts = _b3.xor_hash_batch(
+            x_lanes, s_leaves, iv)
+        hash64_fast = lambda m: _b3.hash64_batch(m, iv)
+    else:
+        pts = xor_hash(x_lanes, s_leaves)
+        hash64_fast = None
+    pts = jnp.where(t_leaves.astype(jnp.bool_)[:, None, None],
+                    jnp.bitwise_xor(pts, cs), pts)
+    if fold == "tree":
+        if hash64_fast is not None:
+            pi = _prove_tree_batched(hash64_fast, pts, cs)
+        else:
+            pi = _vdpf.prove_tree(hash64, pts, cs)
+    else:
+        pi = _vdpf.prove_chunked(hash64, pts, cs, chunk=min(chunk, n))
+    return ys, pi
+
+
+def _blake3_iv_of(fn):
+    from fss_tpu.hash.blake3 import Blake3
+    obj = getattr(fn, "__self__", None)
+    if isinstance(obj, Blake3):
+        return tuple(int(w) for w in obj.iv)
+    return None
+
+
+def _prove_tree_batched(hash64_batch_fn, pts, cs):
+    """schemes.vdpf.prove_tree with a batched (kernel) hash64: identical
+    structure and bytes, every level one kernel call."""
+    h = hash64_batch_fn(pts)  # [N, 2, 4]
+    while h.shape[0] > 1:
+        h = hash64_batch_fn(h.reshape(h.shape[0] // 2, 4, 4))
+    return jnp.concatenate([h[0], cs[2:4]], axis=0)
 
 
 def grotto_eval_all(prg2, in_bits: int, party: int, s0: jax.Array,
@@ -184,7 +397,7 @@ def grotto_eval_all(prg2, in_bits: int, party: int, s0: jax.Array,
     from fss_tpu.schemes import grotto_dcf as _gr
 
     threshold = MIN_BITS if interpret else KERNEL_WORTHWHILE_BITS
-    if in_bits < threshold:
+    if in_bits < threshold or (not interpret and not _on_tpu()):
         return _gr.eval_all(prg2, in_bits, party, s0, cws)
     _, t_leaves = expand_leaves(prg2, in_bits, party, s0, cws, rounds,
                                 interpret)

@@ -297,3 +297,31 @@ def make_mesh(n_devices: int | None = None,
         n_devices = len(devs)
     shape = (n_devices,) + (1,) * (len(axis_names) - 1)
     return Mesh(np.array(devs[:n_devices]).reshape(shape), axis_names)
+
+
+def make_multihost_mesh(axis_names=("data", "domain"),
+                        data_axis_hosts: bool = True) -> Mesh:
+    """Mesh for a multi-host slice (run under ``jax.distributed``).
+
+    Lays the host (DCN) dimension on the FIRST axis and keeps the
+    intra-host (ICI) chips on the remaining axes, so that the high-traffic
+    collectives of the domain axis (all_gathers of subtree leaves, proof
+    merges) ride ICI while only the embarrassingly-parallel data axis
+    crosses DCN — the layout BASELINE's >=85% linear multi-host scaling
+    target assumes. Example on 4 hosts x 8 chips:
+    ``Mesh((4, 8), ("data", "domain"))``.
+
+    Call ``jax.distributed.initialize()`` on every host first; all hosts
+    must call this identically (jax.devices() is globally consistent).
+    """
+    import jax.experimental.mesh_utils as mesh_utils
+
+    n_hosts = jax.process_count()
+    per_host = len(jax.local_devices())
+    if len(axis_names) == 1:
+        shape = (n_hosts * per_host,)
+    else:
+        shape = (n_hosts, per_host) + (1,) * (len(axis_names) - 2)
+    devs = mesh_utils.create_device_mesh(shape) if data_axis_hosts else \
+        np.array(jax.devices()).reshape(shape)
+    return Mesh(devs, axis_names)

@@ -131,6 +131,39 @@ class Aes128Feistel:
         hi, lo = jax.lax.while_loop(cond, body, (hi, lo))
         return hi, lo
 
+    # -- precomputed permutation table --------------------------------------
+
+    TABLE_MAX_DOMAIN = 1 << 22
+
+    def permutation_table(self) -> np.ndarray:
+        """The full [domain] uint32 permutation, computed once per key.
+
+        The PRP is public (sigma is key material both parties hold), so
+        for small domains the whole bijection can be tabulated — after
+        which every Locate is ONE table gather instead of 4 AES rounds of
+        table gathers (vdmpf routing's hot path on TPU). Uses the native
+        AES-NI engine when present; cached on the instance.
+        """
+        assert self.domain <= self.TABLE_MAX_DOMAIN, "table too large"
+        cached = getattr(self, "_table", None)
+        if cached is not None:
+            return cached
+        xs = np.arange(self.domain, dtype=np.uint64)
+        table = None
+        try:
+            from fss_tpu import native
+            eng = native.engine()
+            if eng.has_aesni:
+                table = eng.prp_permu_batch(self.sigma, self.domain,
+                                            xs).astype(np.uint32)
+        except Exception:
+            table = None
+        if table is None:  # pure-Python fallback (slow; small domains)
+            table = np.array([self.permu_host(int(x)) for x in xs],
+                             dtype=np.uint32)
+        object.__setattr__(self, "_table", table)
+        return table
+
     # -- host oracle (used by Cuckoo insertion and tests) --------------------
 
     def permu_host(self, x: int) -> int:

@@ -14,13 +14,15 @@ runtime m_rt / b_size_rt + stacked bucket keys {cws [m, bucket_bits, 8],
 cs [m, 4, 4], ocw [m, 4], s0 [m, 4]}.
 
 Proof-fold note: the reference folds per-bucket chains then a cross-bucket
-chain (vdmpf.cuh:242-268), an order tied to its sequential routing. This
-implementation uses the framework's documented fold: one chain over the m
-bucket check-seeds in bucket order, then one chain over the eta*kappa
-corrected per-point hashes in flat (omega-major, hash-fn-minor) order with
-duplicate entries skipped. Both parties compute the identical order from
-public data (sigma, xs), which is what Verify requires; proofs are NOT
-byte-compatible with the reference's accumulation order.
+chain (vdmpf.cuh:242-268), an order tied to its sequential routing and
+inherently serial in eta*kappa. This implementation uses the framework's
+documented fold: a Merkle-style tree over [bucket check-seeds ||
+corrected per-point hashes in flat (omega-major, hash-fn-minor) order],
+with duplicate entries replaced by the public zero leaf and the list
+zero-padded to a power of two — log-depth, every level one batched hash
+(schemes.vdpf.prove_tree's structure). Both parties compute the identical
+tree from public data (sigma, xs), which is what Verify requires; proofs
+are NOT byte-compatible with the reference's accumulation order.
 """
 
 from __future__ import annotations
@@ -124,7 +126,13 @@ def route(key: VdmpfKey, in_bits: int, xs, kappa: int = KAPPA):
     prp = Aes128Feistel(key.sigma, n * kappa)
     vals = jnp.stack([xs + np.uint32(n * k) for k in range(kappa)],
                      axis=-1)  # [eta, kappa]
-    _, y = prp.permu(vals)  # hi is all-zero for this domain size
+    if n * kappa <= Aes128Feistel.TABLE_MAX_DOMAIN:
+        # Public permutation tabulated once per key (host AES-NI): each
+        # Locate becomes one gather instead of 4 AES rounds of gathers.
+        table = jnp.asarray(prp.permutation_table())
+        y = table[vals]
+    else:
+        _, y = prp.permu(vals)  # hi is all-zero for this domain size
     b_rt = np.uint32(key.b_size_rt)
     bucket = y // b_rt
     index = y % b_rt
@@ -148,15 +156,34 @@ def batch_eval(prg2, xor_hash, hash64, group, in_bits: int,
     bucket, index, dup = route(key, in_bits, xs, kappa)
     eta = bucket.shape[0]
 
-    # Gather per-entry inner keys and evaluate all eta*kappa entries at once.
+    # Gather per-entry inner keys and evaluate all eta*kappa entries at
+    # once. The "gather" is a one-hot matmul on the MXU: element gathers
+    # are serial on TPU, but selecting rows from the m (~53) bucket keys
+    # is an [E, m] x [m, D] contraction — exact in f32 via 16-bit halves.
     bflat = bucket.reshape(-1).astype(jnp.int32)     # [E]
     jflat = index.reshape(-1).astype(jnp.uint32)     # [E]
-    s0_e = key.s0[bflat]
-    cws_e = key.cws[bflat]
-    cs_e = key.cs[bflat]
-    ocw_e = key.ocw[bflat]
-    ys_e, pt_e = _vdpf.eval_points(prg2, xor_hash, group, bucket_bits,
-                                   party, s0_e, cws_e, cs_e, ocw_e, jflat)
+    m = key.s0.shape[0]
+    onehot = (bflat[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)
+
+    def take_rows(table):
+        d = table.reshape(m, -1)
+        lo = (d & np.uint32(0xFFFF)).astype(jnp.float32)
+        hi = (d >> np.uint32(16)).astype(jnp.float32)
+        lo_e = jnp.dot(onehot, lo,
+                       preferred_element_type=jnp.float32)
+        hi_e = jnp.dot(onehot, hi,
+                       preferred_element_type=jnp.float32)
+        out = (hi_e.astype(jnp.uint32) << np.uint32(16)) | \
+            lo_e.astype(jnp.uint32)
+        return out.reshape((bflat.shape[0],) + table.shape[1:])
+
+    s0_e = take_rows(key.s0)
+    cws_e = take_rows(key.cws)
+    cs_e = take_rows(key.cs)
+    ocw_e = take_rows(key.ocw)
+    ys_e, pt_e = _inner_eval(prg2, xor_hash, group, bucket_bits, party,
+                             s0_e, cws_e, cs_e, ocw_e, jflat)
 
     # Output shares: group-fold the kappa contributions per point, masking
     # duplicates (group add is commutative, so fold order is free).
@@ -169,23 +196,60 @@ def batch_eval(prg2, xor_hash, hash64, group, in_bits: int,
         acc = group.add(acc, yv[:, k])
     ys = group.into_block(acc)
 
-    # Proof: chain over bucket check-seeds, then over per-point hashes in
-    # flat order, skipping duplicates (see module docstring).
-    def cs_step(pi, cs_i):
-        h = hash64(jnp.bitwise_xor(pi, cs_i))
-        return pi.at[0:2].set(jnp.bitwise_xor(pi[0:2], h)), None
-
-    pi0 = jnp.zeros((4, 4), dtype=jnp.uint32)
-    pi, _ = jax.lax.scan(cs_step, pi0, key.cs)
-
-    def pt_step(pi, inp):
-        pt, is_dup = inp
-        h = hash64(jnp.bitwise_xor(pi, pt))
-        pi_new = pi.at[0:2].set(jnp.bitwise_xor(pi[0:2], h))
-        return jnp.where(is_dup, pi, pi_new), None
-
-    pi, _ = jax.lax.scan(pt_step, pi, (pt_e, dupflat))
+    # Proof: Merkle-style tree fold over [bucket check-seeds || corrected
+    # per-point hashes], duplicates replaced by the public zero leaf and
+    # the leaf list zero-padded to a power of two (see module docstring).
+    # Log-depth with every level one batched hash — the flat chain would
+    # serialize eta*kappa dependent hashes.
+    pt_masked = jnp.where(dupflat[:, None, None],
+                          jnp.zeros_like(pt_e), pt_e)
+    leaves = jnp.concatenate([key.cs, pt_masked], axis=0)
+    total = leaves.shape[0]
+    size = 1 << max(1, (total - 1).bit_length())
+    leaves = jnp.pad(leaves, ((0, size - total), (0, 0), (0, 0)))
+    hash64_b = _batched_hash64(hash64)
+    h = hash64_b(leaves)  # [size, 2, 4]
+    while h.shape[0] > 1:
+        h = hash64_b(h.reshape(h.shape[0] // 2, 4, 4))
+    pi = jnp.concatenate([h[0], jnp.zeros((2, 4), dtype=jnp.uint32)],
+                         axis=0)
     return ys, pi
+
+
+def _batched_hash64(hash64):
+    """Route H' through the fused BLAKE3 kernel on TPU when available."""
+    from fss_tpu.hash.blake3 import Blake3
+
+    obj = getattr(hash64, "__self__", None)
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    if on_tpu and isinstance(obj, Blake3):
+        from fss_tpu.ops import blake3_pallas as _b3
+        iv = tuple(int(w) for w in obj.iv)
+        return lambda m: _b3.hash64_batch(m, iv)
+    return hash64
+
+
+def _inner_eval(prg2, xor_hash, group, bucket_bits, party, s0_e, cws_e,
+                cs_e, ocw_e, jflat):
+    """Per-entry inner VDPF evals; fused Pallas kernel on TPU for the
+    ChaCha PRG (the hot loop of BatchEval, vdmpf.cuh:242-261)."""
+    from fss_tpu.prg.chacha import ChaCha
+
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    prg_obj = getattr(prg2, "__self__", prg2)
+    if on_tpu and isinstance(prg_obj, ChaCha):
+        from fss_tpu.ops import vdpf_pallas
+        return vdpf_pallas.eval_points(
+            prg_obj.nonce, xor_hash, group, bucket_bits, party, s0_e,
+            cws_e, cs_e, ocw_e, jflat, rounds=prg_obj.rounds)
+    return _vdpf.eval_points(prg2, xor_hash, group, bucket_bits, party,
+                             s0_e, cws_e, cs_e, ocw_e, jflat)
 
 
 def verify(pi0: jax.Array, pi1: jax.Array) -> jax.Array:

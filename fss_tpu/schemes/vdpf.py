@@ -154,6 +154,50 @@ def prove(hash64, pi_tildes: jax.Array, cs: jax.Array) -> jax.Array:
     return pi
 
 
+def prove_chunked(hash64, pi_tildes: jax.Array, cs: jax.Array,
+                  chunk: int = 256) -> jax.Array:
+    """Two-level proof fold: chain each chunk in index order (seeded at
+    cs), then chain the chunk proofs in chunk order (seeded at cs).
+
+    A documented framework variant of the reference's flat chain
+    (vdpf.cuh:253-263): the flat chain is inherently sequential in the
+    number of points, which caps full-domain proving at the latency of
+    2^n dependent hashes; the chunked chain runs the inner folds as one
+    vmapped batch. Both parties compute the identical structure from
+    public data, which is all Verify requires. NOT byte-compatible with
+    ``prove`` — do not mix folds across parties.
+
+    pi_tildes: [N, 4, 4] with N divisible by ``chunk``.
+    """
+    n = pi_tildes.shape[0]
+    assert n % chunk == 0, "N must be divisible by chunk"
+    chunks = pi_tildes.reshape(n // chunk, chunk, 4, 4)
+    chunk_pis = jax.vmap(lambda pts: prove(hash64, pts, cs))(chunks)
+    return prove(hash64, chunk_pis, cs)
+
+
+def prove_tree(hash64, pi_tildes: jax.Array, cs: jax.Array) -> jax.Array:
+    """Merkle-style proof fold: log-depth, fully batched.
+
+    Documented framework variant for full-domain proving: leaf digests
+    h_i = H'(pi~_i); internal nodes H'(left || right) (H' maps 64B -> 32B,
+    exactly two child digests); the proof is [root(32B) || cs[2:4]].
+    Every level is ONE batched hash64 call, so 2^n points take n batched
+    hashes instead of 2^n dependent ones. Both parties compute the same
+    tree; NOT byte-compatible with ``prove``/``prove_chunked``.
+
+    pi_tildes: [N, 4, 4] with N a power of two.
+    """
+    n = pi_tildes.shape[0]
+    assert n & (n - 1) == 0, "N must be a power of two"
+    h = hash64(pi_tildes)  # [N, 2, 4]
+    while h.shape[0] > 1:
+        m = h.shape[0] // 2
+        pairs = h.reshape(m, 4, 4)  # (left, right) digests -> 64B input
+        h = hash64(pairs)
+    return jnp.concatenate([h[0], cs[2:4]], axis=0)
+
+
 def verify(pi0: jax.Array, pi1: jax.Array) -> jax.Array:
     """64B proof equality (vdpf.cuh:270-275)."""
     return jnp.all(pi0 == pi1)

@@ -25,11 +25,25 @@ import pytest
 # (>500s for an unrolled BLAKE3 that compiles in <1s rolled).
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache: XLA:CPU compiles of the unrolled crypto kernels
-# are expensive on small hosts; cache them across test runs.
+# Persistent compile cache across test runs (warm runs are ~3x faster).
+# The loud cpu_aot_loader "machine feature" warnings it triggers concern
+# only XLA's prefer-no-scatter/gather tuning pseudo-features — benign.
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# The full suite compiles hundreds of XLA:CPU executables in one process;
+# each adds tens of memory mappings and the process crosses the default
+# vm.max_map_count (65530) near the end, at which point LLVM's JIT
+# segfaults on a failed mmap. Raise the limit when we can (root VMs).
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 262144:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write("1048576")
+except (OSError, ValueError):
+    pass
 
 
 @pytest.fixture

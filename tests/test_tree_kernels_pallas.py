@@ -103,3 +103,42 @@ def test_vdpf_pallas_matches_reference(rng):
             ocw, xs, block_rows=8, interpret=True)
         assert np.array_equal(np.asarray(y_got), np.asarray(y_ref))
         assert np.array_equal(np.asarray(p_got), np.asarray(p_ref))
+
+
+def test_blake3_kernels_match_jnp(rng):
+    from fss_tpu.hash.blake3 import Blake3
+    from fss_tpu.ops import blake3_pallas as b3k
+
+    iv = tuple(int(v) for v in rng.integers(0, 2**32, size=8))
+    h = Blake3(iv)
+    a = rng.integers(0, 2**32, size=(300, 4), dtype=np.uint32)
+    b = rng.integers(0, 2**32, size=(300, 4), dtype=np.uint32)
+    assert np.array_equal(
+        np.asarray(b3k.xor_hash_batch(a, b, iv, block_rows=8,
+                                      interpret=True)),
+        np.asarray(h.xor_hash(a, b)))
+    msg = rng.integers(0, 2**32, size=(300, 4, 4), dtype=np.uint32)
+    assert np.array_equal(
+        np.asarray(b3k.hash64_batch(msg, iv, block_rows=8,
+                                    interpret=True)),
+        np.asarray(h.hash64(msg)))
+
+
+def test_ht_eval_all_pallas(rng):
+    from fss_tpu.ops import eval_all_pallas
+    in_bits = 13
+    g = groups.Uint(32)
+    prg = ChaCha(mul=1, nonce=NONCE)
+    hash_key = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    hk = jax.numpy.asarray(hash_key)
+    s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+    beta = blk.block(rng.integers(0, 2**32, size=(4,)))
+    cws, ocw = _ht.gen(prg, g, in_bits, hk, s0s,
+                       blk.pack_inputs(4321, in_bits), beta)
+    for party in (0, 1):
+        ref = np.asarray(_ht.eval_all(prg, g, in_bits, party, hk,
+                                      s0s[party], cws, ocw))
+        got = np.asarray(eval_all_pallas.ht_eval_all(
+            prg, g, in_bits, party, hash_key, s0s[party], cws, ocw,
+            interpret=True))
+        assert np.array_equal(got, ref), f"party {party}"

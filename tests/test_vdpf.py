@@ -131,3 +131,36 @@ def test_gen_fail_flag_shape(rng):
     beta = blk.block(rng.integers(0, 2**32, size=(4,)))
     cws, cs, ocw, fail = d.gen(s0s, 3, beta)
     assert int(fail) in (0, 1)
+
+
+def test_eval_all_chunked_fold(rng):
+    """Chunked-fold eval_all: same shares as the reference fold, proofs
+    agree between parties, tamper detection still works."""
+    g = groups.Bytes()
+    in_bits = 10
+    alpha = 321
+    d, s0s, beta, cws, cs, ocw = _setup(g, rng, in_bits, alpha)
+    ys0, pi0 = d.eval_all(0, s0s[0], cws, cs, ocw, fold="chunked")
+    ys1, pi1 = d.eval_all(1, s0s[1], cws, cs, ocw, fold="chunked")
+    ys_ref, pi_ref = d.eval_all(0, s0s[0], cws, cs, ocw)
+    assert np.array_equal(np.asarray(ys0), np.asarray(ys_ref))
+    assert d.verify(pi0, pi1)
+    # Different fold structure than the reference chain (documented).
+    assert not np.array_equal(np.asarray(pi0), np.asarray(pi_ref))
+    rec = np.asarray(ys0) ^ np.asarray(ys1)
+    assert list(np.nonzero(rec.any(-1))[0]) == [alpha]
+
+
+def test_eval_all_tree_fold(rng):
+    g = groups.Bytes()
+    in_bits = 10
+    alpha = 555
+    d, s0s, beta, cws, cs, ocw = _setup(g, rng, in_bits, alpha)
+    ys0, pi0 = d.eval_all(0, s0s[0], cws, cs, ocw, fold="tree")
+    ys1, pi1 = d.eval_all(1, s0s[1], cws, cs, ocw, fold="tree")
+    assert d.verify(pi0, pi1)
+    rec = np.asarray(ys0) ^ np.asarray(ys1)
+    assert list(np.nonzero(rec.any(-1))[0]) == [alpha]
+    # Tampered share stream changes the tree root.
+    ys_ref, _ = d.eval_all(0, s0s[0], cws, cs, ocw)
+    assert np.array_equal(np.asarray(ys0), np.asarray(ys_ref))
