@@ -180,15 +180,25 @@ class Aes128Mmo:
 
     ``keys`` is a tuple of ``mul`` 16-byte AES keys (bytes). Matches
     Aes128Mmo / Aes128MmoRaw / Aes128Soft in the reference bit-exactly.
+
+    ``backend``: "auto" picks the gather-free bitsliced circuit
+    (prg/aes_bitsliced.py) for batches >= 256 seeds — the only AES form
+    that runs at speed on a TPU — and the T-table form otherwise;
+    "table" / "bitsliced" force a path.
     """
 
     mul: int
     keys: tuple  # mul x bytes(16)
     unroll: bool = False
+    backend: str = "auto"
+
+    BITSLICE_MIN_BATCH = 256
 
     def __post_init__(self):
         if self.mul not in (1, 2, 4):
             raise ValueError(f"mul must be 1, 2, or 4, got {self.mul}")
+        if self.backend not in ("auto", "table", "bitsliced"):
+            raise ValueError(f"unknown backend {self.backend!r}")
         keys = tuple(bytes(k) for k in self.keys)
         if len(keys) != self.mul or any(len(k) != 16 for k in keys):
             raise ValueError(f"need {self.mul} 16-byte keys")
@@ -197,7 +207,7 @@ class Aes128Mmo:
             self, "_round_keys",
             tuple(key_expansion(k) for k in keys))
 
-    def __call__(self, seed: jax.Array):
+    def _call_table(self, seed: jax.Array):
         lanes = blk.to_words(seed)
         # Block bytes -> big-endian state words (lane i byte-swapped).
         ws = tuple(_bswap32(w) for w in lanes)
@@ -207,6 +217,25 @@ class Aes128Mmo:
             out_lanes = tuple(_bswap32(x) for x in o)
             outs.append(blk.from_words(*out_lanes) ^ seed)
         return tuple(outs)
+
+    def _call_bitsliced(self, seed: jax.Array):
+        from fss_tpu.prg import aes_bitsliced as bs
+
+        shape = seed.shape
+        flat = seed.reshape(-1, 4)
+        outs = []
+        for key in self.keys:
+            enc = bs.aes128_encrypt_blocks(key, flat)
+            outs.append((enc ^ flat).reshape(shape))
+        return tuple(outs)
+
+    def __call__(self, seed: jax.Array):
+        seed = jnp.asarray(seed, dtype=jnp.uint32)
+        n = int(np.prod(seed.shape[:-1])) if seed.ndim > 1 else 1
+        if self.backend == "bitsliced" or (
+                self.backend == "auto" and n >= self.BITSLICE_MIN_BATCH):
+            return self._call_bitsliced(seed)
+        return self._call_table(seed)
 
 
 def aes128_encrypt_reference(key16: bytes, block16: bytes) -> bytes:

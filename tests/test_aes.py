@@ -75,3 +75,24 @@ def test_dcf_with_aes_prg(rng):
     rec = np.asarray(g.add(g.from_block(y0), g.from_block(y1)))
     assert np.all(rec[:alpha, 0] == 604) and np.all(rec[:alpha, 1:] == 0)
     assert np.all(rec[alpha:] == 0)
+
+
+def test_bitsliced_backend_matches_table(rng):
+    from fss_tpu.prg.aes_bitsliced import aes128_encrypt_blocks
+    seeds = blk.block(rng.integers(0, 2**32, size=(300, 4)))
+    table = Aes128Mmo(mul=2, keys=(KEY0, KEY1), backend="table")
+    sliced = Aes128Mmo(mul=2, keys=(KEY0, KEY1), backend="bitsliced")
+    ot = table(seeds)
+    ob = sliced(seeds)
+    for lane in range(2):
+        assert np.array_equal(np.asarray(ot[lane]), np.asarray(ob[lane]))
+
+
+def test_bitsliced_fips197():
+    from fss_tpu.prg.aes_bitsliced import aes128_encrypt_blocks
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = np.frombuffer(
+        bytes.fromhex("00112233445566778899aabbccddeeff"), dtype="<u4")
+    out = np.asarray(aes128_encrypt_blocks(key, pt[None, :]))
+    assert out[0].astype("<u4").tobytes() == bytes.fromhex(
+        "69c4e0d86a7b0430d8cdb78070b4c55a")
