@@ -374,6 +374,113 @@ void dpf_eval_all(const Prg &prg, const Group &grp, int in_bits, int party,
   }
 }
 
+// ---------------------------------------------------------------------------
+// DCF (dcf.cuh semantics; value-threaded comparison tree)
+// ---------------------------------------------------------------------------
+
+void dcf_gen(const Prg &prg, const Group &grp, int in_bits, int pred_lt,
+             const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
+             const Block &beta, Block *cws /* (in_bits+1) x 2 blocks */) {
+  Block s0 = set_lsb(s0s[0], 0), s1 = set_lsb(s0s[1], 0);
+  uint32_t t0 = 0, t1 = 1;
+  u128 b_val = grp.from_block(set_lsb(beta, 0));
+  u128 v = 0;
+
+  for (int i = 0; i < in_bits; ++i) {
+    Block o0[4], o1[4];
+    prg.gen(s0, o0);
+    prg.gen(s1, o1);
+    uint32_t t0l = get_lsb(o0[0]), t0r = get_lsb(o0[2]);
+    uint32_t t1l = get_lsb(o1[0]), t1r = get_lsb(o1[2]);
+    Block s0l = set_lsb(o0[0], 0), s0r = set_lsb(o0[2], 0);
+    Block s1l = set_lsb(o1[0], 0), s1r = set_lsb(o1[2], 0);
+    u128 v0l = grp.from_block(set_lsb(o0[1], 0));
+    u128 v0r = grp.from_block(set_lsb(o0[3], 0));
+    u128 v1l = grp.from_block(set_lsb(o1[1], 0));
+    u128 v1r = grp.from_block(set_lsb(o1[3], 0));
+
+    int ab = input_bit(a_lo, a_hi, in_bits, i);
+    Block s_cw = ab ? bxor(s0l, s1l) : bxor(s0r, s1r);
+
+    u128 v1_off = ab ? v1l : v1r;
+    u128 v0_off = ab ? v0l : v0r;
+    u128 v_cw = grp.add(grp.add(grp.neg(v), v1_off), grp.neg(v0_off));
+    int add_b = pred_lt ? ab : !ab;
+    if (add_b) v_cw = grp.add(v_cw, b_val);
+    if (t1) v_cw = grp.neg(v_cw);
+
+    u128 v1_on = ab ? v1r : v1l;
+    u128 v0_on = ab ? v0r : v0l;
+    v = grp.add(grp.add(v, grp.neg(v1_on)), v0_on);
+    v = grp.add(v, t1 ? grp.neg(v_cw) : v_cw);
+
+    uint32_t tl_cw = t0l ^ t1l ^ (uint32_t)ab ^ 1u;
+    uint32_t tr_cw = t0r ^ t1r ^ (uint32_t)ab;
+
+    Block keep0 = ab ? s0r : s0l;
+    Block keep1 = ab ? s1r : s1l;
+    uint32_t tk0 = ab ? t0r : t0l;
+    uint32_t tk1 = ab ? t1r : t1l;
+    uint32_t tcw = ab ? tr_cw : tl_cw;
+
+    s0 = t0 ? bxor(keep0, s_cw) : keep0;
+    s1 = t1 ? bxor(keep1, s_cw) : keep1;
+    t0 = tk0 ^ (t0 & tcw);
+    t1 = tk1 ^ (t1 & tcw);
+
+    cws[2 * i] = set_lsb(s_cw, tl_cw);
+    Block v_row;
+    grp.into_block(v_cw, v_row);
+    cws[2 * i + 1] = set_lsb(v_row, tr_cw);
+  }
+
+  u128 v_last = grp.add(grp.add(grp.from_block(s1),
+                                grp.neg(grp.from_block(s0))),
+                        grp.neg(v));
+  if (t1) v_last = grp.neg(v_last);
+  cws[2 * in_bits].w[0] = cws[2 * in_bits].w[1] = 0;
+  cws[2 * in_bits].w[2] = cws[2 * in_bits].w[3] = 0;
+  grp.into_block(v_last, cws[2 * in_bits + 1]);
+}
+
+void dcf_eval(const Prg &prg, const Group &grp, int in_bits, int party,
+              const Block &seed, const Block *cws, uint64_t x_lo,
+              uint64_t x_hi, Block &y_out) {
+  Block s = set_lsb(seed, 0);
+  uint32_t t = (uint32_t)party;
+  u128 v = 0;
+  for (int i = 0; i < in_bits; ++i) {
+    Block s_cw = set_lsb(cws[2 * i], 0);
+    uint32_t tl_cw = get_lsb(cws[2 * i]);
+    uint32_t tr_cw = get_lsb(cws[2 * i + 1]);
+    u128 v_cw = grp.from_block(set_lsb(cws[2 * i + 1], 0));
+
+    Block o[4];
+    prg.gen(s, o);
+    uint32_t tl = get_lsb(o[0]), tr = get_lsb(o[2]);
+    Block sl = set_lsb(o[0], 0), sr = set_lsb(o[2], 0);
+    u128 vl = grp.from_block(set_lsb(o[1], 0));
+    u128 vr = grp.from_block(set_lsb(o[3], 0));
+    if (t) {
+      sl = bxor(sl, s_cw);
+      sr = bxor(sr, s_cw);
+      tl ^= tl_cw;
+      tr ^= tr_cw;
+    }
+    int xb = input_bit(x_lo, x_hi, in_bits, i);
+    u128 v_step = xb ? vr : vl;
+    if (t) v_step = grp.add(v_step, v_cw);
+    if (party) v_step = grp.neg(v_step);
+    v = grp.add(v, v_step);
+    s = xb ? sr : sl;
+    t = xb ? tr : tl;
+  }
+  u128 term = grp.from_block(s);
+  if (t) term = grp.add(term, grp.from_block(cws[2 * in_bits + 1]));
+  if (party) term = grp.neg(term);
+  grp.into_block(grp.add(v, term), y_out);
+}
+
 Prg make_prg(int prg_kind, int mul, const uint32_t nonce[2],
              const uint8_t *aes_keys, int rounds) {
   Prg prg;
@@ -498,6 +605,40 @@ void fss_dpf_eval_all(int in_bits, int prg_kind, const uint32_t nonce[2],
   dpf_eval_all(prg, grp, in_bits, party, seed,
                reinterpret_cast<const Block *>(cws),
                reinterpret_cast<Block *>(ys));
+}
+
+// DCF key generation. cws: (in_bits+1)*8 uint32 (row layout parity).
+void fss_dcf_gen(int in_bits, int prg_kind, const uint32_t nonce[2],
+                 const uint8_t *aes_keys, int rounds, int group_kind,
+                 int group_bits, int pred_lt, const uint32_t s0s[8],
+                 uint64_t alpha_lo, uint64_t alpha_hi,
+                 const uint32_t beta[4], uint32_t *cws) {
+  Prg prg = make_prg(prg_kind, 4, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  Block s0s_b[2], beta_b;
+  std::memcpy(s0s_b, s0s, 32);
+  std::memcpy(beta_b.w, beta, 16);
+  dcf_gen(prg, grp, in_bits, pred_lt, s0s_b, alpha_lo, alpha_hi, beta_b,
+          reinterpret_cast<Block *>(cws));
+}
+
+// Batched DCF point evaluation against ONE key.
+void fss_dcf_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
+                  const uint8_t *aes_keys, int rounds, int group_kind,
+                  int group_bits, int party, const uint32_t s0[4],
+                  const uint32_t *cws, const uint64_t *xs_lo,
+                  const uint64_t *xs_hi, int64_t n_points, uint32_t *ys) {
+  Prg prg = make_prg(prg_kind, 4, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  Block seed;
+  std::memcpy(seed.w, s0, 16);
+  const Block *cws_b = reinterpret_cast<const Block *>(cws);
+  for (int64_t i = 0; i < n_points; ++i) {
+    Block y;
+    dcf_eval(prg, grp, in_bits, party, seed, cws_b, xs_lo[i],
+             xs_hi ? xs_hi[i] : 0, y);
+    std::memcpy(ys + 4 * i, y.w, 16);
+  }
 }
 
 // Small-domain Feistel PRP (prp/aes128_feistel.cuh semantics): 4-round

@@ -139,3 +139,31 @@ def test_dpf_gen_batch_matches_single(eng, rng):
                           32, s0sb[i], int(alphas[i]), betas[i],
                           nonce=NONCE)
         assert np.array_equal(one, cwsb[i]), f"row {i}"
+
+
+@pytest.mark.parametrize("gk,gb,g", GROUPS,
+                         ids=["bytes", "u32", "u64", "u127"])
+def test_dcf_gen_eval_matches_jax(eng, gk, gb, g, rng):
+    from fss_tpu.schemes import dcf as _dcf
+    import jax.numpy as jnp
+    in_bits = 8
+    alpha = int(rng.integers(1, 2**in_bits))
+    prg = ChaCha(mul=4, nonce=NONCE)
+    s0s = rng.integers(0, 2**32, size=(2, 4), dtype=np.uint32)
+    beta = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    for pred in ("lt", "gt"):
+        cws_jax = np.asarray(_dcf.gen(prg, g, in_bits, pred,
+                                      jnp.asarray(s0s),
+                                      blk.pack_inputs(alpha, in_bits),
+                                      jnp.asarray(beta)))
+        cws_nat = eng.dcf_gen(in_bits, native.PRG_CHACHA, gk, gb, pred,
+                              s0s, alpha, beta, nonce=NONCE)
+        assert np.array_equal(cws_nat, cws_jax), pred
+        xs = rng.integers(0, 2**in_bits, size=16, dtype=np.uint32)
+        for party in (0, 1):
+            y_jax = np.asarray(_dcf.eval_points(
+                prg, g, in_bits, None, party, s0s[party], cws_jax, xs))
+            y_nat = eng.dcf_eval(in_bits, native.PRG_CHACHA, gk, gb,
+                                 party, s0s[party], cws_nat, xs,
+                                 nonce=NONCE)
+            assert np.array_equal(y_nat, y_jax), (pred, party)
