@@ -235,6 +235,20 @@ def _bench_registry():
                 _timeit(fva, (jnp.asarray(s0s[0]), vcws1, vcs1, vocw1),
                         2**ib20, iters=4), "items/s/chip"))
 
+    # DCF full-domain (ref CPU: 3.93 M items/s).
+    cwsd20 = jax.jit(lambda s, b: _dcf.gen(
+        prg4, g, ib20, "lt", s, blk.pack_inputs(12345, ib20), b))(s0s, beta)
+
+    @jax.jit
+    def fda(s0, cws):
+        from fss_tpu.ops import eval_all_pallas as _eak4
+        return jnp.sum(_eak4.dcf_eval_all(prg4, g, ib20, 0, s0,
+                                          cws)[:, 0])
+
+    out.append(("dcf_eval_all_chacha_uint_20bit",
+                _timeit(fda, (jnp.asarray(s0s[0]), cwsd20), 2**ib20),
+                "items/s/chip"))
+
     # Half-Tree full-domain (ref CPU: 10.74 M items/s, its best EvalAll).
     hcw20, hocw20 = jax.jit(lambda s, b: _ht.gen(
         prg1, g, ib20, hk, s, blk.pack_inputs(12345, ib20), b))(s0s, beta)

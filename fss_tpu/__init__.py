@@ -29,5 +29,15 @@ if _cache_dir and _jax.config.jax_compilation_cache_dir is None:
 
 from fss_tpu import block, groups
 
-__all__ = ["block", "groups"]
+
+def __getattr__(name):
+    # Lazy convenience exports: fss_tpu.Dpf is fss_tpu.api.Dpf etc.
+    if name in ("Dpf", "Dcf", "GrottoDcf", "HalfTreeDpf", "Vdpf", "Vdmpf"):
+        from fss_tpu import api
+        return getattr(api, name)
+    raise AttributeError(f"module 'fss_tpu' has no attribute {name!r}")
+
+
+__all__ = ["block", "groups", "Dpf", "Dcf", "GrottoDcf", "HalfTreeDpf",
+           "Vdpf", "Vdmpf"]
 __version__ = "0.1.0"

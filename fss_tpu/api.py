@@ -219,6 +219,13 @@ class Dcf:
                          s0, cws, x)
 
     def eval_all(self, party: int, s0, cws):
+        if _use_tpu_kernels() and isinstance(self.prg, ChaCha):
+            from fss_tpu.ops import eval_all_pallas
+            if self.in_bits >= eval_all_pallas.KERNEL_WORTHWHILE_BITS:
+                return eval_all_pallas.dcf_eval_all(
+                    self.prg, self.group, self.in_bits, int(party),
+                    jnp.asarray(s0), jnp.asarray(cws),
+                    rounds=self.prg.rounds)
         return _dcf_eval_all(self.prg, self.group, self.in_bits, int(party),
                              s0, cws)
 

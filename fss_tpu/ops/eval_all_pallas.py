@@ -135,6 +135,168 @@ def _expand_packed(roots4, cw_table, in_bits: int, nonce, rounds: int = 20,
     )(roots4, cw_table)
 
 
+def _make_dcf_kernel(nonce, rounds: int, group_is_xor: bool,
+                     unroll: bool = True):
+    """DCF expansion with value threading (dcf.cuh:294-385): node state is
+    (s||t packed, v raw); children interleave row-wise; the per-level value
+    step accumulates XOR (Bytes) or wrapping 128-bit lane adds (Uint) with
+    party negation deferred to the finalize (abelian sum)."""
+    from fss_tpu.ops._chacha_core import add128
+
+    def acc(a, b):
+        if group_is_xor:
+            return tuple(x ^ y for x, y in zip(a, b))
+        return add128(a, b)
+
+    def kernel(r_ref, c_ref, so_ref, vo_ref, t_ref):
+        n = [r_ref[i, 0] for i in range(4)]    # s with t in clamped bit
+        v = [r_ref[4 + i, 0] for i in range(4)]  # raw deferred value
+
+        for lvl in range(KERNEL_LEVELS):
+            t = n[3] & ONE
+            s3 = n[3] & NOTONE
+            o = chacha_block(n[0], n[1], n[2], s3, nonce, 4, rounds,
+                             unroll=unroll)
+            (l0, l1, l2, l3), (vl0, vl1, vl2, vl3), \
+                (q0, q1, q2, q3), (vr0, vr1, vr2, vr3) = o
+            cw = [c_ref[lvl, j] for j in range(8)]
+            tl_cw = cw[3] & ONE
+            tr_cw = cw[7] & ONE
+            s_cw = (cw[0], cw[1], cw[2], cw[3] & NOTONE)
+            v_cw = (cw[4], cw[5], cw[6], cw[7] & NOTONE)
+            tm = jnp.where(t.astype(jnp.bool_), FULL, np.uint32(0))
+
+            ltv = (l3 & ONE) ^ (t & tl_cw)
+            rtv = (q3 & ONE) ^ (t & tr_cw)
+            l = [l0 ^ (s_cw[0] & tm), l1 ^ (s_cw[1] & tm),
+                 l2 ^ (s_cw[2] & tm),
+                 ((l3 ^ (s_cw[3] & tm)) & NOTONE) | ltv]
+            q = [q0 ^ (s_cw[0] & tm), q1 ^ (s_cw[1] & tm),
+                 q2 ^ (s_cw[2] & tm),
+                 ((q3 ^ (s_cw[3] & tm)) & NOTONE) | rtv]
+
+            vcm = tuple(c & tm for c in v_cw)
+            v_l = acc(acc(v, (vl0, vl1, vl2, vl3 & NOTONE)), vcm)
+            v_r = acc(acc(v, (vr0, vr1, vr2, vr3 & NOTONE)), vcm)
+
+            m = n[0].shape[0]
+            n = [jnp.stack([a, b], axis=1).reshape(2 * m, LANES)
+                 for a, b in zip(l, q)]
+            v = [jnp.stack([a, b], axis=1).reshape(2 * m, LANES)
+                 for a, b in zip(v_l, v_r)]
+
+        for i in range(4):
+            so_ref[i, 0] = n[i] if i < 3 else (n[3] & NOTONE)
+            vo_ref[i, 0] = v[i]
+        t_ref[0] = n[3] & ONE
+
+    return kernel
+
+
+def dcf_eval_all(prg4, group, in_bits: int, party: int, s0: jax.Array,
+                 cws: jax.Array, rounds: int = 20,
+                 interpret: bool = False) -> jax.Array:
+    """DCF full-domain evaluation via the hybrid kernel; [2^in_bits, 4].
+
+    Supported groups: Bytes and wrapping Uint (value accumulation defers
+    masking/negation to the finalize); others fall back to the XLA path.
+    """
+    from fss_tpu import groups as _groups
+    from fss_tpu.schemes import dcf as _dcf
+
+    group_ok = isinstance(group, _groups.Bytes) or (
+        isinstance(group, _groups.Uint) and group.mod == 0)
+    threshold = MIN_BITS if interpret else KERNEL_WORTHWHILE_BITS
+    if (in_bits < threshold or not group_ok
+            or (not interpret and not _on_tpu())):
+        return _dcf.eval_all(prg4, group, in_bits, party, s0, cws)
+
+    is_xor = isinstance(group, _groups.Bytes)
+    k = in_bits - MIN_BITS + 7
+
+    # Raw-value prefix expansion (party negation deferred).
+    from fss_tpu.groups import _add128
+
+    def raw_acc(a, b):
+        return jnp.bitwise_xor(a, b) if is_xor else _add128(a, b)
+
+    s = blk.clear_lsb(s0)[None, :]
+    t = jnp.full((1,), np.uint32(party), dtype=jnp.uint32)
+    v = jnp.zeros((1, 4), dtype=jnp.uint32)
+    for i in range(k):
+        row = cws[i]
+        s_cw = blk.clear_lsb(row[0:4])
+        tl_cw = blk.get_lsb(row[0:4])
+        tr_cw = blk.get_lsb(row[4:8])
+        v_cw = blk.clear_lsb(row[4:8])
+        o = prg4(s)
+        sl, tl = _tree.split_seed(o[0])
+        sr, tr = _tree.split_seed(o[2])
+        sl, tl, sr, tr = _tree.correct_children(sl, tl, sr, tr, t, s_cw,
+                                                tl_cw, tr_cw)
+        vcm = jnp.where(t.astype(jnp.bool_)[:, None],
+                        jnp.broadcast_to(v_cw, (s.shape[0], 4)),
+                        jnp.zeros((s.shape[0], 4), dtype=jnp.uint32))
+        v_l = raw_acc(raw_acc(v, blk.clear_lsb(o[1])), vcm)
+        v_r = raw_acc(raw_acc(v, blk.clear_lsb(o[3])), vcm)
+        m = s.shape[0]
+        s = jnp.stack([blk.set_lsb(sl, tl), blk.set_lsb(sr, tr)],
+                      axis=1).reshape(2 * m, 4)
+        t = blk.get_lsb(s)
+        s = blk.clear_lsb(s)
+        v = jnp.stack([v_l, v_r], axis=1).reshape(2 * m, 4)
+
+    ntiles = (1 << k) // LANES
+    packed = blk.set_lsb(s, t)
+    roots8 = jnp.concatenate([
+        jnp.transpose(packed, (1, 0)).reshape(4, ntiles, 1, LANES),
+        jnp.transpose(v, (1, 0)).reshape(4, ntiles, 1, LANES)], axis=0)
+    cw_table = cws[k:in_bits, :].astype(jnp.uint32)
+    nonce = tuple(np.uint32(int(x) & 0xFFFFFFFF) for x in prg4.nonce)
+    kern = _make_dcf_kernel(nonce, rounds, is_xor, unroll=not interpret)
+    so, vo, tb = pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((8, 1, 1, LANES), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KERNEL_LEVELS, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, 1, ROWS, LANES), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 1, ROWS, LANES), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROWS, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, ntiles, ROWS, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((4, ntiles, ROWS, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((ntiles, ROWS, LANES), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(roots8, cw_table)
+
+    s_leaves = jnp.transpose(so, (1, 3, 2, 0)).reshape(1 << in_bits, 4)
+    v_leaves = jnp.transpose(vo, (1, 3, 2, 0)).reshape(1 << in_bits, 4)
+    t_leaves = jnp.transpose(tb, (0, 2, 1)).reshape(1 << in_bits)
+
+    vv = group.from_block(v_leaves)
+    term = group.from_block(s_leaves)
+    v_last = group.from_block(cws[in_bits, 4:8])
+    term = jnp.where(t_leaves.astype(jnp.bool_)[:, None],
+                     group.add(term, jnp.broadcast_to(v_last, term.shape)),
+                     term)
+    y = group.add(vv, term)
+    if party:
+        y = group.neg(y)
+    return group.into_block(y)
+
+
 def _make_ht_kernel(nonce, rounds: int, hash_key, unroll: bool = True):
     """Half-Tree expansion + last-level conversion
     (half_tree_dpf.cuh:241-349): 5 interleaved doublings with

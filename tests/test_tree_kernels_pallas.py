@@ -142,3 +142,23 @@ def test_ht_eval_all_pallas(rng):
             prg, g, in_bits, party, hash_key, s0s[party], cws, ocw,
             interpret=True))
         assert np.array_equal(got, ref), f"party {party}"
+
+
+@pytest.mark.parametrize("gname,g", [
+    ("uint32", groups.Uint(32)),
+    ("bytes", groups.Bytes()),
+])
+def test_dcf_eval_all_pallas(gname, g, rng):
+    from fss_tpu.ops import eval_all_pallas
+    in_bits = 13
+    prg = ChaCha(mul=4, nonce=NONCE)
+    s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+    beta = blk.block([604, 0, 0, 0])
+    cws = _dcf.gen(prg, g, in_bits, "lt", s0s,
+                   blk.pack_inputs(5000, in_bits), beta)
+    for party in (0, 1):
+        ref = np.asarray(_dcf.eval_all(prg, g, in_bits, party, s0s[party],
+                                       cws))
+        got = np.asarray(eval_all_pallas.dcf_eval_all(
+            prg, g, in_bits, party, s0s[party], cws, interpret=True))
+        assert np.array_equal(got, ref), f"party {party}"
