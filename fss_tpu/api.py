@@ -472,6 +472,14 @@ class GrottoDcf:
         return _grotto_gen(self.prg, self.in_bits, s0s, a)
 
     def preprocess(self, party: int, s0, cws):
+        if _use_tpu_kernels() and isinstance(self.prg, ChaCha):
+            from fss_tpu.ops import eval_all_pallas
+            if self.in_bits >= eval_all_pallas.KERNEL_WORTHWHILE_BITS:
+                _, leaf = eval_all_pallas.expand_leaves(
+                    self.prg, self.in_bits, int(party), jnp.asarray(s0),
+                    jnp.asarray(cws)[:self.in_bits],
+                    rounds=self.prg.rounds)
+                return _grotto.build_parity_tree(leaf, int(party))
         return _grotto_preprocess(self.prg, self.in_bits, int(party), s0, cws)
 
     def eval(self, pt, xs):

@@ -61,11 +61,10 @@ class ParityTree(NamedTuple):
         return len(self.levels) - 1
 
 
-def preprocess(prg2, in_bits: int, party: int, s0: jax.Array,
-               cws: jax.Array) -> ParityTree:
-    """Expand the tree and build all parity levels bottom-up
+def build_parity_tree(leaf: jax.Array, party: int) -> ParityTree:
+    """Bottom-up parity levels from the leaf control bits
     (grotto_dcf.cuh:94-104), as log2(N) vector reductions."""
-    leaf = expand_control_bits(prg2, in_bits, party, s0, cws)
+    in_bits = int(np.log2(leaf.shape[0]))
     levels = [leaf]
     cur = leaf
     for _ in range(in_bits):
@@ -73,6 +72,13 @@ def preprocess(prg2, in_bits: int, party: int, s0: jax.Array,
         levels.append(cur)
     levels.reverse()
     return ParityTree(levels=tuple(levels), party=party)
+
+
+def preprocess(prg2, in_bits: int, party: int, s0: jax.Array,
+               cws: jax.Array) -> ParityTree:
+    """Expand the tree and build all parity levels."""
+    leaf = expand_control_bits(prg2, in_bits, party, s0, cws)
+    return build_parity_tree(leaf, party)
 
 
 def eval_points(pt: ParityTree, xs) -> jax.Array:
