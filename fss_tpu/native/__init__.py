@@ -214,6 +214,66 @@ class NativeEngine:
             ctypes.c_int64(len(xs)), ys_p)
         return ys
 
+    def dcf_eval_all(self, in_bits: int, prg_kind: int, group_kind: int,
+                     group_bits: int, party: int, s0, cws, nonce=None,
+                     aes_keys=None, rounds: int = 20) -> np.ndarray:
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        s0_a, s0_p = self._u32(s0)
+        cws_a, cws_p = self._u32(cws)
+        n = 1 << in_bits
+        ys = np.zeros((n, 4), dtype=np.uint32)
+        scratch = np.zeros((n, 4), dtype=np.uint32)
+        _, ys_p = self._u32(ys)
+        _, sc_p = self._u32(scratch)
+        self._lib.fss_dcf_eval_all(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            ctypes.c_int(party), s0_p, cws_p, ys_p, sc_p)
+        return ys
+
+    def ht_gen(self, in_bits: int, prg_kind: int, group_kind: int,
+               group_bits: int, hash_key, s0s, alpha: int, beta,
+               nonce=None, aes_keys=None, rounds: int = 20):
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        hk_a, hk_p = self._u32(hash_key)
+        s0s_a, s0s_p = self._u32(s0s)
+        beta_a, beta_p = self._u32(beta)
+        cws = np.zeros((in_bits, 8), dtype=np.uint32)
+        ocw = np.zeros(4, dtype=np.uint32)
+        _, cws_p = self._u32(cws)
+        _, ocw_p = self._u32(ocw)
+        self._lib.fss_ht_gen(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            hk_p, s0s_p, ctypes.c_uint64(alpha & (2**64 - 1)),
+            ctypes.c_uint64(alpha >> 64), beta_p, cws_p, ocw_p)
+        return cws, ocw
+
+    def ht_eval(self, in_bits: int, prg_kind: int, group_kind: int,
+                group_bits: int, party: int, hash_key, s0, cws, ocw, xs,
+                nonce=None, aes_keys=None, rounds: int = 20) -> np.ndarray:
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        hk_a, hk_p = self._u32(hash_key)
+        s0_a, s0_p = self._u32(s0)
+        cws_a, cws_p = self._u32(cws)
+        ocw_a, ocw_p = self._u32(ocw)
+        xs = np.atleast_1d(np.asarray(xs, dtype=object))
+        lo = np.array([int(x) & (2**64 - 1) for x in xs], dtype=np.uint64)
+        hi = np.array([int(x) >> 64 for x in xs], dtype=np.uint64)
+        _, lo_p = self._u64(lo)
+        _, hi_p = self._u64(hi)
+        ys = np.zeros((len(xs), 4), dtype=np.uint32)
+        _, ys_p = self._u32(ys)
+        self._lib.fss_ht_eval(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            ctypes.c_int(party), hk_p, s0_p, cws_p, ocw_p, lo_p, hi_p,
+            ctypes.c_int64(len(xs)), ys_p)
+        return ys
+
     def prp_permu_batch(self, sigma: bytes, domain: int,
                         xs) -> np.ndarray:
         """Batched Feistel PRP (prp/aes128_feistel.cuh semantics).

@@ -481,6 +481,153 @@ void dcf_eval(const Prg &prg, const Group &grp, int in_bits, int party,
   grp.into_block(grp.add(v, term), y_out);
 }
 
+void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
+                  int party, const Block &seed, const Block *cws,
+                  Block *ys, Block *vs /* scratch 2^in_bits */) {
+  // Breadth-first in-place expansion with value threading
+  // (dcf.cuh:294-385): ys holds packed (s,t), vs the running value.
+  ys[0] = set_lsb(set_lsb(seed, 0), (uint32_t)party);
+  std::memset(vs[0].w, 0, 16);
+  for (int i = 0; i < in_bits; ++i) {
+    uint64_t m = 1ull << i;
+    Block s_cw = set_lsb(cws[2 * i], 0);
+    uint32_t tl_cw = get_lsb(cws[2 * i]);
+    uint32_t tr_cw = get_lsb(cws[2 * i + 1]);
+    u128 v_cw = grp.from_block(set_lsb(cws[2 * i + 1], 0));
+    for (uint64_t j = m; j-- > 0;) {
+      Block node = ys[j];
+      u128 v = grp.from_block(vs[j]);
+      uint32_t t = get_lsb(node);
+      Block sn = set_lsb(node, 0);
+      Block o[4];
+      prg.gen(sn, o);
+      uint32_t tl = get_lsb(o[0]), tr = get_lsb(o[2]);
+      Block sl = set_lsb(o[0], 0), sr = set_lsb(o[2], 0);
+      u128 vl = grp.from_block(set_lsb(o[1], 0));
+      u128 vr = grp.from_block(set_lsb(o[3], 0));
+      if (t) {
+        sl = bxor(sl, s_cw);
+        sr = bxor(sr, s_cw);
+        tl ^= tl_cw;
+        tr ^= tr_cw;
+        vl = grp.add(vl, v_cw);
+        vr = grp.add(vr, v_cw);
+      }
+      if (party) {
+        vl = grp.neg(vl);
+        vr = grp.neg(vr);
+      }
+      ys[2 * j] = set_lsb(sl, tl);
+      ys[2 * j + 1] = set_lsb(sr, tr);
+      grp.into_block(grp.add(v, vl), vs[2 * j]);
+      grp.into_block(grp.add(v, vr), vs[2 * j + 1]);
+    }
+  }
+  u128 v_last = grp.from_block(cws[2 * in_bits + 1]);
+  uint64_t n = 1ull << in_bits;
+  for (uint64_t j = 0; j < n; ++j) {
+    uint32_t t = get_lsb(ys[j]);
+    u128 term = grp.from_block(set_lsb(ys[j], 0));
+    if (t) term = grp.add(term, v_last);
+    if (party) term = grp.neg(term);
+    grp.into_block(grp.add(grp.from_block(vs[j]), term), ys[j]);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Half-Tree DPF (half_tree_dpf.cuh semantics; mul=1 CCR hash H(k ^ x))
+// ---------------------------------------------------------------------------
+
+struct HtCtx {
+  const Prg *prg;
+  Block hash_key;
+
+  Block hash(const Block &x) const {
+    Block out[1];
+    prg->gen(bxor(hash_key, x), out);
+    return out[0];
+  }
+};
+
+void ht_gen(const HtCtx &ht, const Group &grp, int in_bits,
+            const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
+            const Block &beta, Block *cws /* in_bits x 2 blocks */,
+            Block &ocw) {
+  Block b_buf = set_lsb(beta, 0);
+  Block n0 = set_lsb(s0s[0], 0);
+  Block n1 = set_lsb(s0s[1], 1);
+
+  for (int i = 0; i < in_bits - 1; ++i) {
+    Block h0 = ht.hash(n0);
+    Block h1 = ht.hash(n1);
+    Block delta = bxor(n0, n1);
+    int ab = input_bit(a_lo, a_hi, in_bits, i);
+    Block cw = bxor(h0, h1);
+    if (!ab) cw = bxor(cw, delta);
+    cws[2 * i] = cw;
+    std::memset(cws[2 * i + 1].w, 0, 16);
+    uint32_t t0 = get_lsb(n0), t1 = get_lsb(n1);
+    Block m0 = ab ? bxor(h0, n0) : h0;
+    Block m1 = ab ? bxor(h1, n1) : h1;
+    n0 = t0 ? bxor(m0, cw) : m0;
+    n1 = t1 ? bxor(m1, cw) : m1;
+  }
+
+  int a_n = input_bit(a_lo, a_hi, in_bits, in_bits - 1);
+  uint32_t t0 = get_lsb(n0), t1 = get_lsb(n1);
+  Block h0_0 = ht.hash(set_lsb(n0, 0)), h0_1 = ht.hash(set_lsb(n0, 1));
+  Block h1_0 = ht.hash(set_lsb(n1, 0)), h1_1 = ht.hash(set_lsb(n1, 1));
+  Block hcw = a_n ? bxor(set_lsb(h0_0, 0), set_lsb(h1_0, 0))
+                  : bxor(set_lsb(h0_1, 0), set_lsb(h1_1, 0));
+  uint32_t lcw_0 = get_lsb(h0_0) ^ get_lsb(h1_0) ^ (uint32_t)(!a_n);
+  uint32_t lcw_1 = get_lsb(h0_1) ^ get_lsb(h1_1) ^ (uint32_t)a_n;
+  cws[2 * (in_bits - 1)] = set_lsb(hcw, lcw_0);
+  std::memset(cws[2 * (in_bits - 1) + 1].w, 0, 16);
+  cws[2 * (in_bits - 1) + 1].w[0] = lcw_1;
+
+  Block leaf0 = a_n ? h0_1 : h0_0;
+  Block leaf1 = a_n ? h1_1 : h1_0;
+  uint32_t lcw_an = a_n ? lcw_1 : lcw_0;
+  Block leaf_cw = set_lsb(hcw, lcw_an);
+  if (t0) leaf0 = bxor(leaf0, leaf_cw);
+  if (t1) leaf1 = bxor(leaf1, leaf_cw);
+  u128 v = grp.add(grp.add(grp.from_block(b_buf),
+                           grp.neg(grp.from_block(set_lsb(leaf0, 0)))),
+                   grp.from_block(set_lsb(leaf1, 0)));
+  if (get_lsb(leaf1)) v = grp.neg(v);
+  grp.into_block(v, ocw);
+}
+
+void ht_eval(const HtCtx &ht, const Group &grp, int in_bits, int party,
+             const Block &s0, const Block *cws, const Block &ocw,
+             uint64_t x_lo, uint64_t x_hi, Block &y_out) {
+  Block node = set_lsb(s0, (uint32_t)party);
+  for (int i = 0; i < in_bits - 1; ++i) {
+    int xb = input_bit(x_lo, x_hi, in_bits, i);
+    uint32_t t = get_lsb(node);
+    Block h = ht.hash(node);
+    Block m = xb ? bxor(h, node) : h;
+    node = t ? bxor(m, cws[2 * i]) : m;
+  }
+  int x_n = input_bit(x_lo, x_hi, in_bits, in_bits - 1);
+  uint32_t t = get_lsb(node);
+  Block h = ht.hash(set_lsb(node, (uint32_t)x_n));
+  const Block &last = cws[2 * (in_bits - 1)];
+  Block hcw = set_lsb(last, 0);
+  uint32_t lcw_xn = x_n ? (cws[2 * (in_bits - 1) + 1].w[0] & 1u)
+                        : get_lsb(last);
+  Block high = set_lsb(h, 0);
+  uint32_t low = get_lsb(h);
+  if (t) {
+    high = bxor(high, hcw);
+    low ^= lcw_xn;
+  }
+  u128 y = grp.from_block(high);
+  if (low) y = grp.add(y, grp.from_block(ocw));
+  if (party) y = grp.neg(y);
+  grp.into_block(y, y_out);
+}
+
 Prg make_prg(int prg_kind, int mul, const uint32_t nonce[2],
              const uint8_t *aes_keys, int rounds) {
   Prg prg;
@@ -637,6 +784,63 @@ void fss_dcf_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
     Block y;
     dcf_eval(prg, grp, in_bits, party, seed, cws_b, xs_lo[i],
              xs_hi ? xs_hi[i] : 0, y);
+    std::memcpy(ys + 4 * i, y.w, 16);
+  }
+}
+
+// DCF full-domain evaluation. ys: 2^in_bits * 4; scratch: same size.
+void fss_dcf_eval_all(int in_bits, int prg_kind, const uint32_t nonce[2],
+                      const uint8_t *aes_keys, int rounds, int group_kind,
+                      int group_bits, int party, const uint32_t s0[4],
+                      const uint32_t *cws, uint32_t *ys,
+                      uint32_t *scratch) {
+  Prg prg = make_prg(prg_kind, 4, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  Block seed;
+  std::memcpy(seed.w, s0, 16);
+  dcf_eval_all(prg, grp, in_bits, party, seed,
+               reinterpret_cast<const Block *>(cws),
+               reinterpret_cast<Block *>(ys),
+               reinterpret_cast<Block *>(scratch));
+}
+
+// Half-Tree DPF. cws: in_bits*8 uint32; ocw: 4 uint32.
+void fss_ht_gen(int in_bits, int prg_kind, const uint32_t nonce[2],
+                const uint8_t *aes_keys, int rounds, int group_kind,
+                int group_bits, const uint32_t hash_key[4],
+                const uint32_t s0s[8], uint64_t alpha_lo,
+                uint64_t alpha_hi, const uint32_t beta[4], uint32_t *cws,
+                uint32_t *ocw) {
+  Prg prg = make_prg(prg_kind, 1, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  HtCtx ht{&prg, Block()};
+  std::memcpy(ht.hash_key.w, hash_key, 16);
+  Block s0s_b[2], beta_b, ocw_b;
+  std::memcpy(s0s_b, s0s, 32);
+  std::memcpy(beta_b.w, beta, 16);
+  ht_gen(ht, grp, in_bits, s0s_b, alpha_lo, alpha_hi, beta_b,
+         reinterpret_cast<Block *>(cws), ocw_b);
+  std::memcpy(ocw, ocw_b.w, 16);
+}
+
+void fss_ht_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
+                 const uint8_t *aes_keys, int rounds, int group_kind,
+                 int group_bits, int party, const uint32_t hash_key[4],
+                 const uint32_t s0[4], const uint32_t *cws,
+                 const uint32_t ocw[4], const uint64_t *xs_lo,
+                 const uint64_t *xs_hi, int64_t n_points, uint32_t *ys) {
+  Prg prg = make_prg(prg_kind, 1, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  HtCtx ht{&prg, Block()};
+  std::memcpy(ht.hash_key.w, hash_key, 16);
+  Block seed, ocw_b;
+  std::memcpy(seed.w, s0, 16);
+  std::memcpy(ocw_b.w, ocw, 16);
+  const Block *cws_b = reinterpret_cast<const Block *>(cws);
+  for (int64_t i = 0; i < n_points; ++i) {
+    Block y;
+    ht_eval(ht, grp, in_bits, party, seed, cws_b, ocw_b, xs_lo[i],
+            xs_hi ? xs_hi[i] : 0, y);
     std::memcpy(ys + 4 * i, y.w, 16);
   }
 }

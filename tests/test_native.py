@@ -167,3 +167,53 @@ def test_dcf_gen_eval_matches_jax(eng, gk, gb, g, rng):
                                  party, s0s[party], cws_nat, xs,
                                  nonce=NONCE)
             assert np.array_equal(y_nat, y_jax), (pred, party)
+
+
+def test_dcf_eval_all_matches_jax(eng, rng):
+    from fss_tpu.schemes import dcf as _dcf
+    import jax.numpy as jnp
+    in_bits = 9
+    g = groups.Uint(32)
+    prg = ChaCha(mul=4, nonce=NONCE)
+    s0s = rng.integers(0, 2**32, size=(2, 4), dtype=np.uint32)
+    beta = np.array([604, 0, 0, 0], dtype=np.uint32)
+    cws = np.asarray(_dcf.gen(prg, g, in_bits, "lt", jnp.asarray(s0s),
+                              blk.pack_inputs(300, in_bits),
+                              jnp.asarray(beta)))
+    for party in (0, 1):
+        ref = np.asarray(_dcf.eval_all(prg, g, in_bits, party,
+                                       s0s[party], cws))
+        got = eng.dcf_eval_all(in_bits, native.PRG_CHACHA,
+                               native.GROUP_UINT, 32, party, s0s[party],
+                               cws, nonce=NONCE)
+        assert np.array_equal(got, ref), f"party {party}"
+
+
+def test_ht_gen_eval_matches_jax(eng, rng):
+    from fss_tpu.schemes import half_tree_dpf as _ht
+    import jax.numpy as jnp
+    in_bits = 9
+    g = groups.Uint(64)
+    prg = ChaCha(mul=1, nonce=NONCE)
+    hash_key = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    s0s = rng.integers(0, 2**32, size=(2, 4), dtype=np.uint32)
+    beta = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    alpha = int(rng.integers(0, 2**in_bits))
+    cws_j, ocw_j = _ht.gen(prg, g, in_bits, jnp.asarray(hash_key),
+                           jnp.asarray(s0s),
+                           blk.pack_inputs(alpha, in_bits),
+                           jnp.asarray(beta))
+    cws_n, ocw_n = eng.ht_gen(in_bits, native.PRG_CHACHA,
+                              native.GROUP_UINT, 64, hash_key, s0s, alpha,
+                              beta, nonce=NONCE)
+    assert np.array_equal(cws_n, np.asarray(cws_j))
+    assert np.array_equal(ocw_n, np.asarray(ocw_j))
+    xs = rng.integers(0, 2**in_bits, size=16, dtype=np.uint32)
+    for party in (0, 1):
+        ref = np.asarray(_ht.eval_points(prg, g, in_bits, party,
+                                         jnp.asarray(hash_key),
+                                         s0s[party], cws_j, ocw_j, xs))
+        got = eng.ht_eval(in_bits, native.PRG_CHACHA, native.GROUP_UINT,
+                          64, party, hash_key, s0s[party], cws_n, ocw_n,
+                          xs, nonce=NONCE)
+        assert np.array_equal(got, ref), f"party {party}"
