@@ -295,6 +295,55 @@ class Vdpf:
                 return s0s, cws, cs, ocw
         raise RuntimeError("vdpf gen retry budget exhausted")
 
+    def gen_batch(self, rng, alphas, betas, max_rounds: int = 64):
+        """Batched key generation with per-lane retry.
+
+        VDPF Gen fails whenever the final control bits collide
+        (vdpf.cuh:167) — about half of all seed choices — so scalable key
+        generation must retry per lane, not per batch: each round re-runs
+        Gen only for the still-failed lanes (padded to a power of two to
+        bound jit specializations) with fresh seeds, and scatters the
+        successes back. Expected ~2 attempts per key.
+
+        Returns (s0s [B, 2, 4], cws [B, n, 8], cs [B, 4, 4], ocw [B, 4]).
+        """
+        alphas = np.asarray(alphas)
+        B = alphas.shape[0]
+        betas = jnp.asarray(betas)
+        a_lanes = blk.pack_inputs(alphas, self.in_bits)
+
+        gen_v = jax.jit(jax.vmap(
+            lambda s, a, b: _vdpf.gen(self.prg, self.xor_hash, self.group,
+                                      self.in_bits, s, a, b)),
+            static_argnums=())
+
+        s0s = np.asarray(blk.block(rng.integers(0, 2**32, size=(B, 2, 4))))
+        cws, cs, ocw, fail = gen_v(jnp.asarray(s0s), a_lanes, betas)
+        cws, cs, ocw = (np.asarray(x) for x in (cws, cs, ocw))
+        fail = np.asarray(fail).astype(bool)
+
+        for _ in range(max_rounds):
+            idx = np.nonzero(fail)[0]
+            if idx.size == 0:
+                return (jnp.asarray(s0s), jnp.asarray(cws),
+                        jnp.asarray(cs), jnp.asarray(ocw))
+            pad = 1 << max(0, int(idx.size - 1).bit_length())
+            sel = np.resize(idx, pad)  # repeats are harmlessly rewritten
+            new_seeds = np.asarray(
+                blk.block(rng.integers(0, 2**32, size=(pad, 2, 4))))
+            ncws, ncs, nocw, nfail = gen_v(
+                jnp.asarray(new_seeds), jnp.asarray(a_lanes)[sel],
+                betas[sel])
+            nfail = np.asarray(nfail).astype(bool)
+            ok = ~nfail
+            tgt = sel[ok]
+            s0s[tgt] = new_seeds[ok]
+            cws[tgt] = np.asarray(ncws)[ok]
+            cs[tgt] = np.asarray(ncs)[ok]
+            ocw[tgt] = np.asarray(nocw)[ok]
+            fail[tgt] = False
+        raise RuntimeError("vdpf gen_batch retry budget exhausted")
+
     def eval(self, party: int, s0, cws, cs, ocw, xs):
         if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
                 and _plain_u32_inputs(xs, self.in_bits)

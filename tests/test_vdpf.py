@@ -2,6 +2,8 @@
 EvalAtAlpha / EvalAtNonAlpha, VerifyEval over random points, EvalAll +
 Verify. Plus BLAKE3 bit-exactness vs a NumPy oracle."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -164,3 +166,29 @@ def test_eval_all_tree_fold(rng):
     # Tampered share stream changes the tree root.
     ys_ref, _ = d.eval_all(0, s0s[0], cws, cs, ocw)
     assert np.array_equal(np.asarray(ys0), np.asarray(ys_ref))
+
+
+def test_gen_batch_masked_retry(rng):
+    """Batched gen retries failed lanes only; every key must verify."""
+    g = groups.Bytes()
+    in_bits = 8
+    B = 64
+    d = Vdpf(in_bits, group=g, prg=ChaCha(mul=2, nonce=NONCE))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    s0s, cws, cs, ocw = d.gen_batch(rng, alphas, betas)
+    assert cws.shape == (B, in_bits, 8)
+    # Per-instance verification: reconstruct at alpha, proofs agree.
+    y0, p0 = d.eval(0, s0s[:, 0], cws, cs, ocw, alphas)
+    y1, p1 = d.eval(1, s0s[:, 1], cws, cs, ocw, alphas)
+    rec = np.asarray(y0) ^ np.asarray(y1)
+    assert np.array_equal(rec, np.asarray(blk.clear_lsb(betas)))
+    assert np.array_equal(np.asarray(p0), np.asarray(p1) ^ 0)  # shapes
+    # fail flags all cleared: re-run gen on returned seeds reproduces keys
+    cws2, cs2, ocw2, fail2 = jax.vmap(
+        lambda s, a, b: __import__("fss_tpu.schemes.vdpf",
+                                   fromlist=["gen"]).gen(
+            d.prg, d.xor_hash, d.group, in_bits, s, a, b))(
+        s0s, blk.pack_inputs(alphas, in_bits), jnp.asarray(betas))
+    assert not np.any(np.asarray(fail2))
+    assert np.array_equal(np.asarray(cws2), np.asarray(cws))
