@@ -1,6 +1,7 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -125,3 +126,57 @@ def test_vdpf_eval_all_sharded(rng, mesh8):
     # Output shares match the single-device path.
     ys_single, _ = d.eval_all(0, s0s[0], cws, cs, ocw)
     assert np.array_equal(np.asarray(ys0), np.asarray(ys_single))
+
+
+def test_2d_mesh_data_and_domain(rng):
+    """Both axes at once: a batch of keys sharded on `data`, each key's
+    full domain expanded across `domain` — the mesh layout a production
+    deployment uses (data across hosts/DCN, domain across ICI)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from fss_tpu.schemes import _tree, dpf as _dpf
+
+    g = groups.Uint(32)
+    in_bits = 8
+    prg = ChaCha(mul=2, nonce=NONCE)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "domain"))
+    k = 2  # log2(domain shards)
+
+    B = 4
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    d = Dpf(in_bits, group=g, prg=ChaCha(mul=2, nonce=NONCE))
+    cws = d.gen_batch(s0s, alphas, betas)
+
+    def one_key(s0, cws):
+        # [1, ...] block per data shard; expand domain across the axis.
+        s = blk.clear_lsb(s0)[None, :]
+        t = jnp.full((1,), np.uint32(0), dtype=jnp.uint32)
+        for i in range(k):
+            s_cw, tl_cw, tr_cw = _tree.unpack_cw_row(cws[i])
+            s, t = _tree.expand_level(prg, s, t, s_cw, tl_cw, tr_cw)
+        idx = jax.lax.axis_index("domain")
+        s_l = jax.lax.dynamic_slice_in_dim(s, idx, 1, 0)
+        t_l = jax.lax.dynamic_slice_in_dim(t, idx, 1, 0)
+        for i in range(k, in_bits):
+            s_cw, tl_cw, tr_cw = _tree.unpack_cw_row(cws[i])
+            s_l, t_l = _tree.expand_level(prg, s_l, t_l, s_cw, tl_cw,
+                                          tr_cw)
+        return _dpf.finalize_leaves(g, in_bits, 0, s_l, t_l, cws)
+
+    def shard_fn(s0b, cwsb):
+        # s0b: [B/2, 4] local keys; map over them, domain axis inside.
+        return jax.vmap(one_key)(s0b, cwsb)
+
+    body = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data", None), P("data", None, None)),
+        out_specs=P("data", "domain", None))
+    ys0 = jax.jit(body)(jnp.asarray(s0s[:, 0]), cws)
+    assert ys0.shape == (B, 2**in_bits, 4)
+    # Cross-check against the single-device path for each key.
+    for i in range(B):
+        ref = np.asarray(d.eval_all(0, s0s[i, 0], cws[i]))
+        assert np.array_equal(np.asarray(ys0[i]), ref), f"key {i}"
