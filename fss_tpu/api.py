@@ -312,35 +312,45 @@ class Vdpf:
         betas = jnp.asarray(betas)
         a_lanes = blk.pack_inputs(alphas, self.in_bits)
 
-        gen_v = jax.jit(jax.vmap(
-            lambda s, a, b: _vdpf.gen(self.prg, self.xor_hash, self.group,
-                                      self.in_bits, s, a, b)),
-            static_argnums=())
+        if _use_tpu_kernels() and isinstance(self.prg, ChaCha):
+            from fss_tpu.ops import vdpf_pallas
+
+            def gen_v(s, a, b):
+                a_u32 = a[..., 0]  # pack_inputs lanes -> plain uint32
+                return vdpf_pallas.gen_batch(
+                    self.prg.nonce, self.xor_hash, self.group,
+                    self.in_bits, s, a_u32, b, rounds=self.prg.rounds)
+        else:
+            gen_v = jax.jit(jax.vmap(
+                lambda s, a, b: _vdpf.gen(self.prg, self.xor_hash,
+                                          self.group, self.in_bits, s, a,
+                                          b)))
 
         s0s = np.asarray(blk.block(rng.integers(0, 2**32, size=(B, 2, 4))))
         cws, cs, ocw, fail = gen_v(jnp.asarray(s0s), a_lanes, betas)
         cws, cs, ocw = (np.asarray(x) for x in (cws, cs, ocw))
         fail = np.asarray(fail).astype(bool)
 
+        # Retry rounds regenerate at the FULL batch size with fresh seeds
+        # and scatter back only the still-failed lanes: one compiled shape
+        # for the whole loop (a shape per round would recompile ~log2(B)
+        # kernels), and failures halve each round so ~log2(B)+margin
+        # rounds clear everything at ~B extra gen work total.
         for _ in range(max_rounds):
             idx = np.nonzero(fail)[0]
             if idx.size == 0:
                 return (jnp.asarray(s0s), jnp.asarray(cws),
                         jnp.asarray(cs), jnp.asarray(ocw))
-            pad = 1 << max(0, int(idx.size - 1).bit_length())
-            sel = np.resize(idx, pad)  # repeats are harmlessly rewritten
             new_seeds = np.asarray(
-                blk.block(rng.integers(0, 2**32, size=(pad, 2, 4))))
+                blk.block(rng.integers(0, 2**32, size=(B, 2, 4))))
             ncws, ncs, nocw, nfail = gen_v(
-                jnp.asarray(new_seeds), jnp.asarray(a_lanes)[sel],
-                betas[sel])
+                jnp.asarray(new_seeds), a_lanes, betas)
             nfail = np.asarray(nfail).astype(bool)
-            ok = ~nfail
-            tgt = sel[ok]
-            s0s[tgt] = new_seeds[ok]
-            cws[tgt] = np.asarray(ncws)[ok]
-            cs[tgt] = np.asarray(ncs)[ok]
-            ocw[tgt] = np.asarray(nocw)[ok]
+            tgt = idx[~nfail[idx]]
+            s0s[tgt] = new_seeds[tgt]
+            cws[tgt] = np.asarray(ncws)[tgt]
+            cs[tgt] = np.asarray(ncs)[tgt]
+            ocw[tgt] = np.asarray(nocw)[tgt]
             fail[tgt] = False
         raise RuntimeError("vdpf gen_batch retry budget exhausted")
 

@@ -130,7 +130,7 @@ def _make_eval_kernel(in_bits: int, party: int, nonce, rounds: int):
 
 
 def _make_gen_kernel(in_bits: int, nonce, rounds: int):
-    def kernel(s_ref, a_ref, c_ref, s0o_ref, s1o_ref, t1o_ref):
+    def kernel(s_ref, a_ref, c_ref, s0o_ref, s1o_ref, t0o_ref, t1o_ref):
         s00 = s_ref[0]
         s01 = s_ref[1]
         s02 = s_ref[2]
@@ -203,6 +203,7 @@ def _make_gen_kernel(in_bits: int, nonce, rounds: int):
         s1o_ref[1] = s11
         s1o_ref[2] = s12
         s1o_ref[3] = s13
+        t0o_ref[:] = t0
         t1o_ref[:] = t1
 
     return kernel
@@ -236,7 +237,8 @@ def gen_packed(seeds8, a2, in_bits: int, nonce, rounds: int = 20,
     (dpf.cuh:93-153) for a batch of keys, two ChaCha expansions per level.
 
     Returns (cws_t [in_bits, 5, T, 128], s0f [4, T, 128],
-    s1f [4, T, 128], t1 [T, 128]); feed to ``gen_finalize``.
+    s1f [4, T, 128], t0 [T, 128], t1 [T, 128]); feed to
+    ``gen_finalize`` (t0 is used by the VDPF gen fast path's fail mask).
     """
     nrows = seeds8.shape[1]
     assert nrows % block_rows == 0
@@ -261,11 +263,14 @@ def gen_packed(seeds8, a2, in_bits: int, nonce, rounds: int = 20,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((in_bits, 5, nrows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((4, nrows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((4, nrows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((nrows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((nrows, LANES), jnp.uint32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -307,10 +312,9 @@ def gen_batch(prg_nonce, group, in_bits: int, s0s: jax.Array,
     """Batched key generation through the fused kernel; returns the
     standard [B, in_bits+1, 8] cws layout (alphas must fit uint32)."""
     seeds8, a2, B = pack_gen_inputs(s0s, alphas, in_bits, block_rows)
-    cws_t, s0f, s1f, t1 = gen_packed(seeds8, a2, in_bits=in_bits,
-                                     nonce=tuple(prg_nonce), rounds=rounds,
-                                     block_rows=block_rows,
-                                     interpret=interpret)
+    cws_t, s0f, s1f, _t0, t1 = gen_packed(
+        seeds8, a2, in_bits=in_bits, nonce=tuple(prg_nonce),
+        rounds=rounds, block_rows=block_rows, interpret=interpret)
     return gen_finalize(group, in_bits, cws_t, s0f, s1f, t1, betas, B)
 
 

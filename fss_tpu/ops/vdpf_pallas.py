@@ -39,6 +39,53 @@ def pack_keys(s0: jax.Array, cws: jax.Array, xs: jax.Array, in_bits: int,
     return seeds4, cws_t, xs2, B
 
 
+def gen_batch(prg_nonce, xor_hash, group, in_bits: int, s0s: jax.Array,
+              alphas: jax.Array, betas: jax.Array, rounds: int = 20,
+              block_rows: int = dpf_pallas.DEFAULT_BLOCK_ROWS,
+              interpret: bool = False):
+    """Batched VDPF Gen on the fused Gen kernel (vdpf.cuh:101-175).
+
+    The level loop is identical to DPF Gen, so the kernel does it; the
+    check-seed cs = H(a, s0_f) ^ H(a, s1_f), the fail mask t0 == t1, and
+    the group-typed output CW are one XLA pass over the kernel outputs.
+    Returns (cws [B, in_bits, 8], cs [B, 4, 4], ocw [B, 4],
+    fail [B] uint32).
+    """
+    alphas = jnp.asarray(alphas, dtype=jnp.uint32)
+    B = alphas.shape[0]
+    seeds8, a2, _ = dpf_pallas.pack_gen_inputs(s0s, alphas, in_bits,
+                                               block_rows)
+    cws_t, s0f, s1f, t0, t1 = dpf_pallas.gen_packed(
+        seeds8, a2, in_bits=in_bits, nonce=tuple(prg_nonce),
+        rounds=rounds, block_rows=block_rows, interpret=interpret)
+
+    T = cws_t.shape[2]
+    rows = jnp.transpose(cws_t.reshape(in_bits, 5, T * LANES),
+                         (2, 0, 1))[:B]
+    pad = jnp.zeros((B, in_bits, 3), dtype=jnp.uint32)
+    cws = jnp.concatenate([rows, pad], axis=-1)
+
+    s0 = jnp.transpose(s0f.reshape(4, -1), (1, 0))[:B]
+    s1 = jnp.transpose(s1f.reshape(4, -1), (1, 0))[:B]
+    t0b = t0.reshape(-1)[:B] & np.uint32(1)
+    t1b = t1.reshape(-1)[:B] & np.uint32(1)
+
+    a_lanes = blk.pack_inputs(alphas, in_bits)
+    pi0 = xor_hash(a_lanes, s0)
+    pi1 = xor_hash(a_lanes, s1)
+    cs = jnp.bitwise_xor(pi0, pi1)
+    fail = (t0b ^ t1b) ^ np.uint32(1)  # 1 iff t0 == t1 (vdpf.cuh:167)
+
+    b_buf = blk.clear_lsb(jnp.asarray(betas))
+    v_cw = group.add(
+        group.add(group.from_block(b_buf),
+                  group.neg(group.from_block(s0))),
+        group.from_block(s1))
+    v_cw = jnp.where(t1b.astype(jnp.bool_)[:, None], group.neg(v_cw),
+                     v_cw)
+    return cws, cs, group.into_block(v_cw), fail
+
+
 def eval_points(prg_nonce, xor_hash, group, in_bits: int, party: int,
                 s0: jax.Array, cws: jax.Array, cs: jax.Array,
                 ocw: jax.Array, xs: jax.Array, rounds: int = 20,

@@ -162,3 +162,26 @@ def test_dcf_eval_all_pallas(gname, g, rng):
         got = np.asarray(eval_all_pallas.dcf_eval_all(
             prg, g, in_bits, party, s0s[party], cws, interpret=True))
         assert np.array_equal(got, ref), f"party {party}"
+
+
+def test_vdpf_gen_batch_kernel_matches_reference(rng):
+    from fss_tpu.hash.blake3 import Blake3
+    from fss_tpu.ops import vdpf_pallas
+    from fss_tpu.schemes import vdpf as _vdpf
+
+    in_bits = 8
+    B = 300
+    g = groups.Uint(32)
+    prg = ChaCha(mul=2, nonce=NONCE)
+    h = Blake3(tuple(range(1, 9)))
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    ref = jax.vmap(
+        lambda s, a, b: _vdpf.gen(prg, h.xor_hash, g, in_bits, s, a, b))(
+            s0s, blk.pack_inputs(alphas, in_bits), betas)
+    got = vdpf_pallas.gen_batch(NONCE, h.xor_hash, g, in_bits, s0s,
+                                alphas, betas, block_rows=8,
+                                interpret=True)
+    for name, r, o in zip(("cws", "cs", "ocw", "fail"), ref, got):
+        assert np.array_equal(np.asarray(o), np.asarray(r)), name
