@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast bench bench-all bench-native format lint dryrun
+.PHONY: test test-fast bench bench-all bench-native format lint dryrun golden
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -30,3 +30,7 @@ lint:
 dryrun:
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+# Regenerate golden vectors from the actual reference code (g++ + shim).
+golden:
+	$(MAKE) -C tests/golden

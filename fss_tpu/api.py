@@ -393,12 +393,12 @@ class Vdpf:
                               cs, ocw)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
 def _vdmpf_batch_eval(prg, xor_hash, hash64, group, in_bits, bucket_bits,
-                      party, kappa, sigma, m_b, s0, cws, cs, ocw, xs):
+                      party, kappa, fold, sigma, m_b, s0, cws, cs, ocw, xs):
     key = _vdmpf.VdmpfKey(sigma, m_b[0], m_b[1], s0, cws, cs, ocw)
     return _vdmpf.batch_eval(prg, xor_hash, hash64, group, in_bits,
-                             bucket_bits, party, key, xs, kappa)
+                             bucket_bits, party, key, xs, kappa, fold)
 
 
 class Vdmpf:
@@ -452,11 +452,15 @@ class Vdmpf:
                 return k0, k1
         raise RuntimeError("vdmpf gen retry budget exhausted")
 
-    def batch_eval(self, party: int, key: "_vdmpf.VdmpfKey", xs):
+    def batch_eval(self, party: int, key: "_vdmpf.VdmpfKey", xs,
+                   fold: str = "tree"):
+        """``fold``: "tree" (default, log-depth batched fold) or
+        "reference" (the reference's sequential chain, byte-compatible
+        with vdmpf.cuh:242-268) — both parties must pick the same."""
         xs = jnp.asarray(xs, dtype=jnp.uint32)
         return _vdmpf_batch_eval(
             self.prg, self.xor_hash, self.hash64, self.group, self.in_bits,
-            self.bucket_bits, int(party), self.kappa, key.sigma,
+            self.bucket_bits, int(party), self.kappa, fold, key.sigma,
             (key.m_rt, key.b_size_rt), key.s0, key.cws, key.cs, key.ocw, xs)
 
     @staticmethod

@@ -13,16 +13,18 @@ Key layout parity (vdmpf.cuh:103-120): per-party key = sigma (PRP seed) +
 runtime m_rt / b_size_rt + stacked bucket keys {cws [m, bucket_bits, 8],
 cs [m, 4, 4], ocw [m, 4], s0 [m, 4]}.
 
-Proof-fold note: the reference folds per-bucket chains then a cross-bucket
-chain (vdmpf.cuh:242-268), an order tied to its sequential routing and
-inherently serial in eta*kappa. This implementation uses the framework's
-documented fold: a Merkle-style tree over [bucket check-seeds ||
-corrected per-point hashes in flat (omega-major, hash-fn-minor) order],
-with duplicate entries replaced by the public zero leaf and the list
-zero-padded to a power of two — log-depth, every level one batched hash
-(schemes.vdpf.prove_tree's structure). Both parties compute the identical
-tree from public data (sigma, xs), which is what Verify requires; proofs
-are NOT byte-compatible with the reference's accumulation order.
+Proof-fold note: two folds are provided (both parties must pick the same
+one). fold="tree" (default) is the framework's documented fast variant: a
+Merkle-style tree over [bucket check-seeds || corrected per-point hashes in
+flat (omega-major, hash-fn-minor) order], with duplicate entries replaced
+by the public zero leaf and the list zero-padded to a power of two —
+log-depth, every level one batched hash. fold="reference" reproduces the
+reference's chain byte-for-byte (vdmpf.cuh:242-268): per-bucket chains
+seeded from each bucket's check seed, folding routed entries in the
+reference's (omega-major, hash-fn-minor) scan order, then a cross-bucket
+chain over all m buckets — O(eta*kappa + m) dependent hashes, for
+wire-format interop (verified against golden vectors from the reference's
+own code in tests/test_golden.py).
 """
 
 from __future__ import annotations
@@ -148,11 +150,12 @@ def route(key: VdmpfKey, in_bits: int, xs, kappa: int = KAPPA):
 
 def batch_eval(prg2, xor_hash, hash64, group, in_bits: int,
                bucket_bits: int, party: int, key: VdmpfKey, xs,
-               kappa: int = KAPPA):
+               kappa: int = KAPPA, fold: str = "tree"):
     """Verifiable batch evaluation (vdmpf.cuh:202-270).
 
-    Returns (ys [eta, 4], pi [4, 4]).
+    Returns (ys [eta, 4], pi [4, 4]). ``fold``: see module docstring.
     """
+    assert fold in ("tree", "reference")
     bucket, index, dup = route(key, in_bits, xs, kappa)
     eta = bucket.shape[0]
 
@@ -196,6 +199,10 @@ def batch_eval(prg2, xor_hash, hash64, group, in_bits: int,
         acc = group.add(acc, yv[:, k])
     ys = group.into_block(acc)
 
+    if fold == "reference":
+        pi = _reference_fold(hash64, key.cs, bflat, dupflat, pt_e)
+        return ys, pi
+
     # Proof: Merkle-style tree fold over [bucket check-seeds || corrected
     # per-point hashes], duplicates replaced by the public zero leaf and
     # the leaf list zero-padded to a power of two (see module docstring).
@@ -214,6 +221,37 @@ def batch_eval(prg2, xor_hash, hash64, group, in_bits: int,
     pi = jnp.concatenate([h[0], jnp.zeros((2, 4), dtype=jnp.uint32)],
                          axis=0)
     return ys, pi
+
+
+def _reference_fold(hash64, cs, bflat, dupflat, pt_e):
+    """The reference's chain fold, byte-exact (vdmpf.cuh:242-268).
+
+    Per-bucket accumulators start from the bucket check seeds; flat entry
+    order IS the reference's (omega-major, hash-fn-minor) routing order,
+    and each step only touches its own bucket's accumulator, so one scan
+    over all entries reproduces every per-bucket chain. Then a chain over
+    all m buckets (empty ones included) yields pi. H' output is 32B and
+    updates only lanes 0-1 of the 64B accumulator, as in Vdpf::Prove.
+    """
+    def entry_step(pbs, inp):
+        b, d, pt = inp
+        pb = pbs[b]
+        h = hash64(jnp.bitwise_xor(pb, pt))
+        pb_new = pb.at[:2].set(jnp.bitwise_xor(pb[:2], h))
+        pb_new = jnp.where(d, pb, pb_new)
+        return pbs.at[b].set(pb_new), None
+
+    pbs, _ = jax.lax.scan(
+        entry_step, jnp.asarray(cs, dtype=jnp.uint32),
+        (bflat.astype(jnp.int32), dupflat, pt_e))
+
+    def cross_step(pi, pb):
+        h = hash64(jnp.bitwise_xor(pi, pb))
+        return pi.at[:2].set(jnp.bitwise_xor(pi[:2], h)), None
+
+    pi, _ = jax.lax.scan(cross_step, jnp.zeros((4, 4), dtype=jnp.uint32),
+                         pbs)
+    return pi
 
 
 def _batched_hash64(hash64):
