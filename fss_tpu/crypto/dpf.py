@@ -49,12 +49,11 @@ def _make_group(group: str, in_bits: int):
 
 
 class Dpf:
-    """2-party Distributed Point Function.
+    """2-party DPF with the fss_crypto tensor contract.
 
-    Args:
-        in_bits: Input domain bit size (1..128).
-        group: Output group type, "bytes" or "uint".
-        prg: PRG type, "chacha" or "aes128_mmo".
+    Config strings match the reference: ``in_bits`` in 1..128, ``group``
+    in {"bytes", "uint"}, ``prg`` in {"chacha", "aes128_mmo"}. Tensors are
+    int32 (torch or numpy) in the reference's shapes.
     """
 
     def __init__(self, in_bits: int, group: str = "bytes",
@@ -70,16 +69,8 @@ class Dpf:
                              prg=_make_prg(prg, 2))
 
     def gen(self, s0s, alpha: int, beta):
-        """Generate DPF keys.
-
-        Args:
-            s0s: (2, 4) int32 tensor of initial seeds.
-            alpha: Point function input in [0, 2^in_bits).
-            beta: (4,) int32 tensor of point function output.
-
-        Returns:
-            (in_bits+1, 8) int32 tensor of correction words.
-        """
+        """Dealer step: (2, 4) seeds + alpha + (4,) beta ->
+        (in_bits+1, 8) int32 correction words."""
         validate_s0s(s0s)
         validate_alpha(alpha, self.in_bits)
         validate_beta(beta)
@@ -89,17 +80,8 @@ class Dpf:
         return tz.from_u32(cws, like=s0s)
 
     def eval(self, party: int, s0, cws, x):
-        """Evaluate DPF on a single input (or an int array of inputs).
-
-        Args:
-            party: Party index, 0 or 1.
-            s0: (4,) int32 tensor, the party's initial seed.
-            cws: (in_bits+1, 8) int32 tensor from gen().
-            x: Input to evaluate (int), or a uint array of inputs.
-
-        Returns:
-            (4,) int32 tensor output share ((N, 4) for array inputs).
-        """
+        """(4,) int32 share for a scalar x; (N, 4) for array inputs (the
+        batched-first extension over the reference's scalar-only eval)."""
         validate_party(party)
         validate_s0(s0)
         validate_cws(cws, self.in_bits)
@@ -114,10 +96,7 @@ class Dpf:
         return tz.from_u32(y, like=s0)
 
     def eval_all(self, party: int, s0, cws):
-        """Evaluate DPF on the full input domain.
-
-        Returns: (2^in_bits, 4) int32 tensor of output shares.
-        """
+        """(2^in_bits, 4) int32 shares over the whole domain."""
         validate_party(party)
         validate_s0(s0)
         validate_cws(cws, self.in_bits)

@@ -258,7 +258,8 @@ def vdpf_eval_all_sharded(prg2, xor_hash, hash64, group, in_bits: int,
             pts = xor_hash(x_lanes, s_l)
             pts = jnp.where(t_l.astype(jnp.bool_)[..., None, None],
                             jnp.bitwise_xor(pts, cs), pts)
-            cs_v = jax.lax.pvary(cs, (axis,))  # shard_map carry typing
+            # shard_map carry typing: mark cs varying over the mesh axis
+            cs_v = jax.lax.pcast(cs, (axis,), to="varying")
             pi_local = _vdpf.prove(hash64, pts, cs_v)
             # Ordered shard merge: chain over shard proofs, seeded at cs.
             all_pi = jax.lax.all_gather(pi_local, axis)  # [n_shards, 4, 4]

@@ -12,17 +12,44 @@ fss_tpu.schemes.vdmpf; the host twin here serves Gen and tests.
 
 from __future__ import annotations
 
-import math
+
+
+def _log2_series(x: float) -> float:
+    """The reference's constexpr Log2 (cuckoo_hash.cuh:32-51): 40-term
+    atanh series on the mantissa in [1, 2). Mirrored operation-for-
+    operation (Python floats are IEEE doubles) so ch_bucket can never
+    disagree with the reference by a rounding ulp that straddles an
+    integer — libm log2 could."""
+    e = 0
+    m = x
+    while m >= 2.0:
+        m /= 2.0
+        e += 1
+    while m < 1.0:
+        m *= 2.0
+        e -= 1
+    y = (m - 1.0) / (m + 1.0)
+    y2 = y * y
+    total = 0.0
+    term = y
+    for k in range(40):
+        total += term / (2 * k + 1)
+        term *= y2
+    return e + 2.0 * total / 0.6931471805599453
 
 
 def ch_bucket(t: int, lam: int) -> int:
     """Bucket count m from Lemma 5 / Remark 1 (cuckoo_hash.cuh:76-84).
 
     e = (lambda + 130 + log2(t)) / 123.5; m = ceil(e * t). Requires t >= 30.
+    Uses the reference's exact constexpr Log2/Ceil arithmetic (golden-
+    checked in tests/test_golden.py::test_cuckoo_ch_bucket).
     """
     assert t >= 30, "t must be >= 30 (Remark 1 of the paper)"
-    e = (float(lam) + 130.0 + math.log2(float(t))) / 123.5
-    return int(math.ceil(e * t))
+    e = (float(lam) + 130.0 + _log2_series(float(t))) / 123.5
+    val = e * float(t)
+    i = int(val)  # truncation, as the reference's Ceil does
+    return i + 1 if val > float(i) else i
 
 
 class Mt19937:

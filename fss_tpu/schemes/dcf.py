@@ -93,10 +93,8 @@ def gen(prg4, group, in_bits: int, pred: str, s0s: jax.Array, alpha,
         t0n = tk0 ^ (t0 & tcw)
         t1n = tk1 ^ (t1 & tcw)
 
-        s_row = blk.set_lsb(blk.set_lsb(s_cw, tl_cw), tl_cw)
         v_row = blk.set_lsb(group.into_block(v_cw), tr_cw)
         row = jnp.concatenate([blk.set_lsb(s_cw, tl_cw), v_row], axis=-1)
-        del s_row
         return (s0n, s1n, t0n, t1n, v), row
 
     (s0, s1, t0, t1, v), cw_rows = jax.lax.scan(
