@@ -119,6 +119,35 @@ def _bench_registry():
     a_l = blk.pack_inputs(
         rng.integers(0, 2**ib, size=B, dtype=np.uint32), ib)
     betas = jnp.asarray(blk.block(rng.integers(0, 2**32, size=(B, 4))))
+
+    # DPF eval with the AES-MMO PRG: fused bitsliced plane-domain kernel
+    # (ops/aes_pallas.py; the reference's GPU soft-AES does 50.3 M/s,
+    # its README.md:374).
+    from fss_tpu.ops import aes_pallas as _aesk
+    from fss_tpu.prg.aes import Aes128Mmo
+    aes_keys = (bytes(range(16)), bytes(range(16, 32)))
+    prga = Aes128Mmo(mul=2, keys=aes_keys)
+    Ba = 1 << 19
+    cwsa = jax.jit(jax.vmap(
+        lambda s, a, b: _dpf.gen(prga, g, ib, s, a, b)))(
+            s0sb[:Ba], a_l[:Ba], betas[:Ba])
+    xsa = jnp.asarray(rng.integers(0, 2**ib, size=Ba, dtype=np.uint32))
+    asp, acwp, axp, aocw, _ = jax.jit(
+        _aesk.pack_eval, static_argnames=("in_bits", "block_rows"))(
+            s0sb[:Ba, 0], cwsa, xsa, in_bits=ib)
+
+    @jax.jit
+    def fae(sp, cwp, xp, ocw):
+        so, to = _aesk.eval_packed(sp, cwp, xp, in_bits=ib, party=0,
+                                   keys=aes_keys)
+        s, t = _aesk.unpack_out(so, to, Ba)
+        y = g.from_block(s)
+        y = jnp.where(t.astype(jnp.bool_)[:, None],
+                      g.add(y, g.from_block(ocw)), y)
+        return jnp.sum(g.into_block(y)[:, 0])
+
+    out.append(("dpf_eval_aes_uint_16bit",
+                _timeit(fae, (asp, acwp, axp, aocw), Ba), "evals/s/chip"))
     from fss_tpu.ops import dpf_pallas as _dpfk
     alphas_u32 = rng.integers(0, 2**ib, size=B, dtype=np.uint32)
     fg = jax.jit(lambda s, a, b: jnp.sum(_dpfk.gen_batch(

@@ -20,6 +20,7 @@ import numpy as np
 
 from fss_tpu import block as blk
 from fss_tpu import groups
+from fss_tpu.prg.aes import Aes128Mmo
 from fss_tpu.prg.chacha import ChaCha
 from fss_tpu.schemes import dcf as _dcf
 from fss_tpu.schemes import dpf as _dpf
@@ -171,6 +172,13 @@ class Dpf:
                 self.prg.nonce, self.group, self.in_bits, int(party),
                 jnp.asarray(s0), jnp.asarray(cws),
                 jnp.asarray(xs, dtype=jnp.uint32), rounds=self.prg.rounds)
+        if (_use_tpu_kernels() and isinstance(self.prg, Aes128Mmo)
+                and _plain_u32_inputs(xs, self.in_bits)):
+            from fss_tpu.ops import aes_pallas
+            return aes_pallas.eval_points(
+                self.prg.keys, self.group, self.in_bits, int(party),
+                jnp.asarray(s0), jnp.asarray(cws),
+                jnp.asarray(xs, dtype=jnp.uint32))
         x = blk.pack_inputs(xs, self.in_bits)
         return _dpf_eval(self.prg, self.group, self.in_bits, int(party),
                          s0, cws, x)

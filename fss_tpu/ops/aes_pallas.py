@@ -1,0 +1,396 @@
+"""Fused Pallas TPU kernel for DPF point evaluation with the AES-MMO PRG.
+
+The reference's GPU answer to software AES is shared-memory T-tables
+(aes128_mmo_soft.cuh, 50.3 M evals/s on an A6000); table gathers are
+~serial on TPU, so here the WHOLE eval — tree walk included — runs in the
+bitsliced plane domain: each of the 128 state bits is a plane of packed
+instance bits (32 instances per uint32 word), AES is the tower-field
+boolean circuit from prg/aes_bitsliced.py, and correction-word application
+/ child selection are plane-wise masked XORs. Converting between word and
+plane domains costs five shift/mask passes per 32-bit group, so the word
+<-> plane transposes happen exactly once at the batch boundary instead of
+twice per tree level (which is what capped the jnp path at ~4 M evals/s).
+
+Plane layout: plane index p = 16*bit + byte (bit-major, byte-minor), so
+each bit's 16 bytes form one contiguous [16, R, 128] slice in VMEM.
+Arrays are [planes, T, 128] with T = ceil(B/32)/128 row-tiles; the grid is
+(T/block_rows, in_bits) with the level dimension innermost and the walk
+state carried in VMEM scratch across level steps — correction words
+stream level-by-level, keeping VMEM flat regardless of in_bits.
+
+Cost: ~2.9k vector ops per AES (tower S-box), 2 AES per level; a 16-bit
+eval is ~49k uint32 word-ops per instance, a ~80 M evals/s/chip VPU
+ceiling at the 3.9e12 ops/s envelope (cf. docs/benchmarks.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fss_tpu.prg.aes_bitsliced import (
+    _round_key_bytes,
+    _sbox_planes,
+    _transpose32,
+    _XTIME_MAT,
+)
+
+LANES = 128
+DEFAULT_BLOCK_ROWS = 8
+
+_FULL = np.uint32(0xFFFFFFFF)
+
+# State bit-values are shaped [4, 4, R, 128] = [col, row, sublanes, lanes]
+# (byte index = 4*col + row, matching the block's byte memory order), so
+# ShiftRows and the MixColumns byte rotations are slice+concatenate rolls
+# and no gather or captured index array ever enters the kernel.
+
+
+def _shift_rows(bits):
+    """out[c, r] = in[(c + r) % 4, r] (row r rotates left r columns)."""
+    out = []
+    for v in bits:
+        rows = []
+        for r in range(4):
+            col = v[:, r]
+            rows.append(col if r == 0 else
+                        jnp.concatenate([col[r:], col[:r]], axis=0))
+        out.append(jnp.stack(rows, axis=1))
+    return out
+
+
+def _rot_rows(v, k: int):
+    """out[c, r] = v[c, (r + k) % 4] (within-column byte rotation)."""
+    return jnp.concatenate([v[:, k:], v[:, :k]], axis=1)
+
+
+def _xtime_bits(bits):
+    out = []
+    for i in range(8):
+        m = _XTIME_MAT[i]
+        acc = None
+        for j in range(8):
+            if (m >> j) & 1:
+                acc = bits[j] if acc is None else acc ^ bits[j]
+        out.append(acc)
+    return out
+
+
+def _mix_columns(bits):
+    xt = _xtime_bits(bits)
+    return [xt[b] ^ _rot_rows(xt[b] ^ bits[b], 1)
+            ^ _rot_rows(bits[b], 2) ^ _rot_rows(bits[b], 3)
+            for b in range(8)]
+
+
+def _byte_iota():
+    """[4, 4, 1, 1] uint32 byte indices (4*col + row), built in-kernel."""
+    c = jax.lax.broadcasted_iota(jnp.uint32, (4, 4, 1, 1), 0)
+    r = jax.lax.broadcasted_iota(jnp.uint32, (4, 4, 1, 1), 1)
+    return c * np.uint32(4) + r
+
+
+def _pattern_mask(byte_idx, pattern: int):
+    """0/~0 mask per byte from a 16-bit scalar pattern."""
+    return (np.uint32(0) - ((np.uint32(pattern) >> byte_idx)
+                            & np.uint32(1)))
+
+
+def _key_patterns(rk_bytes):
+    """[11, 16] uint8 round keys -> [11][8] 16-bit scalar patterns
+    (which bytes have bit b set); zero patterns are skipped at trace."""
+    pats = []
+    for r in range(11):
+        per_bit = []
+        for b in range(8):
+            pat = 0
+            for c in range(16):
+                if (int(rk_bytes[r, c]) >> b) & 1:
+                    pat |= 1 << c
+            per_bit.append(pat)
+        pats.append(per_bit)
+    return pats
+
+
+def _aes_bits(bits, key_pats, byte_idx):
+    """AES-128 on 8 bit-values of shape [4, 4, R, L]; round keys folded
+    in as iota-derived constant masks (Mosaic constant-folds them)."""
+
+    def keyadd(x, r):
+        return [x[b] ^ _pattern_mask(byte_idx, key_pats[r][b])
+                if key_pats[r][b] else x[b] for b in range(8)]
+
+    x = keyadd(bits, 0)
+    for r in range(1, 10):
+        x = _sbox_planes(x)
+        x = _shift_rows(x)
+        x = _mix_columns(x)
+        x = keyadd(x, r)
+    x = _sbox_planes(x)
+    x = _shift_rows(x)
+    return keyadd(x, 10)
+
+
+def _make_eval_kernel(in_bits: int, party: int, key_pats):
+    """key_pats: tuple of 2 per-key round-key pattern structures."""
+
+    def kernel(sp_ref, cw_ref, xp_ref, so_ref, to_ref, st_ref, t_ref):
+        i = pl.program_id(1)
+        byte_idx = _byte_iota()
+        # Clears the clamped bit's plane: bit 0 of byte 12 = (c=3, r=0).
+        mask96 = ~_pattern_mask(byte_idx, 1 << 12)
+
+        @pl.when(i == 0)
+        def _init():
+            st_ref[...] = sp_ref[...]
+            # Plane index 12 = bit 0 of byte 12 (the clamped bit).
+            st_ref[12] = jnp.zeros_like(st_ref[12])
+            t_ref[...] = jnp.full(
+                t_ref.shape, _FULL if party else np.uint32(0),
+                dtype=jnp.uint32)
+
+        R, L = st_ref.shape[1], st_ref.shape[2]
+        s_bits = [st_ref[16 * b:16 * (b + 1)].reshape(4, 4, R, L)
+                  for b in range(8)]
+        t = t_ref[...]
+
+        # MMO per key: child = AES_k(s) ^ s (aes128_mmo.cuh:79-89).
+        children = []
+        for k in range(2):
+            e = _aes_bits(s_bits, key_pats[k], byte_idx)
+            children.append([e[b] ^ s_bits[b] for b in range(8)])
+        l_bits, r_bits = children
+
+        tl = l_bits[0][3, 0]
+        tr = r_bits[0][3, 0]
+        l_bits[0] = l_bits[0] & mask96
+        r_bits[0] = r_bits[0] & mask96
+
+        cw = cw_ref[0]  # [130, R, L]; s_cw plane 12 pre-zeroed at pack
+        for b in range(8):
+            cwb = cw[16 * b:16 * (b + 1)].reshape(4, 4, R, L) & t[None]
+            l_bits[b] = l_bits[b] ^ cwb
+            r_bits[b] = r_bits[b] ^ cwb
+        tl = tl ^ (t & cw[128])
+        tr = tr ^ (t & cw[129])
+
+        xb = xp_ref[0]
+        out_bits = [l_bits[b] ^ (xb[None] & (l_bits[b] ^ r_bits[b]))
+                    for b in range(8)]
+        t_ref[...] = tl ^ (xb & (tl ^ tr))
+        st_ref[...] = jnp.concatenate(
+            [v.reshape(16, R, L) for v in out_bits], axis=0)
+
+        so_ref[...] = st_ref[...]
+        to_ref[...] = t_ref[...]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Word <-> plane packing (XLA level; once per batch)
+# ---------------------------------------------------------------------------
+
+
+def _bytes_to_planes(byte_vals):
+    """[nb, Bp] uint32 byte values -> [nb, 8, W] bit planes (W = Bp/32,
+    instance j of word g is batch element 32g + j)."""
+    nb, Bp = byte_vals.shape
+    w = byte_vals.reshape(nb, Bp // 32, 32)
+    tr = _transpose32(w)  # [..., i] = plane of bit i
+    return jnp.moveaxis(tr, -1, 1)[:, :8]  # [nb, 8, W]
+
+
+def _planes_to_bytes(planes):
+    """[nb, nbit <= 32, W] planes -> [nb, W*32] values."""
+    nb, nbit, W = planes.shape
+    rows = jnp.concatenate(
+        [planes, jnp.zeros((nb, 32 - nbit, W), dtype=jnp.uint32)], axis=1)
+    tr = _transpose32(jnp.moveaxis(rows, 1, -1))  # [nb, W, 32]
+    return tr.reshape(nb, W * 32)
+
+
+def _pad_batch(arrs, B: int, tile: int):
+    Bp = ((B + tile - 1) // tile) * tile
+    return [jnp.pad(a, [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1))
+            for a in arrs], Bp
+
+
+def pack_eval(s0: jax.Array, cws: jax.Array, xs: jax.Array, in_bits: int,
+              block_rows: int = DEFAULT_BLOCK_ROWS):
+    """Word-domain inputs -> plane-domain kernel layout.
+
+    s0 [B, 4] (or [4] shared); cws [B, in_bits+1, 8] (or [in_bits+1, 8]
+    shared across the batch — broadcast in plane space, where a shared key
+    is 0/~0 constant planes); xs [B] uint32. Returns (sp [128, T, 128],
+    cwp [in_bits, 130, T, 128], xp [in_bits, T, 128], ocw, B).
+    """
+    xs = jnp.asarray(xs, dtype=jnp.uint32)
+    B = xs.shape[0]
+    tile = 32 * LANES * block_rows
+    (xsp,), Bp = _pad_batch([xs], B, tile)
+    W = Bp // 32
+    T = W // LANES
+
+    shared_key = cws.ndim == 2
+    if shared_key:
+        s0b, cwsb = s0[None], cws[None]
+        Wk, Tk = 1, 1
+    else:
+        (s0b, cwsb), _ = _pad_batch([s0, cws], B, tile)
+        Wk, Tk = W, T
+
+    # Seeds: 16 byte streams. For a shared key, 32 replicated instances
+    # make one word whose planes are 0/~0 constants, broadcast below.
+    sbytes = jnp.stack([(s0b[:, c // 4] >> np.uint32(8 * (c % 4)))
+                        & np.uint32(0xFF) for c in range(16)])
+    if shared_key:
+        sbytes = sbytes.repeat(32, axis=1)
+    sp8 = _bytes_to_planes(sbytes)  # [16, 8, Wk]
+    # plane p = bit*16 + byte.
+    sp = jnp.transpose(sp8, (1, 0, 2)).reshape(128, Wk)
+
+    # Correction words: per level, 16 s_cw byte streams + tl/tr planes.
+    lv = cwsb[:, :in_bits]  # [Bk, n, 8]
+    cbytes = jnp.stack([
+        (lv[:, :, c // 4] >> np.uint32(8 * (c % 4))) & np.uint32(0xFF)
+        for c in range(16)])  # [16, Bk, n]
+    cb = jnp.transpose(cbytes, (2, 0, 1)).reshape(in_bits * 16, -1)
+    if shared_key:
+        cb = cb.repeat(32, axis=1)
+    cp8 = _bytes_to_planes(cb).reshape(in_bits, 16, 8, Wk)
+    cwp_s = jnp.transpose(cp8, (0, 2, 1, 3)).reshape(in_bits, 128, Wk)
+    # tl = plane (bit0, byte12); extract then zero it.
+    tl = cwp_s[:, 12]
+    cwp_s = cwp_s.at[:, 12].set(jnp.zeros_like(tl))
+    trw = lv[:, :, 4] & np.uint32(1)  # [Bk, n]
+    trb = jnp.transpose(trw, (1, 0))
+    if shared_key:
+        trb = trb.repeat(32, axis=1)
+    tr = _bytes_to_planes(trb)[:, 0]  # bit 0 plane [n, Wk]
+    cwp = jnp.concatenate([cwp_s, tl[:, None], tr[:, None]], axis=1)
+
+    if shared_key:
+        sp = jnp.broadcast_to(sp[:, :1], (128, W))
+        cwp = jnp.broadcast_to(cwp[:, :, :1], (in_bits, 130, W))
+
+    sp = sp.reshape(128, T, LANES)
+    cwp = cwp.reshape(in_bits, 130, T, LANES)
+
+    # Input bits, one plane per level (MSB first).
+    xbits = _bytes_to_planes(
+        jnp.stack([(xsp >> np.uint32(8 * k)) & np.uint32(0xFF)
+                   for k in range(4)]))  # [4, 8, W]
+    xplane = xbits.reshape(32, W)  # bit index = 8*k + b
+    levels = [xplane[in_bits - 1 - i] for i in range(in_bits)]
+    xp = jnp.stack(levels).reshape(in_bits, T, LANES)
+
+    ocw = (cws[None] if shared_key else cwsb)[:, in_bits, 0:4]
+    return sp, cwp, xp, ocw, B
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("in_bits", "party", "keys",
+                                    "block_rows", "interpret"))
+def eval_packed(sp, cwp, xp, in_bits: int, party: int, keys,
+                block_rows: int = DEFAULT_BLOCK_ROWS,
+                interpret: bool = False):
+    """Run the fused plane-domain kernel. keys: tuple of 2 16-byte AES
+    keys. Returns (so [128, T, 128], t [T, 128]) planes."""
+    T = sp.shape[1]
+    assert T % block_rows == 0
+    key_pats = tuple(
+        tuple(map(tuple, _key_patterns(_round_key_bytes(k))))
+        for k in keys)
+    kern = _make_eval_kernel(in_bits, party, key_pats)
+    R = block_rows
+    so, to = pl.pallas_call(
+        kern,
+        grid=(T // R, in_bits),
+        in_specs=[
+            pl.BlockSpec((128, R, LANES), lambda w, i: (0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 130, R, LANES), lambda w, i: (i, 0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda w, i: (i, w, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((128, R, LANES), lambda w, i: (0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda w, i: (w, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((128, T, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((T, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((128, R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(sp, cwp, xp)
+    return so, to
+
+
+def unpack_out(so: jax.Array, to: jax.Array, batch: int):
+    """Plane outputs -> ([B, 4] seed blocks, [B] t bits).
+
+    Words are assembled directly from 32 planes with one bit-transpose per
+    output word — no byte-shift assembly. (The byte-wise formulation also
+    triggered an XLA:TPU miscompile when fused: the third byte stream of
+    each word came out wrong unless the byte values were also a program
+    output. The plane-direct form is both correct and cheaper.)
+    """
+    T = so.shape[1]
+    W = T * LANES
+    planes = so.reshape(128, W)  # plane p = 16*bit + byte
+    words = []
+    for w in range(4):
+        rows = [planes[16 * (i % 8) + 4 * w + i // 8] for i in range(32)]
+        tr = _transpose32(jnp.stack(rows, axis=-1))  # [W, 32]
+        words.append(tr.reshape(W * 32))
+    s = jnp.stack(words, axis=-1)[:batch]
+    tbits = _planes_to_bytes(to.reshape(1, 1, W))[0]
+    return s, tbits[:batch]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("keys", "group", "in_bits", "party",
+                                    "block_rows", "interpret"))
+def _eval_points_jit(keys, group, in_bits, party, s0, cws, xs, block_rows,
+                     interpret):
+    sp, cwp, xp, ocw, B = pack_eval(s0, cws, xs, in_bits, block_rows)
+    so, to = eval_packed(sp, cwp, xp, in_bits=in_bits, party=party,
+                         keys=keys, block_rows=block_rows,
+                         interpret=interpret)
+    s, t = unpack_out(so, to, B)
+    y = group.from_block(s)
+    ocwb = ocw if ocw.shape[0] == 1 else ocw[:B]
+    y = jnp.where(t.astype(jnp.bool_)[:, None],
+                  group.add(y, group.from_block(ocwb)), y)
+    if party:
+        y = group.neg(y)
+    return group.into_block(y)
+
+
+def eval_points(prg_keys, group, in_bits: int, party: int, s0: jax.Array,
+                cws: jax.Array, xs: jax.Array,
+                block_rows: int = DEFAULT_BLOCK_ROWS,
+                interpret: bool = False) -> jax.Array:
+    """Pack + kernel + finalize, one jitted program (mirror of
+    dpf_pallas.eval_points for the AES-MMO PRG). prg_keys: tuple of 2
+    16-byte AES keys."""
+    return _eval_points_jit(tuple(bytes(k) for k in prg_keys), group,
+                            in_bits, int(party), jnp.asarray(s0),
+                            jnp.asarray(cws),
+                            jnp.asarray(xs, dtype=jnp.uint32), block_rows,
+                            interpret)

@@ -103,26 +103,217 @@ def _gf_sq(a):
     return _apply_matrix(_SQ_MAT, a)
 
 
-def _sbox_planes(b):
-    """Bitsliced AES S-box on 8 planes: inverse (x^254) + affine."""
-    x2 = _gf_sq(b)
-    x3 = _gf_mul(x2, b)
-    x12 = _gf_sq(_gf_sq(x3))
-    x15 = _gf_mul(x12, x3)
-    x240 = _gf_sq(_gf_sq(_gf_sq(_gf_sq(x15))))
-    x252 = _gf_mul(x240, x12)
-    inv = _gf_mul(x252, x2)  # x^254
-    ones = None
-    out = []
+# ---------------------------------------------------------------------------
+# Tower-field S-box: GF(2^8) inversion via GF(((2^2)^2)^2)
+#
+# The x^254 addition chain costs ~840 gates/byte (4 full GF(2^8)
+# multiplies); decomposing into the tower cuts inversion to ~140 gates
+# (GF(4) multiply = 3 AND + 4 XOR; GF(16) inversion bottoms out in GF(4)
+# where inverse == squaring, which is linear). Everything below — the
+# tower constants, the AES<->tower basis-change matrices, and the merged
+# affine output matrix — is DERIVED numerically at import and the final
+# circuit is verified against the true S-box on all 256 inputs; nothing
+# is transcribed from published netlists.
+# ---------------------------------------------------------------------------
+
+def _gf4_mul_int(a, b):
+    """GF(4) = GF(2)[u]/(u^2+u+1), elements 0..3 with bit1 = u."""
+    a0, a1 = a & 1, a >> 1
+    b0, b1 = b & 1, b >> 1
+    p, q, r = a1 & b1, a0 & b0, (a0 ^ a1) & (b0 ^ b1)
+    return ((r ^ q) << 1) | (q ^ p)
+
+
+def _gf16_mul_int(a, b, n):
+    """GF(16) = GF(4)[v]/(v^2+v+n): Karatsuba over GF(4)."""
+    ah, al = a >> 2, a & 3
+    bh, bl = b >> 2, b & 3
+    ph = _gf4_mul_int(ah, bh)
+    pl = _gf4_mul_int(al, bl)
+    pm = _gf4_mul_int(ah ^ al, bh ^ bl)
+    return ((pm ^ pl) << 2) | (pl ^ _gf4_mul_int(n, ph))
+
+
+def _gf256t_mul_int(a, b, n, m):
+    """GF(256) = GF(16)[w]/(w^2+w+m) over GF(16) with v^2+v+n."""
+    ah, al = a >> 4, a & 15
+    bh, bl = b >> 4, b & 15
+    ph = _gf16_mul_int(ah, bh, n)
+    pl = _gf16_mul_int(al, bl, n)
+    pm = _gf16_mul_int(ah ^ al, bh ^ bl, n)
+    return ((pm ^ pl) << 4) | (pl ^ _gf16_mul_int(m, ph, n))
+
+
+def _find_tower():
+    """Pick tower constants (n, m) and the AES->tower isomorphism.
+
+    n in GF(4) with v^2+v+n irreducible over GF(4); m in GF(16) with
+    w^2+w+m irreducible over GF(16); then map the AES basis {g^i} for
+    g = 0x02 (a root of x^8+x^4+x^3+x+1) onto {h^i} for a tower root h
+    of the same polynomial — multiplicative and GF(2)-linear by
+    construction.
+    """
+    for n in range(1, 4):
+        if any(_gf4_mul_int(x, x) ^ x ^ n == 0 for x in range(4)):
+            continue  # reducible
+        for m in range(1, 16):
+            if any(_gf16_mul_int(x, x, n) ^ x ^ m == 0 for x in range(16)):
+                continue
+            for h in range(2, 256):
+                # h must be a root of the AES polynomial in the tower.
+                acc, powers = 0, []
+                p = 1
+                for _ in range(9):
+                    powers.append(p)
+                    p = _gf256t_mul_int(p, h, n, m)
+                for e in (0, 1, 3, 4, 8):  # x^8+x^4+x^3+x+1
+                    acc ^= powers[e]
+                if acc != 0:
+                    continue
+                # AES bytes are polynomials in x = 0x02, so the algebra
+                # homomorphism sending x -> h maps basis vector 2^i to
+                # h^i: that IS the basis-change matrix (column i = h^i).
+                to_tower = np.zeros((8, 8), dtype=np.uint8)
+                for i in range(8):
+                    img = powers[i]
+                    for r in range(8):
+                        to_tower[r, i] = (img >> r) & 1
+                return n, m, to_tower
+    raise AssertionError("no tower constants found")
+
+
+def _gf2_mat_inv(mat):
+    n = mat.shape[0]
+    a = np.concatenate([mat.astype(np.uint8), np.eye(n, dtype=np.uint8)],
+                       axis=1)
+    for col in range(n):
+        piv = next(r for r in range(col, n) if a[r, col])
+        a[[col, piv]] = a[[piv, col]]
+        for r in range(n):
+            if r != col and a[r, col]:
+                a[r] ^= a[col]
+    return a[:, n:]
+
+
+def _tower_setup():
+    n, m, to_tower = _find_tower()
+    from_tower = _gf2_mat_inv(to_tower)
+    # Affine layer matrix (rotational XOR part of the S-box).
+    aff = np.zeros((8, 8), dtype=np.uint8)
     for i in range(8):
-        v = (inv[i] ^ inv[(i + 4) % 8] ^ inv[(i + 5) % 8]
-             ^ inv[(i + 6) % 8] ^ inv[(i + 7) % 8])
-        if (_AFFINE_C >> i) & 1:
-            if ones is None:
-                ones = ~jnp.zeros_like(v)
-            v = v ^ ones
-        out.append(v)
+        for j in (0, 4, 5, 6, 7):
+            aff[i, (i + j) % 8] ^= 1
+    out_mat = (aff @ from_tower) % 2
+    # Row masks for _apply_matrix (mat[i] = input bitmask of output i).
+    in_rows = [int(sum((int(to_tower[i, j]) << j) for j in range(8)))
+               for i in range(8)]
+    out_rows = [int(sum((int(out_mat[i, j]) << j) for j in range(8)))
+                for i in range(8)]
+    # GF(4) scale-by-n and GF(16) scale-by-m / squaring as bit matrices.
+    sq16 = [0] * 4
+    sclm = [0] * 4
+    for j in range(4):
+        s = _gf16_mul_int(1 << j, 1 << j, n)
+        c = _gf16_mul_int(m, 1 << j, n)
+        for i in range(4):
+            sq16[i] |= ((s >> i) & 1) << j
+            sclm[i] |= ((c >> i) & 1) << j
+    scln = [0] * 2
+    for j in range(2):
+        c = _gf4_mul_int(n, 1 << j)
+        for i in range(2):
+            scln[i] |= ((c >> i) & 1) << j
+    return n, m, in_rows, out_rows, sq16, sclm, scln
+
+
+(_TOWER_N, _TOWER_M, _TO_TOWER_ROWS, _FROM_TOWER_ROWS, _SQ16_MAT,
+ _SCALE_M_MAT, _SCALE_N_MAT) = _tower_setup()
+
+
+def _mat_rows(mat, bits):
+    """Apply a bit-matrix given as per-output-row input masks."""
+    out = []
+    for mrow in mat:
+        acc = None
+        for j, b in enumerate(bits):
+            if (mrow >> j) & 1:
+                acc = b if acc is None else acc ^ b
+        out.append(acc if acc is not None else bits[0] ^ bits[0])
     return out
+
+
+def _gf4_mul_planes(a, b):
+    """3 AND + 4 XOR."""
+    p = a[1] & b[1]
+    q = a[0] & b[0]
+    r = (a[0] ^ a[1]) & (b[0] ^ b[1])
+    return [q ^ p, r ^ q]
+
+
+def _gf16_mul_planes(a, b):
+    ah, al = a[2:4], a[0:2]
+    bh, bl = b[2:4], b[0:2]
+    ph = _gf4_mul_planes(ah, bh)
+    pl = _gf4_mul_planes(al, bl)
+    pm = _gf4_mul_planes([ah[0] ^ al[0], ah[1] ^ al[1]],
+                         [bh[0] ^ bl[0], bh[1] ^ bl[1]])
+    nph = _mat_rows(_SCALE_N_MAT, ph)
+    return [pl[0] ^ nph[0], pl[1] ^ nph[1], pm[0] ^ pl[0], pm[1] ^ pl[1]]
+
+
+def _gf16_inv_planes(x):
+    """(xh v + xl)^-1 with GF(4) inverse = squaring (linear)."""
+    xh, xl = x[2:4], x[0:2]
+    # d = n*xh^2 + xh*xl + xl^2 in GF(4); squaring in GF(4): [a0^a1, a1].
+    sh = [xh[0] ^ xh[1], xh[1]]
+    nsh = _mat_rows(_SCALE_N_MAT, sh)
+    sl = [xl[0] ^ xl[1], xl[1]]
+    hl = _gf4_mul_planes(xh, xl)
+    d = [nsh[0] ^ hl[0] ^ sl[0], nsh[1] ^ hl[1] ^ sl[1]]
+    di = [d[0] ^ d[1], d[1]]  # inverse == squaring in GF(4)
+    hi = _gf4_mul_planes(xh, di)
+    lo = _gf4_mul_planes([xh[0] ^ xl[0], xh[1] ^ xl[1]], di)
+    return lo + hi
+
+
+def _sbox_planes(b):
+    """Bitsliced AES S-box via the derived tower-field inversion."""
+    t = _mat_rows(_TO_TOWER_ROWS, b)
+    th, tl = t[4:8], t[0:4]
+    # d = m*th^2 + th*tl + tl^2 in GF(16).
+    sh = _mat_rows(_SQ16_MAT, th)
+    msh = _mat_rows(_SCALE_M_MAT, sh)
+    sl = _mat_rows(_SQ16_MAT, tl)
+    hl = _gf16_mul_planes(th, tl)
+    d = [msh[i] ^ hl[i] ^ sl[i] for i in range(4)]
+    di = _gf16_inv_planes(d)
+    hi = _gf16_mul_planes(th, di)
+    lo = _gf16_mul_planes([th[i] ^ tl[i] for i in range(4)], di)
+    inv = _mat_rows(_FROM_TOWER_ROWS, lo + hi)
+    # XOR with a scalar constant keeps the circuit agnostic to numpy vs
+    # traced inputs (the import-time verification runs it on numpy).
+    return [inv[i] ^ np.uint32(0xFFFFFFFF) if (_AFFINE_C >> i) & 1
+            else inv[i] for i in range(8)]
+
+
+def _verify_sbox():
+    """Check the tower circuit against the true S-box on all 256 bytes
+    (integer twin of the plane circuit, exercised at import)."""
+    from fss_tpu.prg.aes import SBOX as _TRUE_SBOX
+
+    xs = np.arange(256, dtype=np.uint64)
+    planes = [((xs >> i) & 1).astype(np.uint32) * np.uint32(0xFFFFFFFF)
+              for i in range(8)]
+    out = _sbox_planes(planes)
+    got = np.zeros(256, dtype=np.uint64)
+    for i in range(8):
+        got |= ((np.asarray(out[i]) & 1).astype(np.uint64)) << i
+    want = np.asarray([_TRUE_SBOX[i] for i in range(256)], dtype=np.uint64)
+    if not np.array_equal(got, want):
+        raise AssertionError("tower-field S-box disagrees with AES S-box")
+
+
+_verify_sbox()
 
 
 def _xtime(b):

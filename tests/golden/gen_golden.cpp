@@ -242,10 +242,10 @@ void dpf_case(Json &j, const char *prg_name, const char *group_name, Prg prg, co
     std::vector<int4> ys(n);
     dpf.EvalAll(false, s0s[0], cws.data(), ys.data());
     j.kv("eval_all_digest0", digest_hex(ys.data(), n * 16));
-    j.kv("eval_all_head0", hex_bytes(ys.data(), 4 * 16));
+    j.kv("eval_all_head0", hex_bytes(ys.data(), (n < 4 ? n : 4) * 16));
     dpf.EvalAll(true, s0s[1], cws.data(), ys.data());
     j.kv("eval_all_digest1", digest_hex(ys.data(), n * 16));
-    j.kv("eval_all_head1", hex_bytes(ys.data(), 4 * 16));
+    j.kv("eval_all_head1", hex_bytes(ys.data(), (n < 4 ? n : 4) * 16));
   }
   j.item_obj_close();
 }
@@ -291,10 +291,10 @@ void dcf_case(Json &j, const char *prg_name, const char *group_name, Prg prg, co
     std::vector<int4> ys(n);
     dcf.EvalAll(false, s0s[0], cws.data(), ys.data());
     j.kv("eval_all_digest0", digest_hex(ys.data(), n * 16));
-    j.kv("eval_all_head0", hex_bytes(ys.data(), 4 * 16));
+    j.kv("eval_all_head0", hex_bytes(ys.data(), (n < 4 ? n : 4) * 16));
     dcf.EvalAll(true, s0s[1], cws.data(), ys.data());
     j.kv("eval_all_digest1", digest_hex(ys.data(), n * 16));
-    j.kv("eval_all_head1", hex_bytes(ys.data(), 4 * 16));
+    j.kv("eval_all_head1", hex_bytes(ys.data(), (n < 4 ? n : 4) * 16));
   }
   j.item_obj_close();
 }
@@ -341,10 +341,10 @@ void half_tree_case(Json &j, const char *prg_name, const char *group_name, Prg p
     std::vector<int4> ys(n);
     ht.EvalAll(false, s0s[0], cws.data(), ocw, ys.data());
     j.kv("eval_all_digest0", digest_hex(ys.data(), n * 16));
-    j.kv("eval_all_head0", hex_bytes(ys.data(), 4 * 16));
+    j.kv("eval_all_head0", hex_bytes(ys.data(), (n < 4 ? n : 4) * 16));
     ht.EvalAll(true, s0s[1], cws.data(), ocw, ys.data());
     j.kv("eval_all_digest1", digest_hex(ys.data(), n * 16));
-    j.kv("eval_all_head1", hex_bytes(ys.data(), 4 * 16));
+    j.kv("eval_all_head1", hex_bytes(ys.data(), (n < 4 ? n : 4) * 16));
   }
   j.item_obj_close();
 }

@@ -1,0 +1,58 @@
+"""Bitsliced plane-domain AES DPF eval kernel vs the word-domain path.
+
+Runs the Pallas kernel in interpret mode (CPU) and asserts bit equality
+with schemes.dpf driven by the FIPS-197-tested table AES, which is itself
+golden-checked against the compiled reference in test_golden.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fss_tpu import block as blk
+from fss_tpu import groups
+from fss_tpu.ops import aes_pallas
+from fss_tpu.prg.aes import Aes128Mmo
+from fss_tpu.schemes import dpf as _dpf
+
+KEYS = (bytes(range(16)), bytes(range(16, 32)))
+
+
+def _setup(rng, in_bits, B):
+    prg = Aes128Mmo(mul=2, keys=KEYS, backend="table")
+    g = groups.Uint(64)
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    xs = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    cws = jax.jit(jax.vmap(
+        lambda s, a, b: _dpf.gen(prg, g, in_bits, s,
+                                 blk.pack_inputs(a, in_bits), b)))(
+        s0s, alphas, betas)
+    return prg, g, s0s, cws, xs
+
+
+@pytest.mark.parametrize("party", [0, 1])
+def test_eval_kernel_batched_keys(rng, party):
+    in_bits, B = 10, 4096
+    prg, g, s0s, cws, xs = _setup(rng, in_bits, B)
+    want = np.asarray(_dpf.eval_points(
+        prg, g, in_bits, party, s0s[:, party], cws,
+        blk.pack_inputs(xs, in_bits)))
+    got = np.asarray(aes_pallas.eval_points(
+        KEYS, g, in_bits, party, s0s[:, party], cws, xs, block_rows=1,
+        interpret=True))
+    assert np.array_equal(got, want)
+
+
+def test_eval_kernel_shared_key(rng):
+    in_bits, B = 10, 4096
+    prg, g, s0s, cws, xs = _setup(rng, in_bits, B)
+    want = np.asarray(_dpf.eval_points(
+        prg, g, in_bits, 0, s0s[0, 0], cws[0],
+        blk.pack_inputs(xs, in_bits)))
+    got = np.asarray(aes_pallas.eval_points(
+        KEYS, g, in_bits, 0, s0s[0, 0], cws[0], xs, block_rows=1,
+        interpret=True))
+    assert np.array_equal(got, want)
