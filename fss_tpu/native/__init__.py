@@ -274,6 +274,185 @@ class NativeEngine:
             ctypes.c_int64(len(xs)), ys_p)
         return ys
 
+    def ht_eval_all(self, in_bits: int, prg_kind: int, group_kind: int,
+                    group_bits: int, party: int, hash_key, s0, cws, ocw,
+                    nonce=None, aes_keys=None,
+                    rounds: int = 20) -> np.ndarray:
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        hk_a, hk_p = self._u32(hash_key)
+        s0_a, s0_p = self._u32(s0)
+        cws_a, cws_p = self._u32(cws)
+        ocw_a, ocw_p = self._u32(ocw)
+        ys = np.zeros((1 << in_bits, 4), dtype=np.uint32)
+        _, ys_p = self._u32(ys)
+        self._lib.fss_ht_eval_all(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            ctypes.c_int(party), hk_p, s0_p, cws_p, ocw_p, ys_p)
+        return ys
+
+    # hash_kind 0 = sha256 (hash_key: 16B), 1 = blake3 (hash_key: 32B iv)
+    def vdpf_gen(self, in_bits: int, prg_kind: int, hash_kind: int,
+                 hash_key: bytes, group_kind: int, group_bits: int, s0s,
+                 alpha: int, beta, nonce=None, aes_keys=None,
+                 rounds: int = 20):
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        hk_hold, hk_p = self._u8(hash_key)
+        s0s_a, s0s_p = self._u32(s0s)
+        beta_a, beta_p = self._u32(beta)
+        cws = np.zeros((in_bits, 8), dtype=np.uint32)
+        cs = np.zeros((4, 4), dtype=np.uint32)
+        ocw = np.zeros(4, dtype=np.uint32)
+        _, cws_p = self._u32(cws)
+        _, cs_p = self._u32(cs)
+        _, ocw_p = self._u32(ocw)
+        self._lib.fss_vdpf_gen.restype = ctypes.c_int
+        fail = self._lib.fss_vdpf_gen(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(hash_kind), hk_p,
+            ctypes.c_int(group_kind), ctypes.c_int(group_bits), s0s_p,
+            ctypes.c_uint64(int(alpha) & (2**64 - 1)),
+            ctypes.c_uint64(int(alpha) >> 64), beta_p, cws_p, cs_p, ocw_p)
+        return cws, cs, ocw, int(fail)
+
+    def vdpf_eval_batch(self, in_bits: int, prg_kind: int, hash_kind: int,
+                        hash_key: bytes, group_kind: int, group_bits: int,
+                        party: int, s0, cws, cs, ocw, xs, nonce=None,
+                        aes_keys=None, rounds: int = 20):
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        hk_hold, hk_p = self._u8(hash_key)
+        s0_a, s0_p = self._u32(s0)
+        cws_a, cws_p = self._u32(cws)
+        cs_a, cs_p = self._u32(cs)
+        ocw_a, ocw_p = self._u32(ocw)
+        xs = np.atleast_1d(np.asarray(xs, dtype=object))
+        lo = np.array([int(x) & (2**64 - 1) for x in xs], dtype=np.uint64)
+        hi = np.array([int(x) >> 64 for x in xs], dtype=np.uint64)
+        _, lo_p = self._u64(lo)
+        _, hi_p = self._u64(hi)
+        ys = np.zeros((len(xs), 4), dtype=np.uint32)
+        pts = np.zeros((len(xs), 4, 4), dtype=np.uint32)
+        _, ys_p = self._u32(ys)
+        _, pts_p = self._u32(pts)
+        self._lib.fss_vdpf_eval_batch(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(hash_kind), hk_p,
+            ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            ctypes.c_int(party), s0_p, cws_p, cs_p, ocw_p, lo_p, hi_p,
+            ctypes.c_int64(len(xs)), ys_p, pts_p)
+        return ys, pts
+
+    def vdpf_prove(self, hash_kind: int, hash_key: bytes, pi_tildes,
+                   cs) -> np.ndarray:
+        hk_hold, hk_p = self._u8(hash_key)
+        pts_a, pts_p = self._u32(pi_tildes)
+        cs_a, cs_p = self._u32(cs)
+        n = pts_a.reshape(-1, 4, 4).shape[0]
+        pi = np.zeros((4, 4), dtype=np.uint32)
+        _, pi_p = self._u32(pi)
+        self._lib.fss_vdpf_prove(ctypes.c_int(hash_kind), hk_p, pts_p,
+                                 ctypes.c_int64(n), cs_p, pi_p)
+        return pi
+
+    def vdpf_eval_all(self, in_bits: int, prg_kind: int, hash_kind: int,
+                      hash_key: bytes, group_kind: int, group_bits: int,
+                      party: int, s0, cws, cs, ocw, nonce=None,
+                      aes_keys=None, rounds: int = 20):
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        hk_hold, hk_p = self._u8(hash_key)
+        s0_a, s0_p = self._u32(s0)
+        cws_a, cws_p = self._u32(cws)
+        cs_a, cs_p = self._u32(cs)
+        ocw_a, ocw_p = self._u32(ocw)
+        ys = np.zeros((1 << in_bits, 4), dtype=np.uint32)
+        pi = np.zeros((4, 4), dtype=np.uint32)
+        _, ys_p = self._u32(ys)
+        _, pi_p = self._u32(pi)
+        self._lib.fss_vdpf_eval_all(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(hash_kind), hk_p,
+            ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            ctypes.c_int(party), s0_p, cws_p, cs_p, ocw_p, ys_p, pi_p)
+        return ys, pi
+
+    def grotto_preprocess(self, in_bits: int, prg_kind: int, party: int,
+                          s0, cws, nonce=None, aes_keys=None,
+                          rounds: int = 20) -> np.ndarray:
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        s0_a, s0_p = self._u32(s0)
+        cws_a, cws_p = self._u32(cws)
+        n = 1 << in_bits
+        scratch = np.zeros((n, 4), dtype=np.uint32)
+        pt = np.zeros(2 * n - 1, dtype=np.uint8)
+        _, sc_p = self._u32(scratch)
+        _, pt_p = self._u8(pt)
+        self._lib.fss_grotto_preprocess(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(party), s0_p, cws_p, sc_p, pt_p)
+        return pt
+
+    def grotto_eval_batch(self, in_bits: int, pt, xs) -> np.ndarray:
+        pt_a, pt_p = self._u8(pt)
+        xs_a, xs_p = self._u64(np.asarray(xs, dtype=np.uint64))
+        out = np.zeros(len(xs_a), dtype=np.uint8)
+        _, out_p = self._u8(out)
+        self._lib.fss_grotto_eval_batch(
+            ctypes.c_int(in_bits), pt_p, xs_p, ctypes.c_int64(len(xs_a)),
+            out_p)
+        return out
+
+    def grotto_eval_all(self, in_bits: int, prg_kind: int, party: int, s0,
+                        cws, nonce=None, aes_keys=None,
+                        rounds: int = 20) -> np.ndarray:
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        s0_a, s0_p = self._u32(s0)
+        cws_a, cws_p = self._u32(cws)
+        n = 1 << in_bits
+        scratch = np.zeros((n, 4), dtype=np.uint32)
+        ys = np.zeros(n, dtype=np.uint8)
+        _, sc_p = self._u32(scratch)
+        _, ys_p = self._u8(ys)
+        self._lib.fss_grotto_eval_all(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(party), s0_p, cws_p, sc_p, ys_p)
+        return ys
+
+    def sha256(self, data: bytes) -> bytes:
+        d_hold, d_p = self._u8(data)
+        out = np.zeros(32, dtype=np.uint8)
+        _, out_p = self._u8(out)
+        self._lib.fss_sha256(d_p, ctypes.c_int64(len(data)), out_p)
+        return out.tobytes()
+
+    def blake3_compress(self, iv, m, block_len: int) -> np.ndarray:
+        iv_a, iv_p = self._u32(iv)
+        m_a, m_p = self._u32(m)
+        out = np.zeros(16, dtype=np.uint32)
+        _, out_p = self._u32(out)
+        self._lib.fss_blake3_compress(iv_p, m_p,
+                                      ctypes.c_uint32(block_len), out_p)
+        return out
+
+    def vdmpf_route(self, sigma: bytes, n: int, b_size: int, kappa: int,
+                    xs):
+        sg_hold, sg_p = self._u8(sigma)
+        xs_a, xs_p = self._u64(np.asarray(xs, dtype=np.uint64))
+        eta = len(xs_a)
+        bucket = np.zeros((eta, kappa), dtype=np.int32)
+        index = np.zeros((eta, kappa), dtype=np.int32)
+        bk_p = bucket.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        ix_p = index.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        self._lib.fss_vdmpf_route(
+            sg_p, ctypes.c_uint64(n), ctypes.c_int(b_size),
+            ctypes.c_int(kappa), xs_p, ctypes.c_int64(eta), bk_p, ix_p)
+        return bucket, index
+
     def prp_permu_batch(self, sigma: bytes, domain: int,
                         xs) -> np.ndarray:
         """Batched Feistel PRP (prp/aes128_feistel.cuh semantics).

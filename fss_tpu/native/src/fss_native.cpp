@@ -628,6 +628,502 @@ void ht_eval(const HtCtx &ht, const Group &grp, int in_bits, int party,
   grp.into_block(y, y_out);
 }
 
+void ht_eval_all(const HtCtx &ht, const Group &grp, int in_bits, int party,
+                 const Block &s0, const Block *cws, const Block &ocw,
+                 Block *ys) {
+  // Phase 1: breadth-first expand to level n-1 (2^(n-1) nodes, t in the
+  // LSB of each node), in place back-to-front; the left child shares its
+  // parent's hash with the right (half_tree_dpf.cuh:241-276 semantics,
+  // flattened like dpf_eval_all above).
+  ys[0] = set_lsb(s0, (uint32_t)party);
+  for (int i = 0; i < in_bits - 1; ++i) {
+    uint64_t m = 1ull << i;
+    const Block &cw = cws[2 * i];
+    for (uint64_t j = m; j-- > 0;) {
+      Block node = ys[j];
+      uint32_t t = get_lsb(node);
+      Block h = ht.hash(node);
+      Block left = t ? bxor(h, cw) : h;
+      ys[2 * j] = left;
+      ys[2 * j + 1] = bxor(left, node);
+    }
+  }
+  // Phase 2: backward in-place last-level conversion, 2 leaves per node.
+  const Block &last = cws[2 * (in_bits - 1)];
+  Block hcw = set_lsb(last, 0);
+  uint32_t lcw0 = get_lsb(last);
+  uint32_t lcw1 = cws[2 * (in_bits - 1) + 1].w[0] & 1u;
+  uint64_t half = 1ull << (in_bits - 1);
+  for (uint64_t j = half; j-- > 0;) {
+    Block node = ys[j];
+    uint32_t t = get_lsb(node);
+    for (int x_n = 1; x_n >= 0; --x_n) {
+      Block h = ht.hash(set_lsb(node, (uint32_t)x_n));
+      Block high = set_lsb(h, 0);
+      uint32_t low = get_lsb(h);
+      if (t) {
+        high = bxor(high, hcw);
+        low ^= x_n ? lcw1 : lcw0;
+      }
+      u128 y = grp.from_block(high);
+      if (low) y = grp.add(y, grp.from_block(ocw));
+      if (party) y = grp.neg(y);
+      grp.into_block(y, ys[2 * j + x_n]);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// SHA-256 (FIPS 180-4) and BLAKE3 single compression — the keyed hashes
+// of hash/sha256.cuh and hash/blake3.cuh.
+// ---------------------------------------------------------------------------
+
+const uint32_t kSha256K[64] = {
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2};
+
+inline uint32_t rotr32(uint32_t x, int n) {
+  return (x >> n) | (x << (32 - n));
+}
+
+void sha256_block(uint32_t h[8], const uint8_t *p) {
+  uint32_t w[64];
+  for (int i = 0; i < 16; ++i)
+    w[i] = ((uint32_t)p[4 * i] << 24) | ((uint32_t)p[4 * i + 1] << 16) |
+           ((uint32_t)p[4 * i + 2] << 8) | (uint32_t)p[4 * i + 3];
+  for (int i = 16; i < 64; ++i) {
+    uint32_t s0 = rotr32(w[i - 15], 7) ^ rotr32(w[i - 15], 18) ^
+                  (w[i - 15] >> 3);
+    uint32_t s1 = rotr32(w[i - 2], 17) ^ rotr32(w[i - 2], 19) ^
+                  (w[i - 2] >> 10);
+    w[i] = w[i - 16] + s0 + w[i - 7] + s1;
+  }
+  uint32_t a = h[0], b = h[1], c = h[2], d = h[3];
+  uint32_t e = h[4], f = h[5], g = h[6], hh = h[7];
+  for (int i = 0; i < 64; ++i) {
+    uint32_t s1 = rotr32(e, 6) ^ rotr32(e, 11) ^ rotr32(e, 25);
+    uint32_t ch = (e & f) ^ (~e & g);
+    uint32_t t1 = hh + s1 + ch + kSha256K[i] + w[i];
+    uint32_t s0 = rotr32(a, 2) ^ rotr32(a, 13) ^ rotr32(a, 22);
+    uint32_t maj = (a & b) ^ (a & c) ^ (b & c);
+    uint32_t t2 = s0 + maj;
+    hh = g; g = f; f = e; e = d + t1; d = c; c = b; b = a; a = t1 + t2;
+  }
+  h[0] += a; h[1] += b; h[2] += c; h[3] += d;
+  h[4] += e; h[5] += f; h[6] += g; h[7] += hh;
+}
+
+void sha256_digest(const uint8_t *data, size_t n, uint8_t out[32]) {
+  uint32_t h[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+                   0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19};
+  size_t full = n / 64;
+  for (size_t i = 0; i < full; ++i) sha256_block(h, data + 64 * i);
+  uint8_t tail[128];
+  size_t rem = n - 64 * full;
+  std::memset(tail, 0, sizeof(tail));
+  std::memcpy(tail, data + 64 * full, rem);
+  tail[rem] = 0x80;
+  size_t tail_len = (rem + 9 <= 64) ? 64 : 128;
+  uint64_t bits = (uint64_t)n * 8;
+  for (int i = 0; i < 8; ++i)
+    tail[tail_len - 1 - i] = (uint8_t)(bits >> (8 * i));
+  sha256_block(h, tail);
+  if (tail_len == 128) sha256_block(h, tail + 64);
+  for (int i = 0; i < 8; ++i) {
+    out[4 * i] = (uint8_t)(h[i] >> 24);
+    out[4 * i + 1] = (uint8_t)(h[i] >> 16);
+    out[4 * i + 2] = (uint8_t)(h[i] >> 8);
+    out[4 * i + 3] = (uint8_t)h[i];
+  }
+}
+
+// BLAKE3 single compression, counter 0, flags 0x1B (KEYED_HASH |
+// CHUNK_START | CHUNK_END | ROOT), custom 32B IV (blake3.cuh:100-149).
+const uint32_t kBlake3Iv0[4] = {0x6A09E667u, 0xBB67AE85u, 0x3C6EF372u,
+                                0xA54FF53Au};
+const int kBlake3Perm[16] = {2, 6, 3, 10, 7, 0, 4, 13,
+                             1, 11, 12, 5, 9, 14, 15, 8};
+
+inline void blake3_g(uint32_t *v, int a, int b, int c, int d, uint32_t x,
+                     uint32_t y) {
+  v[a] = v[a] + v[b] + x;
+  v[d] = rotr32(v[d] ^ v[a], 16);
+  v[c] = v[c] + v[d];
+  v[b] = rotr32(v[b] ^ v[c], 12);
+  v[a] = v[a] + v[b] + y;
+  v[d] = rotr32(v[d] ^ v[a], 8);
+  v[c] = v[c] + v[d];
+  v[b] = rotr32(v[b] ^ v[c], 7);
+}
+
+void blake3_compress(const uint32_t iv[8], const uint32_t m_in[16],
+                     uint32_t block_len, uint32_t out[16]) {
+  uint32_t v[16], m[16], mp[16];
+  for (int i = 0; i < 8; ++i) v[i] = iv[i];
+  for (int i = 0; i < 4; ++i) v[8 + i] = kBlake3Iv0[i];
+  v[12] = 0; v[13] = 0; v[14] = block_len; v[15] = 0x1B;
+  std::memcpy(m, m_in, sizeof(m));
+  for (int r = 0; r < 7; ++r) {
+    blake3_g(v, 0, 4, 8, 12, m[0], m[1]);
+    blake3_g(v, 1, 5, 9, 13, m[2], m[3]);
+    blake3_g(v, 2, 6, 10, 14, m[4], m[5]);
+    blake3_g(v, 3, 7, 11, 15, m[6], m[7]);
+    blake3_g(v, 0, 5, 10, 15, m[8], m[9]);
+    blake3_g(v, 1, 6, 11, 12, m[10], m[11]);
+    blake3_g(v, 2, 7, 8, 13, m[12], m[13]);
+    blake3_g(v, 3, 4, 9, 14, m[14], m[15]);
+    for (int i = 0; i < 16; ++i) mp[i] = m[kBlake3Perm[i]];
+    std::memcpy(m, mp, sizeof(m));
+  }
+  for (int i = 0; i < 8; ++i) out[i] = v[i] ^ v[i + 8];
+  for (int i = 0; i < 8; ++i) out[8 + i] = v[8 + i] ^ iv[i];
+}
+
+// Keyed hash dispatch: Hashable (64B -> 32B) + XorHashable ((x,s) -> 64B).
+struct Hash {
+  int kind;  // 0 = sha256 (16B key), 1 = blake3 (32B iv)
+  Block key;
+  uint32_t iv[8];
+
+  void hash64(const Block msg[4], Block out[2]) const {
+    if (kind == 0) {
+      uint8_t buf[80], d[32];
+      std::memcpy(buf, &key, 16);
+      std::memcpy(buf + 16, msg, 64);
+      sha256_digest(buf, 80, d);
+      std::memcpy(out, d, 32);
+    } else {
+      uint32_t o[16];
+      blake3_compress(iv, reinterpret_cast<const uint32_t *>(msg), 64, o);
+      std::memcpy(out, o, 32);
+    }
+  }
+
+  void xor_hash(const Block &x, const Block &s, Block out[4]) const {
+    if (kind == 0) {
+      // Two 48B keyed digests with x's LSB as separator
+      // (hash/sha256.cuh:69-89).
+      uint8_t buf[48], d[32];
+      std::memcpy(buf, &key, 16);
+      std::memcpy(buf + 32, &s, 16);
+      Block x0 = set_lsb(x, 0);
+      std::memcpy(buf + 16, &x0, 16);
+      sha256_digest(buf, 48, d);
+      std::memcpy(out, d, 32);
+      Block x1 = set_lsb(x, 1);
+      std::memcpy(buf + 16, &x1, 16);
+      sha256_digest(buf, 48, d);
+      std::memcpy(out + 2, d, 32);
+    } else {
+      // Two 32B-padded compressions (hash/blake3.cuh:160-171).
+      uint32_t m[16], o[16];
+      std::memset(m, 0, sizeof(m));
+      Block x0 = set_lsb(x, 0);
+      std::memcpy(m, &x0, 16);
+      std::memcpy(m + 4, &s, 16);
+      blake3_compress(iv, m, 32, o);
+      std::memcpy(out, o, 32);
+      Block x1 = set_lsb(x, 1);
+      std::memcpy(m, &x1, 16);
+      blake3_compress(iv, m, 32, o);
+      std::memcpy(out + 2, o, 32);
+    }
+  }
+};
+
+inline Block pack_input(uint64_t lo, uint64_t hi) {
+  Block b;
+  b.w[0] = (uint32_t)lo;
+  b.w[1] = (uint32_t)(lo >> 32);
+  b.w[2] = (uint32_t)hi;
+  b.w[3] = (uint32_t)(hi >> 32);
+  return b;
+}
+
+// ---------------------------------------------------------------------------
+// VDPF (vdpf.cuh semantics: in_bits cw rows + 64B check seed + ocw)
+// ---------------------------------------------------------------------------
+
+int vdpf_gen(const Prg &prg, const Hash &xh, const Group &grp, int in_bits,
+             const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
+             const Block &beta, Block *cws, Block cs[4], Block &ocw) {
+  Block s0 = set_lsb(s0s[0], 0), s1 = set_lsb(s0s[1], 0);
+  uint32_t t0 = 0, t1 = 1;
+  Block b_buf = set_lsb(beta, 0);
+
+  for (int i = 0; i < in_bits; ++i) {
+    Block o0[2], o1[2];
+    prg.gen(s0, o0);
+    prg.gen(s1, o1);
+    uint32_t t0l = get_lsb(o0[0]), t0r = get_lsb(o0[1]);
+    uint32_t t1l = get_lsb(o1[0]), t1r = get_lsb(o1[1]);
+    Block s0l = set_lsb(o0[0], 0), s0r = set_lsb(o0[1], 0);
+    Block s1l = set_lsb(o1[0], 0), s1r = set_lsb(o1[1], 0);
+
+    int ab = input_bit(a_lo, a_hi, in_bits, i);
+    Block s_cw = ab ? bxor(s0l, s1l) : bxor(s0r, s1r);
+    uint32_t tl_cw = t0l ^ t1l ^ (uint32_t)ab ^ 1u;
+    uint32_t tr_cw = t0r ^ t1r ^ (uint32_t)ab;
+
+    Block keep0 = ab ? s0r : s0l;
+    Block keep1 = ab ? s1r : s1l;
+    uint32_t tk0 = ab ? t0r : t0l;
+    uint32_t tk1 = ab ? t1r : t1l;
+    uint32_t tcw = ab ? tr_cw : tl_cw;
+
+    s0 = t0 ? bxor(keep0, s_cw) : keep0;
+    s1 = t1 ? bxor(keep1, s_cw) : keep1;
+    t0 = tk0 ^ (t0 & tcw);
+    t1 = tk1 ^ (t1 & tcw);
+
+    cws[2 * i] = set_lsb(s_cw, tl_cw);
+    cws[2 * i + 1].w[0] = tr_cw;
+    cws[2 * i + 1].w[1] = cws[2 * i + 1].w[2] = cws[2 * i + 1].w[3] = 0;
+  }
+
+  Block a_buf = pack_input(a_lo, a_hi);
+  Block pt0[4], pt1[4];
+  xh.xor_hash(a_buf, s0, pt0);
+  xh.xor_hash(a_buf, s1, pt1);
+  for (int i = 0; i < 4; ++i) cs[i] = bxor(pt0[i], pt1[i]);
+
+  if (t0 == t1) return 1;
+
+  u128 v = grp.add(grp.add(grp.from_block(b_buf),
+                           grp.neg(grp.from_block(s0))),
+                   grp.from_block(s1));
+  if (t1 & 1u) v = grp.neg(v);
+  grp.into_block(v, ocw);
+  return 0;
+}
+
+void vdpf_eval(const Prg &prg, const Hash &xh, const Group &grp,
+               int in_bits, int party, const Block &seed, const Block *cws,
+               const Block cs[4], const Block &ocw, uint64_t x_lo,
+               uint64_t x_hi, Block &y_out, Block pi_tilde[4]) {
+  Block s = set_lsb(seed, 0);
+  uint32_t t = (uint32_t)party;
+  for (int i = 0; i < in_bits; ++i) {
+    Block o[2];
+    prg.gen(s, o);
+    uint32_t tl = get_lsb(o[0]), tr = get_lsb(o[1]);
+    Block sl = set_lsb(o[0], 0), sr = set_lsb(o[1], 0);
+    Block s_cw = set_lsb(cws[2 * i], 0);
+    uint32_t tl_cw = get_lsb(cws[2 * i]);
+    uint32_t tr_cw = cws[2 * i + 1].w[0] & 1u;
+    if (t) {
+      sl = bxor(sl, s_cw);
+      sr = bxor(sr, s_cw);
+      tl ^= tl_cw;
+      tr ^= tr_cw;
+    }
+    int xb = input_bit(x_lo, x_hi, in_bits, i);
+    s = xb ? sr : sl;
+    t = xb ? tr : tl;
+  }
+  u128 y = grp.from_block(s);
+  if (t) y = grp.add(y, grp.from_block(ocw));
+  if (party) y = grp.neg(y);
+  grp.into_block(y, y_out);
+
+  xh.xor_hash(pack_input(x_lo, x_hi), s, pi_tilde);
+  if (t)
+    for (int i = 0; i < 4; ++i) pi_tilde[i] = bxor(pi_tilde[i], cs[i]);
+}
+
+void vdpf_fold_step(const Hash &h, Block pi[4], const Block pt[4]) {
+  Block hin[4], ho[2];
+  for (int i = 0; i < 4; ++i) hin[i] = bxor(pi[i], pt[i]);
+  h.hash64(hin, ho);
+  pi[0] = bxor(pi[0], ho[0]);
+  pi[1] = bxor(pi[1], ho[1]);
+}
+
+void vdpf_prove(const Hash &h, const Block *pts, int64_t n,
+                const Block cs[4], Block pi[4]) {
+  for (int i = 0; i < 4; ++i) pi[i] = cs[i];
+  for (int64_t j = 0; j < n; ++j) vdpf_fold_step(h, pi, pts + 4 * j);
+}
+
+void vdpf_eval_all(const Prg &prg, const Hash &xh, const Hash &hh,
+                   const Group &grp, int in_bits, int party,
+                   const Block &seed, const Block *cws, const Block cs[4],
+                   const Block &ocw, Block *ys, Block pi[4]) {
+  // Tree phase (packed (s, t) nodes), then the sequential output/proof
+  // pass in canonical order (vdpf.cuh:296-344).
+  ys[0] = set_lsb(set_lsb(seed, 0), (uint32_t)party);
+  for (int i = 0; i < in_bits; ++i) {
+    uint64_t m = 1ull << i;
+    Block s_cw = set_lsb(cws[2 * i], 0);
+    uint32_t tl_cw = get_lsb(cws[2 * i]);
+    uint32_t tr_cw = cws[2 * i + 1].w[0] & 1u;
+    for (uint64_t j = m; j-- > 0;) {
+      Block node = ys[j];
+      uint32_t t = get_lsb(node);
+      Block s = set_lsb(node, 0);
+      Block o[2];
+      prg.gen(s, o);
+      uint32_t tl = get_lsb(o[0]), tr = get_lsb(o[1]);
+      Block sl = set_lsb(o[0], 0), sr = set_lsb(o[1], 0);
+      if (t) {
+        sl = bxor(sl, s_cw);
+        sr = bxor(sr, s_cw);
+        tl ^= tl_cw;
+        tr ^= tr_cw;
+      }
+      ys[2 * j] = set_lsb(sl, tl);
+      ys[2 * j + 1] = set_lsb(sr, tr);
+    }
+  }
+  for (int i = 0; i < 4; ++i) pi[i] = cs[i];
+  u128 ocwv = grp.from_block(ocw);
+  uint64_t n = 1ull << in_bits;
+  for (uint64_t j = 0; j < n; ++j) {
+    uint32_t t = get_lsb(ys[j]);
+    Block s = set_lsb(ys[j], 0);
+    u128 y = grp.from_block(s);
+    if (t) y = grp.add(y, ocwv);
+    if (party) y = grp.neg(y);
+
+    Block pt[4];
+    xh.xor_hash(pack_input((uint64_t)j, 0), s, pt);
+    if (t)
+      for (int i = 0; i < 4; ++i) pt[i] = bxor(pt[i], cs[i]);
+    vdpf_fold_step(hh, pi, pt);
+    grp.into_block(y, ys[j]);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Grotto DCF (grotto_dcf.cuh semantics: plain-DPF control-bit parity)
+// ---------------------------------------------------------------------------
+
+void grotto_expand(const Prg &prg, int in_bits, int party,
+                   const Block &seed, const Block *cws, Block *scratch,
+                   uint8_t *leaf) {
+  // DPF tree expand keeping only leaf control bits.
+  scratch[0] = set_lsb(set_lsb(seed, 0), (uint32_t)party);
+  for (int i = 0; i < in_bits; ++i) {
+    uint64_t m = 1ull << i;
+    Block s_cw = set_lsb(cws[2 * i], 0);
+    uint32_t tl_cw = get_lsb(cws[2 * i]);
+    uint32_t tr_cw = cws[2 * i + 1].w[0] & 1u;
+    for (uint64_t j = m; j-- > 0;) {
+      Block node = scratch[j];
+      uint32_t t = get_lsb(node);
+      Block s = set_lsb(node, 0);
+      Block o[2];
+      prg.gen(s, o);
+      uint32_t tl = get_lsb(o[0]), tr = get_lsb(o[1]);
+      Block sl = set_lsb(o[0], 0), sr = set_lsb(o[1], 0);
+      if (t) {
+        sl = bxor(sl, s_cw);
+        sr = bxor(sr, s_cw);
+        tl ^= tl_cw;
+        tr ^= tr_cw;
+      }
+      scratch[2 * j] = set_lsb(sl, tl);
+      scratch[2 * j + 1] = set_lsb(sr, tr);
+    }
+  }
+  uint64_t n = 1ull << in_bits;
+  for (uint64_t j = 0; j < n; ++j) leaf[j] = (uint8_t)get_lsb(scratch[j]);
+}
+
+void grotto_preprocess(const Prg &prg, int in_bits, int party,
+                       const Block &seed, const Block *cws, Block *scratch,
+                       uint8_t *pt /* 2N-1 */) {
+  uint64_t n = 1ull << in_bits;
+  grotto_expand(prg, in_bits, party, seed, cws, scratch, pt + (n - 1));
+  for (uint64_t j = n - 1; j-- > 0;) pt[j] = pt[2 * j + 1] ^ pt[2 * j + 2];
+}
+
+void grotto_eval_tree(const uint8_t *pt, int in_bits, uint64_t x,
+                      uint8_t &out) {
+  // Prefix-parity query at e = x + 1 (grotto_dcf.cuh:116-135).
+  uint64_t n = 1ull << in_bits;
+  uint64_t e = (x + 1) & (n - 1);
+  if (e == 0) {
+    out = pt[0];
+    return;
+  }
+  uint8_t acc = 0;
+  uint64_t cur = 0;
+  for (int i = 0; i < in_bits; ++i) {
+    int e_bit = (int)((e >> (in_bits - 1 - i)) & 1u);
+    if (e_bit) {
+      acc ^= pt[2 * cur + 1];
+      cur = 2 * cur + 2;
+    } else {
+      cur = 2 * cur + 1;
+    }
+  }
+  out = acc;
+}
+
+// Small-domain Feistel PRP core (prp/aes128_feistel.cuh semantics):
+// 4-round balanced Feistel with AES-128 round PRF (round index XORed
+// into key byte 0) + cycle-walking.
+void prp_permu_batch(const uint8_t sigma[16], uint64_t domain,
+                     const uint64_t *xs, int64_t n, uint64_t *ys) {
+#if FSS_HAVE_AESNI
+  int b = 0;
+  {
+    uint64_t v = domain - 1;
+    while (v > 0) {
+      v >>= 1;
+      ++b;
+    }
+  }
+  int half = (b + 1) / 2;
+  uint64_t mask = (half >= 64) ? ~0ull : ((1ull << half) - 1);
+
+  AesKeySchedule ks[4];
+  for (int r = 0; r < 4; ++r) {
+    uint8_t kb[16];
+    std::memcpy(kb, sigma, 16);
+    kb[0] ^= (uint8_t)r;
+    aes128_expand(kb, ks[r]);
+  }
+
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t val = xs[i];
+    do {
+      uint64_t left = (val >> half) & mask;
+      uint64_t right = val & mask;
+      for (int r = 0; r < 4; ++r) {
+        alignas(16) uint64_t block[2] = {right, 0};
+        __m128i e = aes128_encrypt(
+            ks[r], _mm_load_si128(reinterpret_cast<__m128i *>(block)));
+        _mm_store_si128(reinterpret_cast<__m128i *>(block), e);
+        uint64_t f = block[0] & mask;
+        left ^= f;
+        uint64_t tmp = left;
+        left = right;
+        right = tmp;
+      }
+      val = (left << half) | right;
+    } while (val >= domain);
+    ys[i] = val;
+  }
+#else
+  (void)sigma;
+  (void)domain;
+  (void)xs;
+  (void)n;
+  (void)ys;
+#endif
+}
+
 Prg make_prg(int prg_kind, int mul, const uint32_t nonce[2],
              const uint8_t *aes_keys, int rounds) {
   Prg prg;
@@ -845,58 +1341,171 @@ void fss_ht_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
   }
 }
 
-// Small-domain Feistel PRP (prp/aes128_feistel.cuh semantics): 4-round
-// balanced Feistel with AES-128 round PRF (round index XORed into key
-// byte 0) + cycle-walking. Batch API for permutation-table precompute.
+// hash_kind: 0 = sha256 (hash_key = 16B), 1 = blake3 (hash_key = 32B iv).
+static Hash make_hash(int hash_kind, const uint8_t *hash_key) {
+  Hash h;
+  h.kind = hash_kind;
+  if (hash_kind == 0) {
+    std::memcpy(&h.key, hash_key, 16);
+  } else {
+    std::memcpy(h.iv, hash_key, 32);
+  }
+  return h;
+}
+
+void fss_sha256(const uint8_t *data, int64_t n, uint8_t out[32]) {
+  sha256_digest(data, (size_t)n, out);
+}
+
+void fss_blake3_compress(const uint32_t iv[8], const uint32_t m[16],
+                         uint32_t block_len, uint32_t out[16]) {
+  blake3_compress(iv, m, block_len, out);
+}
+
+void fss_ht_eval_all(int in_bits, int prg_kind, const uint32_t nonce[2],
+                     const uint8_t *aes_keys, int rounds, int group_kind,
+                     int group_bits, int party, const uint32_t hash_key[4],
+                     const uint32_t s0[4], const uint32_t *cws,
+                     const uint32_t ocw[4], uint32_t *ys) {
+  Prg prg = make_prg(prg_kind, 1, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  HtCtx ht{&prg, Block{}};
+  std::memcpy(ht.hash_key.w, hash_key, 16);
+  Block seed, ocwb;
+  std::memcpy(seed.w, s0, 16);
+  std::memcpy(ocwb.w, ocw, 16);
+  ht_eval_all(ht, grp, in_bits, party, seed,
+              reinterpret_cast<const Block *>(cws), ocwb,
+              reinterpret_cast<Block *>(ys));
+}
+
+int fss_vdpf_gen(int in_bits, int prg_kind, const uint32_t nonce[2],
+                 const uint8_t *aes_keys, int rounds, int hash_kind,
+                 const uint8_t *hash_key, int group_kind, int group_bits,
+                 const uint32_t s0s[8], uint64_t a_lo, uint64_t a_hi,
+                 const uint32_t beta[4], uint32_t *cws, uint32_t *cs,
+                 uint32_t *ocw) {
+  Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  Hash xh = make_hash(hash_kind, hash_key);
+  Block seeds[2], betab, ocwb, csb[4];
+  std::memcpy(seeds, s0s, 32);
+  std::memcpy(betab.w, beta, 16);
+  int ret = vdpf_gen(prg, xh, grp, in_bits, seeds, a_lo, a_hi, betab,
+                     reinterpret_cast<Block *>(cws), csb, ocwb);
+  std::memcpy(cs, csb, 64);
+  std::memcpy(ocw, ocwb.w, 16);
+  return ret;
+}
+
+void fss_vdpf_eval_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
+                         const uint8_t *aes_keys, int rounds, int hash_kind,
+                         const uint8_t *hash_key, int group_kind,
+                         int group_bits, int party, const uint32_t s0[4],
+                         const uint32_t *cws, const uint32_t *cs,
+                         const uint32_t ocw[4], const uint64_t *xs_lo,
+                         const uint64_t *xs_hi, int64_t n, uint32_t *ys,
+                         uint32_t *pi_tildes) {
+  Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  Hash xh = make_hash(hash_kind, hash_key);
+  Block seed, ocwb, csb[4];
+  std::memcpy(seed.w, s0, 16);
+  std::memcpy(ocwb.w, ocw, 16);
+  std::memcpy(csb, cs, 64);
+  for (int64_t i = 0; i < n; ++i) {
+    Block y, pt[4];
+    vdpf_eval(prg, xh, grp, in_bits, party, seed,
+              reinterpret_cast<const Block *>(cws), csb, ocwb, xs_lo[i],
+              xs_hi ? xs_hi[i] : 0, y, pt);
+    std::memcpy(ys + 4 * i, y.w, 16);
+    std::memcpy(pi_tildes + 16 * i, pt, 64);
+  }
+}
+
+void fss_vdpf_prove(int hash_kind, const uint8_t *hash_key,
+                    const uint32_t *pi_tildes, int64_t n,
+                    const uint32_t *cs, uint32_t *pi) {
+  Hash h = make_hash(hash_kind, hash_key);
+  Block csb[4], pib[4];
+  std::memcpy(csb, cs, 64);
+  vdpf_prove(h, reinterpret_cast<const Block *>(pi_tildes), n, csb, pib);
+  std::memcpy(pi, pib, 64);
+}
+
+void fss_vdpf_eval_all(int in_bits, int prg_kind, const uint32_t nonce[2],
+                       const uint8_t *aes_keys, int rounds, int hash_kind,
+                       const uint8_t *hash_key, int group_kind,
+                       int group_bits, int party, const uint32_t s0[4],
+                       const uint32_t *cws, const uint32_t *cs,
+                       const uint32_t ocw[4], uint32_t *ys, uint32_t *pi) {
+  Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  Hash h = make_hash(hash_kind, hash_key);
+  Block seed, ocwb, csb[4], pib[4];
+  std::memcpy(seed.w, s0, 16);
+  std::memcpy(ocwb.w, ocw, 16);
+  std::memcpy(csb, cs, 64);
+  vdpf_eval_all(prg, h, h, grp, in_bits, party, seed,
+                reinterpret_cast<const Block *>(cws), csb, ocwb,
+                reinterpret_cast<Block *>(ys), pib);
+  std::memcpy(pi, pib, 64);
+}
+
+void fss_grotto_preprocess(int in_bits, int prg_kind,
+                           const uint32_t nonce[2], const uint8_t *aes_keys,
+                           int rounds, int party, const uint32_t s0[4],
+                           const uint32_t *cws, uint32_t *scratch,
+                           uint8_t *pt) {
+  Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
+  Block seed;
+  std::memcpy(seed.w, s0, 16);
+  grotto_preprocess(prg, in_bits, party, seed,
+                    reinterpret_cast<const Block *>(cws),
+                    reinterpret_cast<Block *>(scratch), pt);
+}
+
+void fss_grotto_eval_batch(int in_bits, const uint8_t *pt,
+                           const uint64_t *xs, int64_t n, uint8_t *out) {
+  for (int64_t i = 0; i < n; ++i)
+    grotto_eval_tree(pt, in_bits, xs[i], out[i]);
+}
+
+void fss_grotto_eval_all(int in_bits, int prg_kind, const uint32_t nonce[2],
+                         const uint8_t *aes_keys, int rounds, int party,
+                         const uint32_t s0[4], const uint32_t *cws,
+                         uint32_t *scratch, uint8_t *ys) {
+  Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
+  Block seed;
+  std::memcpy(seed.w, s0, 16);
+  grotto_expand(prg, in_bits, party, seed,
+                reinterpret_cast<const Block *>(cws),
+                reinterpret_cast<Block *>(scratch), ys);
+  uint64_t n = 1ull << in_bits;
+  for (uint64_t j = 1; j < n; ++j) ys[j] = ys[j] ^ ys[j - 1];
+}
+
+// Batch PRP API (also used for permutation-table precompute).
 void fss_prp_permu_batch(const uint8_t sigma[16], uint64_t domain,
                          const uint64_t *xs, int64_t n, uint64_t *ys) {
-#if FSS_HAVE_AESNI
-  int b = 0;
-  {
-    uint64_t v = domain - 1;
-    while (v > 0) {
-      v >>= 1;
-      ++b;
+  prp_permu_batch(sigma, domain, xs, n, ys);
+}
+
+// VDMPF routing (vdmpf.cuh:213-232): Locate each x under all kappa hash
+// functions: y = PRP(sigma, x + n*k) over domain n*kappa; bucket = y / B,
+// index = y % B. Output arrays are [eta, kappa], point-major.
+void fss_vdmpf_route(const uint8_t sigma[16], uint64_t n, int b_size,
+                     int kappa, const uint64_t *xs, int64_t eta,
+                     int32_t *bucket, int32_t *index) {
+  for (int k = 0; k < kappa; ++k) {
+    for (int64_t i = 0; i < eta; ++i) {
+      uint64_t val = xs[i] + n * (uint64_t)k;
+      uint64_t y;
+      prp_permu_batch(sigma, n * (uint64_t)kappa, &val, 1, &y);
+      bucket[i * kappa + k] = (int32_t)(y / (uint64_t)b_size);
+      index[i * kappa + k] = (int32_t)(y % (uint64_t)b_size);
     }
   }
-  int half = (b + 1) / 2;
-  uint64_t mask = (half >= 64) ? ~0ull : ((1ull << half) - 1);
-
-  AesKeySchedule ks[4];
-  for (int r = 0; r < 4; ++r) {
-    uint8_t kb[16];
-    std::memcpy(kb, sigma, 16);
-    kb[0] ^= (uint8_t)r;
-    aes128_expand(kb, ks[r]);
-  }
-
-  for (int64_t i = 0; i < n; ++i) {
-    uint64_t val = xs[i];
-    do {
-      uint64_t left = (val >> half) & mask;
-      uint64_t right = val & mask;
-      for (int r = 0; r < 4; ++r) {
-        alignas(16) uint64_t block[2] = {right, 0};
-        __m128i e = aes128_encrypt(
-            ks[r], _mm_load_si128(reinterpret_cast<__m128i *>(block)));
-        _mm_store_si128(reinterpret_cast<__m128i *>(block), e);
-        uint64_t f = block[0] & mask;
-        left ^= f;
-        uint64_t tmp = left;
-        left = right;
-        right = tmp;
-      }
-      val = (left << half) | right;
-    } while (val >= domain);
-    ys[i] = val;
-  }
-#else
-  (void)sigma;
-  (void)domain;
-  (void)xs;
-  (void)n;
-  (void)ys;
-#endif
 }
 
 }  // extern "C"
