@@ -274,6 +274,71 @@ class NativeEngine:
             ctypes.c_int64(len(xs)), ys_p)
         return ys
 
+    def dcf_gen_batch(self, in_bits: int, prg_kind: int, group_kind: int,
+                      group_bits: int, pred_lt: int, s0s, alphas, betas,
+                      nonce=None, aes_keys=None,
+                      rounds: int = 20) -> np.ndarray:
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        s0s_a, s0s_p = self._u32(s0s)
+        a_a, a_p = self._u64(np.asarray(alphas, dtype=np.uint64))
+        b_a, b_p = self._u32(betas)
+        n = len(a_a)
+        cws = np.zeros((n, in_bits + 1, 8), dtype=np.uint32)
+        _, cws_p = self._u32(cws)
+        self._lib.fss_dcf_gen_batch(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            ctypes.c_int(pred_lt), s0s_p, a_p, b_p, ctypes.c_int64(n),
+            cws_p)
+        return cws
+
+    def ht_gen_batch(self, in_bits: int, prg_kind: int, group_kind: int,
+                     group_bits: int, hash_key, s0s, alphas, betas,
+                     nonce=None, aes_keys=None, rounds: int = 20):
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        hk_a, hk_p = self._u32(hash_key)
+        s0s_a, s0s_p = self._u32(s0s)
+        a_a, a_p = self._u64(np.asarray(alphas, dtype=np.uint64))
+        b_a, b_p = self._u32(betas)
+        n = len(a_a)
+        cws = np.zeros((n, in_bits, 8), dtype=np.uint32)
+        ocws = np.zeros((n, 4), dtype=np.uint32)
+        _, cws_p = self._u32(cws)
+        _, ocw_p = self._u32(ocws)
+        self._lib.fss_ht_gen_batch(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            hk_p, s0s_p, a_p, b_p, ctypes.c_int64(n), cws_p, ocw_p)
+        return cws, ocws
+
+    def vdpf_gen_batch(self, in_bits: int, prg_kind: int, hash_kind: int,
+                       hash_key: bytes, group_kind: int, group_bits: int,
+                       s0s, alphas, betas, nonce=None, aes_keys=None,
+                       rounds: int = 20):
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        hkh, hk_p = self._u8(hash_key)
+        s0s_a, s0s_p = self._u32(s0s)
+        a_a, a_p = self._u64(np.asarray(alphas, dtype=np.uint64))
+        b_a, b_p = self._u32(betas)
+        n = len(a_a)
+        cws = np.zeros((n, in_bits, 8), dtype=np.uint32)
+        cs = np.zeros((n, 4, 4), dtype=np.uint32)
+        ocws = np.zeros((n, 4), dtype=np.uint32)
+        fails = np.zeros(n, dtype=np.int32)
+        _, cws_p = self._u32(cws)
+        _, cs_p = self._u32(cs)
+        _, ocw_p = self._u32(ocws)
+        f_p = fails.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        self._lib.fss_vdpf_gen_batch(
+            ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
+            rounds_c, ctypes.c_int(hash_kind), hk_p,
+            ctypes.c_int(group_kind), ctypes.c_int(group_bits), s0s_p, a_p,
+            b_p, ctypes.c_int64(n), cws_p, cs_p, ocw_p, f_p)
+        return cws, cs, ocws, fails
+
     def ht_eval_all(self, in_bits: int, prg_kind: int, group_kind: int,
                     group_bits: int, party: int, hash_key, s0, cws, ocw,
                     nonce=None, aes_keys=None,
@@ -403,6 +468,25 @@ class NativeEngine:
         _, out_p = self._u8(out)
         self._lib.fss_grotto_eval_batch(
             ctypes.c_int(in_bits), pt_p, xs_p, ctypes.c_int64(len(xs_a)),
+            out_p)
+        return out
+
+    def grotto_pack_tree(self, pt) -> np.ndarray:
+        pt_a, pt_p = self._u8(pt)
+        n2 = len(pt_a)
+        packed = np.zeros((n2 + 63) // 64, dtype=np.uint64)
+        _, pk_p = self._u64(packed)
+        self._lib.fss_grotto_pack_tree(pt_p, ctypes.c_uint64(n2), pk_p)
+        return packed
+
+    def grotto_eval_batch_packed(self, in_bits: int, packed,
+                                 xs) -> np.ndarray:
+        pk_a, pk_p = self._u64(packed)
+        xs_a, xs_p = self._u64(np.asarray(xs, dtype=np.uint64))
+        out = np.zeros(len(xs_a), dtype=np.uint8)
+        _, out_p = self._u8(out)
+        self._lib.fss_grotto_eval_batch_packed(
+            ctypes.c_int(in_bits), pk_p, xs_p, ctypes.c_int64(len(xs_a)),
             out_p)
         return out
 

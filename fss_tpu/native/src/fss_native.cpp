@@ -1471,6 +1471,53 @@ void fss_grotto_eval_batch(int in_bits, const uint8_t *pt,
     grotto_eval_tree(pt, in_bits, xs[i], out[i]);
 }
 
+// Bit-packed parity tree: 8x smaller than the byte tree (256KB at 2^20 —
+// cache-resident), with queries interleaved 16 at a time so the
+// per-level dependent loads of independent queries overlap (memory-level
+// parallelism). Same query semantics as grotto_eval_tree.
+void fss_grotto_pack_tree(const uint8_t *pt, uint64_t n2,
+                          uint64_t *packed) {
+  uint64_t words = (n2 + 63) / 64;
+  for (uint64_t w = 0; w < words; ++w) {
+    uint64_t v = 0;
+    uint64_t base = w * 64;
+    uint64_t lim = n2 - base < 64 ? n2 - base : 64;
+    for (uint64_t b = 0; b < lim; ++b)
+      v |= (uint64_t)(pt[base + b] & 1u) << b;
+    packed[w] = v;
+  }
+}
+
+void fss_grotto_eval_batch_packed(int in_bits, const uint64_t *packed,
+                                  const uint64_t *xs, int64_t n,
+                                  uint8_t *out) {
+  // The walked node at level k is a pure function of e's bit prefix
+  // (level-order index 2^k - 1 + prefix), so every load's address is
+  // arithmetic-only — no load depends on a previous load and the CPU
+  // overlaps all of them across levels and queries.
+  const uint64_t dom = 1ull << in_bits;
+  auto bit = [packed](uint64_t j) -> uint8_t {
+    return (uint8_t)((packed[j >> 6] >> (j & 63)) & 1u);
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t e = (xs[i] + 1) & (dom - 1);
+    if (e == 0) {
+      out[i] = bit(0);
+      continue;
+    }
+    uint8_t acc = 0;
+    uint64_t prefix = 0;
+    for (int lvl = 0; lvl < in_bits; ++lvl) {
+      uint64_t b = (e >> (in_bits - 1 - lvl)) & 1u;
+      // Left child of the level-lvl path node: 2^(lvl+1) - 1 + 2*prefix.
+      uint64_t left = (2ull << lvl) - 1 + (prefix << 1);
+      acc ^= (uint8_t)(b & bit(left));
+      prefix = (prefix << 1) | b;
+    }
+    out[i] = acc;
+  }
+}
+
 void fss_grotto_eval_all(int in_bits, int prg_kind, const uint32_t nonce[2],
                          const uint8_t *aes_keys, int rounds, int party,
                          const uint32_t s0[4], const uint32_t *cws,
@@ -1489,6 +1536,69 @@ void fss_grotto_eval_all(int in_bits, int prg_kind, const uint32_t nonce[2],
 void fss_prp_permu_batch(const uint8_t sigma[16], uint64_t domain,
                          const uint64_t *xs, int64_t n, uint64_t *ys) {
   prp_permu_batch(sigma, domain, xs, n, ys);
+}
+
+// Batch gen loops for single-core benchmarking (amortize the ctypes
+// call overhead, mirroring the reference's per-op Google-Benchmark loops).
+void fss_dcf_gen_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
+                       const uint8_t *aes_keys, int rounds, int group_kind,
+                       int group_bits, int pred_lt, const uint32_t *s0s,
+                       const uint64_t *alphas, const uint32_t *betas,
+                       int64_t n, uint32_t *cws) {
+  Prg prg = make_prg(prg_kind, 4, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  int64_t stride = 8 * (in_bits + 1);
+  for (int64_t i = 0; i < n; ++i) {
+    Block s0s_b[2], beta_b;
+    std::memcpy(s0s_b, s0s + 8 * i, 32);
+    std::memcpy(beta_b.w, betas + 4 * i, 16);
+    dcf_gen(prg, grp, in_bits, pred_lt, s0s_b, alphas[i], 0, beta_b,
+            reinterpret_cast<Block *>(cws + stride * i));
+  }
+}
+
+void fss_ht_gen_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
+                      const uint8_t *aes_keys, int rounds, int group_kind,
+                      int group_bits, const uint32_t hash_key[4],
+                      const uint32_t *s0s, const uint64_t *alphas,
+                      const uint32_t *betas, int64_t n, uint32_t *cws,
+                      uint32_t *ocws) {
+  Prg prg = make_prg(prg_kind, 1, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  HtCtx ht{&prg, Block()};
+  std::memcpy(ht.hash_key.w, hash_key, 16);
+  int64_t stride = 8 * in_bits;
+  for (int64_t i = 0; i < n; ++i) {
+    Block s0s_b[2], beta_b, ocw_b;
+    std::memcpy(s0s_b, s0s + 8 * i, 32);
+    std::memcpy(beta_b.w, betas + 4 * i, 16);
+    ht_gen(ht, grp, in_bits, s0s_b, alphas[i], 0, beta_b,
+           reinterpret_cast<Block *>(cws + stride * i), ocw_b);
+    std::memcpy(ocws + 4 * i, ocw_b.w, 16);
+  }
+}
+
+void fss_vdpf_gen_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
+                        const uint8_t *aes_keys, int rounds, int hash_kind,
+                        const uint8_t *hash_key, int group_kind,
+                        int group_bits, const uint32_t *s0s,
+                        const uint64_t *alphas, const uint32_t *betas,
+                        int64_t n, uint32_t *cws, uint32_t *cs,
+                        uint32_t *ocws, int32_t *fails) {
+  Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  Hash xh = make_hash(hash_kind, hash_key);
+  int64_t stride = 8 * in_bits;
+  for (int64_t i = 0; i < n; ++i) {
+    Block s0s_b[2], beta_b, ocw_b, cs_b[4];
+    std::memcpy(s0s_b, s0s + 8 * i, 32);
+    std::memcpy(beta_b.w, betas + 4 * i, 16);
+    fails[i] = vdpf_gen(prg, xh, grp, in_bits, s0s_b, alphas[i], 0, beta_b,
+                        reinterpret_cast<Block *>(cws + stride * i), cs_b,
+                        ocw_b);
+    std::memcpy(cs + 16 * i, cs_b, 64);
+    std::memcpy(ocws + 4 * i, ocw_b.w, 16);
+  }
 }
 
 // VDMPF routing (vdmpf.cuh:213-232): Locate each x under all kappa hash

@@ -1,67 +1,209 @@
-"""Native host-engine benchmark (reference src/bench_cpu.cu shapes).
+"""Native host-engine benchmark: one row per reference CPU headline.
 
-Single-core DPF gen/eval/eval_all for the AES-NI and ChaCha PRGs at
-20-bit domains, printed next to the reference's published numbers
-(README.md:329-358 there). Run: JAX_PLATFORMS=cpu python scripts/bench_native.py
+Mirrors the reference's bench_cpu registry (src/bench_cpu.cu:631-704)
+name-for-name across DPF / DCF / VDPF / Half-Tree / Grotto x {Gen, Eval,
+EvalAll, Prove, Preprocess}, single core, 20-bit domains, with the
+reference's published Xeon 8352V numbers (its README.md:329-358) printed
+alongside. "Aes" rows use the AES-NI engine (= the reference's
+Aes128Mmo/Raw bit-identically); "ChaCha" the 20-round ChaCha variant.
+
+Run: JAX_PLATFORMS=cpu python scripts/bench_native.py [--quick]
 """
 
+import sys
 import time
 
 import numpy as np
 
 from fss_tpu import native
 
-REF = {  # reference single-core numbers (Xeon 8352V)
-    ("eval", "aes"): 1704, ("eval", "chacha"): 44940,
-    ("gen", "aes"): 3226,
+IB = 20
+N = 1 << IB
+QUICK = "--quick" in sys.argv
+
+# Reference single-core numbers (ns/op or ms total), README.md:329-358.
+REF_NS = {
+    "BM_DpfEval_Uint_Aes/20": 1704, "BM_DpfEval_Uint_Aes/14": 1117,
+    "BM_DpfEval_Uint_Aes/17": 1408, "BM_DpfGen_Uint_Aes/20": 3226,
+    "BM_DpfEval_Bytes_Aes/20": 1609, "BM_DpfEval_Uint_ChaCha/20": 44940,
+    "BM_DpfEval_Uint_AesSoft/20": 16184,
+    "BM_DcfEval_Uint_Aes/20": 4318, "BM_DcfGen_Uint_Aes/20": 7461,
+    "BM_DcfEval_Bytes_Aes/20": 3685,
+    "BM_VdpfEval_Uint_Aes_Sha256/20": 2959,
+    "BM_VdpfGen_Uint_Aes_Sha256/20": 6000,
+    "BM_VdpfEval_Uint_Aes_Blake3/20": 7354,
+    "BM_VdpfProve_Uint_ChaCha_Blake3/20": 1890,
+    "BM_HalfTreeDpfEval_Uint_Aes/20": 985,
+    "BM_HalfTreeDpfGen_Uint_Aes/20": 2204,
+    "BM_GrottoDcfEval_Aes/20": 46.9,
 }
+REF_MS = {
+    "BM_DpfEvalAll_Uint_Aes/20": 166.8, "BM_DcfEvalAll_Uint_Aes/20": 267.2,
+    "BM_DcfEvalAll_Bytes_Aes/20": 276.6,
+    "BM_VdpfEvalAll_Uint_Aes_Sha256/20": 1425.0,
+    "BM_HalfTreeDpfEvalAll_Uint_Aes/20": 97.7,
+    "BM_GrottoDcfPreprocess_Aes/20": 130.9,
+    "BM_GrottoDcfPreprocessEvalAll_Aes/20": 260.2,
+}
+
+ROWS = []
+
+
+def row_ns(name, dt_ns):
+    ref = REF_NS.get(name)
+    speedup = f"  {ref / dt_ns:5.1f}x" if ref else ""
+    ROWS.append((name, f"{dt_ns:10.1f} ns/op",
+                 f"(ref {ref} ns){speedup}" if ref else ""))
+
+
+def row_ms(name, dt_ms):
+    ref = REF_MS.get(name)
+    speedup = f"  {ref / dt_ms:5.1f}x" if ref else ""
+    ROWS.append((name, f"{dt_ms:10.2f} ms",
+                 f"(ref {ref} ms){speedup}" if ref else ""))
+
+
+def timeit(fn, reps):
+    fn()  # warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fn()
+    return (time.perf_counter() - t0) / reps
 
 
 def main():
     eng = native.engine()
-    in_bits = 20
     rng = np.random.default_rng(1)
-    keys = (bytes(range(1, 17)), bytes(range(16, 0, -1)))
+    keys4 = tuple(bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+                  for _ in range(4))
+    nonce = (1, 2)
+    hash_key = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+    b3_iv = bytes(rng.integers(0, 256, 32, dtype=np.uint8))
+    htk = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    U, BY = native.GROUP_UINT, native.GROUP_BYTES
+    AES, CHA = native.PRG_AES128_MMO, native.PRG_CHACHA
+    print(f"AES-NI: {eng.has_aesni}; in_bits=20; single core")
+    assert eng.has_aesni, "bench expects the AES-NI path"
+
+    ne = 4000 if QUICK else 20000  # point-eval batch
+    ng = 1000 if QUICK else 5000   # gen batch
+
     s0s = rng.integers(0, 2**32, size=(2, 4), dtype=np.uint32)
     beta = np.array([604, 0, 0, 0], dtype=np.uint32)
-    print(f"AES-NI available: {eng.has_aesni}")
+    xs = rng.integers(0, N, size=ne, dtype=np.uint64)
+    s0sb = rng.integers(0, 2**32, size=(ng, 2, 4), dtype=np.uint32)
+    alphas = rng.integers(0, N, size=ng, dtype=np.uint64)
+    betas = rng.integers(0, 2**32, size=(ng, 4), dtype=np.uint32)
 
-    configs = [("chacha", native.PRG_CHACHA, dict(nonce=(1, 2)))]
-    if eng.has_aesni:
-        configs.insert(0, ("aes", native.PRG_AES128_MMO,
-                           dict(aes_keys=keys)))
+    # ---- DPF ----
+    for ib in (20, 14, 17):
+        xsi = rng.integers(0, 1 << ib, size=ne, dtype=np.uint64)
+        cws = eng.dpf_gen(ib, AES, U, 32, s0s, 12345, beta,
+                          aes_keys=keys4[:2])
+        dt = timeit(lambda: eng.dpf_eval(ib, AES, U, 32, 0, s0s[0], cws,
+                                         xsi, aes_keys=keys4[:2]), 1)
+        row_ns(f"BM_DpfEval_Uint_Aes/{ib}", dt / ne * 1e9)
+    cws = eng.dpf_gen(IB, AES, U, 32, s0s, 12345, beta, aes_keys=keys4[:2])
+    dt = timeit(lambda: eng.dpf_gen_batch(IB, AES, U, 32, s0sb, alphas,
+                                          betas, aes_keys=keys4[:2]), 1)
+    row_ns("BM_DpfGen_Uint_Aes/20", dt / ng * 1e9)
+    cws_by = eng.dpf_gen(IB, AES, BY, 0, s0s, 12345, beta,
+                         aes_keys=keys4[:2])
+    dt = timeit(lambda: eng.dpf_eval(IB, AES, BY, 0, 0, s0s[0], cws_by, xs,
+                                     aes_keys=keys4[:2]), 1)
+    row_ns("BM_DpfEval_Bytes_Aes/20", dt / ne * 1e9)
+    dt = timeit(lambda: eng.dpf_eval_all(IB, AES, U, 32, 0, s0s[0], cws,
+                                         aes_keys=keys4[:2]), 1)
+    row_ms("BM_DpfEvalAll_Uint_Aes/20", dt * 1e3)
+    cws_c = eng.dpf_gen(IB, CHA, U, 32, s0s, 12345, beta, nonce=nonce)
+    dt = timeit(lambda: eng.dpf_eval(IB, CHA, U, 32, 0, s0s[0], cws_c, xs,
+                                     nonce=nonce), 1)
+    row_ns("BM_DpfEval_Uint_ChaCha/20", dt / ne * 1e9)
+    # One AES engine covers Aes/AesRaw/AesSoft bit-identically; report the
+    # same AES-NI number for the Raw alias rows.
+    row_ns("BM_DpfEval_Uint_AesRaw/20",
+            float(ROWS[0][1].split()[0]))
 
-    for label, kind, kw in configs:
-        cws = eng.dpf_gen(in_bits, kind, native.GROUP_UINT, 32, s0s, 12345,
-                          beta, **kw)
-        xs = rng.integers(0, 2**in_bits, size=20000, dtype=np.uint64)
-        t0 = time.perf_counter()
-        eng.dpf_eval(in_bits, kind, native.GROUP_UINT, 32, 0, s0s[0], cws,
-                     xs, **kw)
-        dt = (time.perf_counter() - t0) / len(xs)
-        ref = REF.get(("eval", label), "-")
-        print(f"dpf eval     {label:7s} uint 20-bit: {dt*1e9:7.0f} ns/op"
-              f"  (reference: {ref} ns)")
+    # ---- DCF ----
+    dcws = eng.dcf_gen(IB, AES, U, 32, "lt", s0s, 12345, beta,
+                       aes_keys=keys4)
+    dt = timeit(lambda: eng.dcf_eval(IB, AES, U, 32, 0, s0s[0], dcws,
+                                     xs, aes_keys=keys4), 1)
+    row_ns("BM_DcfEval_Uint_Aes/20", dt / ne * 1e9)
+    dt = timeit(lambda: eng.dcf_gen_batch(IB, AES, U, 32, 1, s0sb, alphas,
+                                          betas, aes_keys=keys4), 1)
+    row_ns("BM_DcfGen_Uint_Aes/20", dt / ng * 1e9)
+    dcws_by = eng.dcf_gen(IB, AES, BY, 0, "lt", s0s, 12345, beta,
+                          aes_keys=keys4)
+    dt = timeit(lambda: eng.dcf_eval(IB, AES, BY, 0, 0, s0s[0],
+                                     dcws_by, xs, aes_keys=keys4), 1)
+    row_ns("BM_DcfEval_Bytes_Aes/20", dt / ne * 1e9)
+    dt = timeit(lambda: eng.dcf_eval_all(IB, AES, U, 32, 0, s0s[0], dcws,
+                                         aes_keys=keys4), 1)
+    row_ms("BM_DcfEvalAll_Uint_Aes/20", dt * 1e3)
+    dt = timeit(lambda: eng.dcf_eval_all(IB, AES, BY, 0, 0, s0s[0],
+                                         dcws_by, aes_keys=keys4), 1)
+    row_ms("BM_DcfEvalAll_Bytes_Aes/20", dt * 1e3)
 
-        n = 5000
-        s0sb = rng.integers(0, 2**32, size=(n, 2, 4), dtype=np.uint32)
-        alphas = rng.integers(0, 2**in_bits, size=n, dtype=np.uint64)
-        betas = rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32)
-        t0 = time.perf_counter()
-        eng.dpf_gen_batch(in_bits, kind, native.GROUP_UINT, 32, s0sb,
-                          alphas, betas, **kw)
-        dt = (time.perf_counter() - t0) / n
-        ref = REF.get(("gen", label), "-")
-        print(f"dpf gen      {label:7s} uint 20-bit: {dt*1e9:7.0f} ns/op"
-              f"  (reference: {ref} ns)")
+    # ---- VDPF ----
+    for hname, hk, hkey in (("Sha256", 0, hash_key), ("Blake3", 1, b3_iv)):
+        vcws, vcs, vocw, fail = eng.vdpf_gen(
+            IB, AES, hk, hkey, U, 32, s0s, 12345, beta, aes_keys=keys4[:2])
+        assert not fail
+        dt = timeit(lambda: eng.vdpf_eval_batch(
+            IB, AES, hk, hkey, U, 32, 0, s0s[0], vcws, vcs, vocw, xs,
+            aes_keys=keys4[:2]), 1)
+        row_ns(f"BM_VdpfEval_Uint_Aes_{hname}/20", dt / ne * 1e9)
+        if hname == "Sha256":
+            dt = timeit(lambda: eng.vdpf_gen_batch(
+                IB, AES, hk, hkey, U, 32, s0sb, alphas, betas,
+                aes_keys=keys4[:2]), 1)
+            row_ns("BM_VdpfGen_Uint_Aes_Sha256/20", dt / ng * 1e9)
+            dt = timeit(lambda: eng.vdpf_eval_all(
+                IB, AES, hk, hkey, U, 32, 0, s0s[0], vcws, vcs, vocw,
+                aes_keys=keys4[:2]), 1)
+            row_ms("BM_VdpfEvalAll_Uint_Aes_Sha256/20", dt * 1e3)
+    # Prove (ChaCha+Blake3 config): fold ne pi-tildes.
+    vcws, vcs, vocw, fail = eng.vdpf_gen(IB, CHA, 1, b3_iv, U, 32, s0s,
+                                         12345, beta, nonce=nonce)
+    assert not fail
+    _, pts = eng.vdpf_eval_batch(IB, CHA, 1, b3_iv, U, 32, 0, s0s[0],
+                                 vcws, vcs, vocw, xs[:ng], nonce=nonce)
+    dt = timeit(lambda: eng.vdpf_prove(1, b3_iv, pts, vcs), 1)
+    row_ns("BM_VdpfProve_Uint_ChaCha_Blake3/20", dt / len(pts) * 1e9)
 
-        t0 = time.perf_counter()
-        eng.dpf_eval_all(in_bits, kind, native.GROUP_UINT, 32, 0, s0s[0],
-                         cws, **kw)
-        dt = time.perf_counter() - t0
-        print(f"dpf eval_all {label:7s} uint 20-bit: {dt*1e3:7.1f} ms = "
-              f"{2**in_bits/dt/1e6:.2f} M items/s "
-              f"(reference aes: 166.8 ms / 6.29 M items/s)")
+    # ---- Half-Tree ----
+    hcws, hocw = eng.ht_gen(IB, AES, U, 32, htk, s0s, 12345, beta,
+                            aes_keys=keys4[:1])
+    dt = timeit(lambda: eng.ht_eval(IB, AES, U, 32, 0, htk, s0s[0], hcws,
+                                    hocw, xs, aes_keys=keys4[:1]), 1)
+    row_ns("BM_HalfTreeDpfEval_Uint_Aes/20", dt / ne * 1e9)
+    dt = timeit(lambda: eng.ht_gen_batch(IB, AES, U, 32, htk, s0sb,
+                                         alphas, betas,
+                                         aes_keys=keys4[:1]), 1)
+    row_ns("BM_HalfTreeDpfGen_Uint_Aes/20", dt / ng * 1e9)
+    dt = timeit(lambda: eng.ht_eval_all(IB, AES, U, 32, 0, htk, s0s[0],
+                                        hcws, hocw, aes_keys=keys4[:1]), 1)
+    row_ms("BM_HalfTreeDpfEvalAll_Uint_Aes/20", dt * 1e3)
+
+    # ---- Grotto ----
+    gcws = eng.dpf_gen(IB, AES, BY, 0, s0s, 12345,
+                       np.zeros(4, dtype=np.uint32), aes_keys=keys4[:2])
+    pt = eng.grotto_preprocess(IB, AES, 0, s0s[0], gcws,
+                               aes_keys=keys4[:2])
+    packed = eng.grotto_pack_tree(pt)
+    dt = timeit(lambda: eng.grotto_eval_batch_packed(IB, packed, xs), 8)
+    row_ns("BM_GrottoDcfEval_Aes/20", dt / ne * 1e9)
+    dt = timeit(lambda: eng.grotto_preprocess(IB, AES, 0, s0s[0], gcws,
+                                              aes_keys=keys4[:2]), 1)
+    row_ms("BM_GrottoDcfPreprocess_Aes/20", dt * 1e3)
+    dt = timeit(lambda: eng.grotto_eval_all(IB, AES, 0, s0s[0], gcws,
+                                            aes_keys=keys4[:2]), 1)
+    row_ms("BM_GrottoDcfPreprocessEvalAll_Aes/20", dt * 1e3)
+
+    width = max(len(r[0]) for r in ROWS)
+    for name, val, ref in ROWS:
+        print(f"{name:<{width}}  {val}  {ref}")
 
 
 if __name__ == "__main__":

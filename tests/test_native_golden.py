@@ -132,8 +132,11 @@ def test_grotto_native_golden(eng, case):
     for party in (0, 1):
         pt = eng.grotto_preprocess(n, pk, party, s0s[party], cws, **pargs)
         out = eng.grotto_eval_batch(n, pt, xs)
-        assert [int(v) for v in out] == \
-            [int(case[f"ys{party}"][i]) for i in range(len(xs))]
+        expect = [int(case[f"ys{party}"][i]) for i in range(len(xs))]
+        assert [int(v) for v in out] == expect
+        packed = eng.grotto_pack_tree(pt)
+        out_p = eng.grotto_eval_batch_packed(n, packed, xs)
+        assert [int(v) for v in out_p] == expect
 
         ys = eng.grotto_eval_all(n, pk, party, s0s[party], cws, **pargs)
         assert hashlib.sha256(ys.tobytes()).hexdigest() == \
