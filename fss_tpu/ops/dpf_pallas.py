@@ -75,7 +75,8 @@ def _chacha2(k0, k1, k2, k3, nonce, rounds: int):
     return left, right
 
 
-def _make_eval_kernel(in_bits: int, party: int, nonce, rounds: int):
+def _make_eval_kernel(in_bits: int, party: int, nonce, rounds: int,
+                      unroll: bool = False):
     def kernel(s_ref, c_ref, x_ref, so_ref, t_ref):
         w = [s_ref[i] for i in range(4)]
         w[3] = w[3] & _NOTONE
@@ -117,9 +118,17 @@ def _make_eval_kernel(in_bits: int, party: int, nonce, rounds: int):
             t = jnp.where(xb, tr, tl)
             return (w0, w1, w2, w3, t)
 
-        # Rolled over levels (tiny trip count, big body — keeps Mosaic
-        # compile time sane; the rounds inside are fully unrolled).
-        w0, w1, w2, w3, t = jax.lax.fori_loop(0, in_bits, level, (*w, t))
+        # Rolled over levels by default (tiny trip count, big body — keeps
+        # Mosaic compile time sane; the rounds inside are fully unrolled).
+        # unroll=True trades compile time for static cw indexing.
+        if unroll:
+            carry = (*w, t)
+            for i in range(in_bits):
+                carry = level(i, carry)
+            w0, w1, w2, w3, t = carry
+        else:
+            w0, w1, w2, w3, t = jax.lax.fori_loop(0, in_bits, level,
+                                                  (*w, t))
         so_ref[0] = w0
         so_ref[1] = w1
         so_ref[2] = w2
@@ -347,10 +356,10 @@ def pack_keys(s0: jax.Array, cws: jax.Array, xs: jax.Array, in_bits: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("in_bits", "party", "nonce", "rounds",
-                                    "block_rows", "interpret"))
+                                    "block_rows", "interpret", "unroll"))
 def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
                 rounds: int = 20, block_rows: int = DEFAULT_BLOCK_ROWS,
-                interpret: bool = False):
+                interpret: bool = False, unroll: bool = False):
     """Run the fused eval kernel on pre-packed inputs.
 
     Returns (seed words [4, T, 128], control bits [T, 128]) — feed to
@@ -360,7 +369,7 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
     assert nrows % block_rows == 0
     grid = (nrows // block_rows,)
     nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
-    kern = _make_eval_kernel(in_bits, party, nonce, rounds)
+    kern = _make_eval_kernel(in_bits, party, nonce, rounds, unroll)
     so, t = pl.pallas_call(
         kern,
         grid=grid,

@@ -277,6 +277,52 @@ def vdpf_eval_all_sharded(prg2, xor_hash, hash64, group, in_bits: int,
     return jax.jit(run)(s0, cws, cs, ocw)
 
 
+def vdmpf_batch_eval_sharded(prg2, xor_hash, hash64, group, in_bits: int,
+                             bucket_bits: int, party: int, key, xs,
+                             mesh: Mesh, axis: str = "data",
+                             kappa: int = 3):
+    """Data-sharded VDMPF BatchEval: the eta x kappa Locate routing and
+    inner VDPF evals shard on ``axis`` (the natural axis — each point's
+    work is independent); the bucket keys are replicated. Per-shard tree
+    proofs merge with an ordered cross-shard chain seeded at zero — both
+    parties compute the identical structure from public data (sigma, xs),
+    which is all Verify needs. Returns (ys [eta, 4], pi [4, 4]).
+    """
+    from fss_tpu.schemes import vdmpf as _vdmpf
+
+    n_shards = mesh.shape[axis]
+    xs = jnp.asarray(xs, dtype=jnp.uint32)
+    eta = xs.shape[0]
+    pad = (-eta) % n_shards
+    xs_p = jnp.pad(xs, (0, pad))  # padded lanes evaluate and are dropped
+
+    def shard_fn(xs_l, s0, cws, cs, ocw):
+        k_l = _vdmpf.VdmpfKey(key.sigma, key.m_rt, key.b_size_rt, s0, cws,
+                              cs, ocw)
+        ys, pi = _vdmpf.batch_eval(prg2, xor_hash, hash64, group, in_bits,
+                                   bucket_bits, party, k_l, xs_l, kappa)
+        all_pi = jax.lax.all_gather(pi, axis)  # [n_shards, 4, 4]
+
+        def step(p, q):
+            h = hash64(jnp.bitwise_xor(p, q))
+            return p.at[:2].set(jnp.bitwise_xor(p[:2], h)), None
+
+        merged, _ = jax.lax.scan(step,
+                                 jnp.zeros((4, 4), dtype=jnp.uint32),
+                                 all_pi)
+        return ys, merged[None]
+
+    # check_vma off: batch_eval mixes shard-varying values (from xs) with
+    # replicated key constants throughout its internal scans; the manual
+    # collectives here (one all_gather) are correct by construction.
+    body = jax.shard_map(shard_fn, mesh=mesh,
+                         in_specs=(P(axis), P(), P(), P(), P()),
+                         out_specs=(P(axis, None), P(axis, None, None)),
+                         check_vma=False)
+    ys, pi_all = jax.jit(body)(xs_p, key.s0, key.cws, key.cs, key.ocw)
+    return ys[:eta], pi_all[0]
+
+
 def reconstruct_uint_psum(group, y_lanes: jax.Array, axis: str) -> jax.Array:
     """In-mesh reconstruction helper for additively-shared Uint outputs:
     group-add across the named axis (used by tests/benches only; real

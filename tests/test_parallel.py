@@ -180,3 +180,31 @@ def test_2d_mesh_data_and_domain(rng):
     for i in range(B):
         ref = np.asarray(d.eval_all(0, s0s[i, 0], cws[i]))
         assert np.array_equal(np.asarray(ys0[i]), ref), f"key {i}"
+
+
+def test_vdmpf_batch_eval_sharded(rng):
+    """Data-sharded VDMPF BatchEval: outputs match the single-device
+    path; shard-merged proofs agree between parties."""
+    from fss_tpu.api import Vdmpf
+
+    in_bits = 10
+    g = groups.Uint(64)
+    v = Vdmpf(in_bits, group=g, prg=ChaCha(mul=2, nonce=NONCE))
+    alphas = sorted(rng.choice(1 << in_bits, size=30,
+                               replace=False).tolist())
+    betas = blk.block(np.concatenate(
+        [rng.integers(0, 2**31, size=(30, 1)),
+         np.zeros((30, 3), np.uint32)], axis=1))
+    k0, k1 = v.gen_retry(rng, alphas, betas)
+
+    xs = np.uint32(alphas[:10] + [3, 5, 9])  # 13 points (pads to 16)
+    mesh = pmesh.make_mesh(8, axis_names=("data",))
+    pis = {}
+    for party, key in ((0, k0), (1, k1)):
+        ys, pi = pmesh.vdmpf_batch_eval_sharded(
+            v.prg, v.xor_hash, v.hash64, g, in_bits, v.bucket_bits,
+            party, key, xs, mesh)
+        ys_ref, _ = v.batch_eval(party, key, xs)
+        assert np.array_equal(np.asarray(ys), np.asarray(ys_ref))
+        pis[party] = np.asarray(pi)
+    assert np.array_equal(pis[0], pis[1])
