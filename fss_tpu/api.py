@@ -165,13 +165,20 @@ class Dpf:
 
     def eval(self, party: int, s0, cws, xs):
         if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
-                and _plain_u32_inputs(xs, self.in_bits)
                 and jnp.asarray(cws).ndim == 3):
-            from fss_tpu.ops import dpf_pallas
-            return dpf_pallas.eval_points(
-                self.prg.nonce, self.group, self.in_bits, int(party),
-                jnp.asarray(s0), jnp.asarray(cws),
-                jnp.asarray(xs, dtype=jnp.uint32), rounds=self.prg.rounds)
+            xk = None
+            if _plain_u32_inputs(xs, self.in_bits):
+                xk = jnp.asarray(xs, dtype=jnp.uint32)
+            elif self.in_bits > 32:
+                packed = blk.pack_inputs(xs, self.in_bits)
+                if packed.ndim == 2:  # batched lanes -> wide kernel path
+                    xk = packed
+            if xk is not None:
+                from fss_tpu.ops import dpf_pallas
+                return dpf_pallas.eval_points(
+                    self.prg.nonce, self.group, self.in_bits, int(party),
+                    jnp.asarray(s0), jnp.asarray(cws), xk,
+                    rounds=self.prg.rounds)
         if (_use_tpu_kernels() and isinstance(self.prg, Aes128Mmo)
                 and _plain_u32_inputs(xs, self.in_bits)):
             from fss_tpu.ops import aes_pallas

@@ -77,11 +77,16 @@ def _chacha2(k0, k1, k2, k3, nonce, rounds: int):
 
 def _make_eval_kernel(in_bits: int, party: int, nonce, rounds: int,
                       unroll: bool = False):
+    # in_bits > 32: x arrives as 4 uint32 lanes ([4, rows, 128] block) and
+    # each level picks bit (in_bits-1-i) out of the right lane
+    # (dpf.cuh:61-63 allows In up to __uint128_t).
+    wide = in_bits > 32
+
     def kernel(s_ref, c_ref, x_ref, so_ref, t_ref):
         w = [s_ref[i] for i in range(4)]
         w[3] = w[3] & _NOTONE
         t = jnp.zeros_like(w[0]) + np.uint32(party)
-        x = x_ref[:]
+        x = None if wide else x_ref[:]
 
         def level(i, carry):
             w0, w1, w2, w3, t = carry
@@ -107,10 +112,14 @@ def _make_eval_kernel(in_bits: int, party: int, nonce, rounds: int,
             r3 ^= cw3 & tm
             tl = tl ^ (t & tl_cw)
             tr = tr ^ (t & tr_cw)
-            shift = (np.uint32(in_bits - 1) - i.astype(jnp.uint32)
-                     if not isinstance(i, int)
-                     else np.uint32(in_bits - 1 - i))
-            xb = ((x >> shift) & _ONE).astype(jnp.bool_)
+            pos = (np.uint32(in_bits - 1) - i.astype(jnp.uint32)
+                   if not isinstance(i, int)
+                   else np.uint32(in_bits - 1 - i))
+            if wide:
+                xb = ((x_ref[pos >> np.uint32(5)]
+                       >> (pos & np.uint32(31))) & _ONE).astype(jnp.bool_)
+            else:
+                xb = ((x >> pos) & _ONE).astype(jnp.bool_)
             w0 = jnp.where(xb, r0, l0)
             w1 = jnp.where(xb, r1, l1)
             w2 = jnp.where(xb, r2, l2)
@@ -331,9 +340,10 @@ def pack_keys(s0: jax.Array, cws: jax.Array, xs: jax.Array, in_bits: int,
               block_rows: int = DEFAULT_BLOCK_ROWS):
     """Stage per-instance keys into the kernel's SoA device layout.
 
-    s0: [B, 4]; cws: [B, in_bits+1, 8]; xs: [B] uint32. Pads B up to a
-    multiple of block_rows*128. Returns (seeds4 [4, T, 128],
-    cws_t [in_bits, 8, T, 128], xs2 [T, 128], ocw [B, 4], B).
+    s0: [B, 4]; cws: [B, in_bits+1, 8]; xs: [B] uint32, or [B, 4] packed
+    uint32 lanes for in_bits > 32. Pads B up to a multiple of
+    block_rows*128. Returns (seeds4 [4, T, 128], cws_t [in_bits, 8, T,
+    128], xs2 [T, 128] (or [4, T, 128] wide), ocw [B, 4], B).
     """
     B = xs.shape[0]
     tile = block_rows * LANES
@@ -349,7 +359,10 @@ def pack_keys(s0: jax.Array, cws: jax.Array, xs: jax.Array, in_bits: int,
     seeds4 = jnp.transpose(s0p, (1, 0)).reshape(4, T, LANES)
     cws_t = jnp.transpose(cwsp[:, :in_bits, :], (1, 2, 0)).reshape(
         in_bits, 8, T, LANES)
-    xs2 = xsp.reshape(T, LANES)
+    if xsp.ndim == 2:  # packed lanes (wide domains)
+        xs2 = jnp.transpose(xsp, (1, 0)).reshape(4, T, LANES)
+    else:
+        xs2 = xsp.reshape(T, LANES)
     ocw = cws[:, in_bits, 0:4]
     return seeds4, cws_t, xs2, ocw, B
 
@@ -370,6 +383,11 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
     grid = (nrows // block_rows,)
     nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
     kern = _make_eval_kernel(in_bits, party, nonce, rounds, unroll)
+    x_spec = (pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+              if in_bits > 32 else
+              pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM))
     so, t = pl.pallas_call(
         kern,
         grid=grid,
@@ -378,8 +396,7 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((in_bits, 8, block_rows, LANES),
                          lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
         ],
         out_specs=[
             pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),

@@ -54,3 +54,32 @@ def test_dcf_wide_domain_comparison(rng):
         rec = np.asarray(g.add(g.from_block(y0), g.from_block(y1)))
         val = int(rec[0]) | (int(rec[1]) << 32)
         assert val == expect, f"x={x}"
+
+
+@pytest.mark.parametrize("in_bits", [48, 128])
+def test_wide_domain_kernel_path(in_bits, rng):
+    """The fused Pallas eval kernel accepts packed-lane inputs for
+    in_bits > 32 (interpret mode; golden 48/128-bit vectors pin the same
+    math against the compiled reference in test_golden.py)."""
+    from fss_tpu.ops import dpf_pallas
+    from fss_tpu.schemes import dpf as _dpf
+
+    g = groups.Bytes()
+    prg = ChaCha(mul=2, nonce=NONCE)
+    B = 128
+    alphas = [(int(rng.integers(0, 2**63)) | (1 << (in_bits - 1)))
+              & ((1 << in_bits) - 1) for _ in range(B)]
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    a_lanes = blk.pack_inputs(alphas, in_bits)
+    import jax
+    cws = jax.jit(jax.vmap(
+        lambda s, a, b: _dpf.gen(prg, g, in_bits, s, a, b)))(
+        s0s, a_lanes, betas)
+
+    want = np.asarray(_dpf.eval_points(prg, g, in_bits, 0, s0s[:, 0],
+                                       cws, a_lanes))
+    got = np.asarray(dpf_pallas.eval_points(
+        NONCE, g, in_bits, 0, s0s[:, 0], cws, a_lanes, block_rows=1,
+        interpret=True))
+    assert np.array_equal(got, want)
