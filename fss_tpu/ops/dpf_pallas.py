@@ -7,8 +7,12 @@ run entirely in VMEM/vregs, so each instance's seed/key/input is read from
 HBM exactly once. Structure-of-arrays layout: every uint32 word stream is a
 [rows, 128] tile, so the full 8x128 VPU is busy on every op.
 
-Measured on one v5e chip at 2^20 instances, 16-bit domain: ~127 M evals/s
+Measured on one v5e chip at 2^20 instances, 16-bit domain: ~162 M evals/s
 (vs ~45 M/s for the XLA scan formulation; the 1e8/s/chip BASELINE floor).
+Tuning notes (swept on hardware): block_rows=32 is the optimum (16 and 64
+are 1-5% slower), level unrolling and select->arithmetic-mask rewrites are
+within noise — the kernel is bound by the ChaCha ALU stream itself; see
+docs/benchmarks.md for the op-count roofline analysis.
 
 Keys must be pre-packed into the device layout with ``pack_keys`` (the
 GPU bench likewise stages keys on device before timing). Group conversion
@@ -101,15 +105,19 @@ def _make_eval_kernel(in_bits: int, party: int, nonce, rounds: int,
             tl_cw = cw3r & _ONE
             cw3 = cw3r & _NOTONE
             tr_cw = cw4 & _ONE
-            tm = jnp.where(t.astype(jnp.bool_), _FULL, np.uint32(0))
-            l0 ^= cw0 & tm
-            l1 ^= cw1 & tm
-            l2 ^= cw2 & tm
-            l3 ^= cw3 & tm
-            r0 ^= cw0 & tm
-            r1 ^= cw1 & tm
-            r2 ^= cw2 & tm
-            r3 ^= cw3 & tm
+            tm = np.uint32(0) - t  # t is 0/1: arithmetic mask, no select
+            m0 = cw0 & tm
+            m1 = cw1 & tm
+            m2 = cw2 & tm
+            m3 = cw3 & tm
+            l0 ^= m0
+            l1 ^= m1
+            l2 ^= m2
+            l3 ^= m3
+            r0 ^= m0
+            r1 ^= m1
+            r2 ^= m2
+            r3 ^= m3
             tl = tl ^ (t & tl_cw)
             tr = tr ^ (t & tr_cw)
             pos = (np.uint32(in_bits - 1) - i.astype(jnp.uint32)
