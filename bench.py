@@ -202,6 +202,21 @@ def _bench_registry():
                 _timeit(fd, (dseeds, dcws_t, dxs2, dvlast), Bd),
                 "evals/s/chip"))
 
+    # DCF gen on the fused kernel (reference GPU: 176.9 M keys/s).
+    fdg = jax.jit(lambda s, a, b: jnp.sum(dcf_pallas.gen_batch(
+        nonce, g, ib, "lt", s, a, b)[:, 0, 0]))
+    out.append(("dcf_gen_chacha_uint_16bit",
+                _timeit(fdg, (s0sb[:Bd], jnp.asarray(alphas_u32[:Bd]),
+                              betas[:Bd]), Bd), "keys/s/chip"))
+
+    # Half-Tree gen on the fused kernel (reference GPU: 174.9 M keys/s).
+    htk_b = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    fhg = jax.jit(lambda s, a, b: jnp.sum(ht_pallas.gen_batch(
+        nonce, g, ib, tuple(int(v) for v in htk_b), s, a, b)[0][:, 0, 0]))
+    out.append(("half_tree_gen_chacha_uint_16bit",
+                _timeit(fhg, (s0sb[:Bd], jnp.asarray(alphas_u32[:Bd]),
+                              betas[:Bd]), Bd), "keys/s/chip"))
+
     # Half-Tree eval, per-instance keys (fused Pallas kernel).
     prg1 = ChaCha(mul=1, nonce=nonce)
     hk_np = rng.integers(0, 2**32, size=4, dtype=np.uint32)
@@ -292,6 +307,24 @@ def _bench_registry():
     out.append(("half_tree_eval_all_chacha_uint_20bit",
                 _timeit(fha, (jnp.asarray(s0s[0]), hcw20, hocw20),
                         2**ib20), "items/s/chip"))
+
+    # Grotto post-preprocess point queries against the packed prefix
+    # table (reference CPU: 46.9 ns/query, its README.md:356).
+    gr_cws = jax.jit(lambda s: _gr.gen(
+        prg2, groups.Bytes(), ib20, s,
+        blk.pack_inputs(123456, ib20)))(s0s)
+    gr_tbl = jax.jit(lambda s, c: _gr.preprocess_prefix(
+        prg2, ib20, 0, s, c).words)(jnp.asarray(s0s[0]), gr_cws)
+    gxs = jnp.asarray(rng.integers(0, 2**ib20, size=1 << 20,
+                                   dtype=np.uint32))
+
+    def fgq(words, xs):
+        tbl = _gr.PrefixTable(words=words, party=0, in_bits=ib20)
+        return jnp.sum(_gr.eval_prefix(tbl, xs))
+
+    out.append(("grotto_eval_batch_20bit",
+                _timeit(jax.jit(fgq), (gr_tbl, gxs), 1 << 20),
+                "queries/s/chip"))
 
     # Grotto full-domain (preprocess+eval_all shape).
     cwsg = jax.jit(lambda s: _gr.gen(

@@ -218,6 +218,23 @@ class Dcf:
         return _dcf_gen(self.prg, self.group, self.in_bits, self.pred,
                         s0s, a, beta)
 
+    def gen_batch(self, s0s, alphas, betas):
+        """Vectorized gen over a leading key-batch axis (fused Pallas
+        kernel on TPU for ChaCha + Bytes/wrapping-Uint groups)."""
+        from fss_tpu.ops import dcf_pallas
+        if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
+                and _plain_u32_inputs(alphas, self.in_bits)
+                and dcf_pallas.gen_kernel_supports_group(self.group)):
+            return dcf_pallas.gen_batch(
+                self.prg.nonce, self.group, self.in_bits, self.pred,
+                jnp.asarray(s0s),
+                jnp.asarray(alphas, dtype=jnp.uint32),
+                jnp.asarray(betas), rounds=self.prg.rounds)
+        a = blk.pack_inputs(alphas, self.in_bits)
+        return jax.vmap(lambda s, al, be: _dcf_gen(
+            self.prg, self.group, self.in_bits, self.pred, s, al, be))(
+            jnp.asarray(s0s), a, jnp.asarray(betas))
+
     def eval(self, party: int, s0, cws, xs):
         if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
                 and _plain_u32_inputs(xs, self.in_bits)
@@ -506,6 +523,15 @@ class HalfTreeDpf:
                        s0s, a, beta)
 
     def gen_batch(self, s0s, alphas, betas):
+        if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
+                and self.in_bits >= 2
+                and _plain_u32_inputs(alphas, self.in_bits)):
+            from fss_tpu.ops import ht_pallas
+            return ht_pallas.gen_batch(
+                self.prg.nonce, self.group, self.in_bits,
+                np.asarray(self.hash_key), jnp.asarray(s0s),
+                jnp.asarray(alphas, dtype=jnp.uint32),
+                jnp.asarray(betas), rounds=self.prg.rounds)
         a = blk.pack_inputs(alphas, self.in_bits)
         return _ht_gen_batch(self.prg, self.group, self.in_bits,
                              self.hash_key, s0s, a, betas)
@@ -560,7 +586,16 @@ class GrottoDcf:
                 return _grotto.build_parity_tree(leaf, int(party))
         return _grotto_preprocess(self.prg, self.in_bits, int(party), s0, cws)
 
+    def preprocess_prefix(self, party: int, s0, cws):
+        """Packed full-domain prefix table: the TPU-fast preprocess whose
+        point queries are one gather each (schemes.grotto_dcf.PrefixTable;
+        the ParityTree from ``preprocess`` stays for reference parity)."""
+        bits = self.eval_all(party, s0, cws)
+        return _grotto.build_prefix_table(jnp.asarray(bits), int(party))
+
     def eval(self, pt, xs):
+        if isinstance(pt, _grotto.PrefixTable):
+            return _grotto.eval_prefix(pt, xs)
         x = blk.pack_inputs(xs, self.in_bits)
         return _grotto_eval(pt, x)
 

@@ -95,3 +95,10 @@ def add128(a, b):
     c2 = c2 + (s2c < s2).astype(jnp.uint32)
     s3 = a[3] + b[3] + c2
     return (s0, s1c, s2c, s3)
+
+
+def neg128(a):
+    """Two's-complement negation of a 4-word tuple (128-bit lanes)."""
+    one = jnp.full_like(a[0], 1)
+    zero = jnp.zeros_like(a[0])
+    return add128(tuple(x ^ FULL for x in a), (one, zero, zero, zero))

@@ -210,3 +210,220 @@ def eval_points(prg_nonce, group, in_bits: int, party: int, s0: jax.Array,
                             group_is_xor=is_xor, rounds=rounds,
                             block_rows=block_rows, interpret=interpret)
     return finalize(group, party, vo, so, t, v_last, B)
+
+
+# ---------------------------------------------------------------------------
+# Fused batched Gen kernel (dcf.cuh:108-194): both parties' tree walks and
+# the group value thread run in-kernel; emits complete (in_bits+1, 8) key
+# rows. Group support matches the eval kernel: Bytes (XOR) and wrapping
+# Uint up to 64 bits (mod groups take the XLA path).
+# ---------------------------------------------------------------------------
+
+
+def _group_ops(group):
+    """(add, neg, into_mask) for in-kernel group arithmetic."""
+    from fss_tpu.ops._chacha_core import neg128
+
+    if isinstance(group, groups.Bytes):
+        return (lambda a, b: tuple(x ^ y for x, y in zip(a, b)),
+                lambda a: a, (FULL, FULL, FULL, FULL))
+    assert isinstance(group, groups.Uint) and group.mod == 0
+    bits = group.bits
+    mask = [np.uint32(0)] * 4
+    for wi in range(4):
+        lo = 32 * wi
+        if bits > lo:
+            mask[wi] = FULL if bits >= lo + 32 else \
+                np.uint32((1 << (bits - lo)) - 1)
+    return add128, neg128, tuple(mask)
+
+
+def gen_kernel_supports_group(group) -> bool:
+    if isinstance(group, groups.Bytes):
+        return True
+    return isinstance(group, groups.Uint) and group.mod == 0
+
+
+def _bitsel(m, a, b):
+    """Per-word bitwise select: m ? a : b with m a 0/~0 mask."""
+    return tuple(bw ^ (m & (aw ^ bw)) for aw, bw in zip(a, b))
+
+
+def _make_gen_kernel(in_bits: int, nonce, rounds: int, pred_lt: bool,
+                     group, chacha_unroll: bool = True):
+    g_add, g_neg, into_mask = _group_ops(group)
+
+    def g_sub(a, b):
+        return g_add(a, g_neg(b))
+
+    def kernel(s_ref, a_ref, b_ref, c_ref):
+        s0 = [s_ref[i] for i in range(4)]
+        s1 = [s_ref[4 + i] for i in range(4)]
+        s0[3] &= NOTONE
+        s1[3] &= NOTONE
+        zero = jnp.zeros_like(s0[0])
+        t0 = zero
+        t1 = zero + ONE
+        v = (zero, zero, zero, zero)
+        # Clamped beta as a group value (From applies the width mask).
+        b_val = tuple((b_ref[i] & into_mask[i]) if i < 3
+                      else ((b_ref[3] & NOTONE) & into_mask[3])
+                      for i in range(4))
+        a = a_ref[:]
+
+        def level(i, carry):
+            s0w0, s0w1, s0w2, s0w3, s1w0, s1w1, s1w2, s1w3, t0, t1, \
+                v0, v1, v2, v3 = carry
+            v = (v0, v1, v2, v3)
+            o0 = chacha_block(s0w0, s0w1, s0w2, s0w3, nonce, 4, rounds,
+                              unroll=chacha_unroll)
+            o1 = chacha_block(s1w0, s1w1, s1w2, s1w3, nonce, 4, rounds,
+                              unroll=chacha_unroll)
+            (l0w), (v0l), (r0w), (v0r) = o0
+            (l1w), (v1l), (r1w), (v1r) = o1
+            t0l = l0w[3] & ONE
+            t0r = r0w[3] & ONE
+            t1l = l1w[3] & ONE
+            t1r = r1w[3] & ONE
+            l0w = (l0w[0], l0w[1], l0w[2], l0w[3] & NOTONE)
+            r0w = (r0w[0], r0w[1], r0w[2], r0w[3] & NOTONE)
+            l1w = (l1w[0], l1w[1], l1w[2], l1w[3] & NOTONE)
+            r1w = (r1w[0], r1w[1], r1w[2], r1w[3] & NOTONE)
+            # Value blocks: clamp then From (width mask).
+            fr = lambda wds: tuple(
+                (wds[j] & into_mask[j]) if j < 3
+                else ((wds[3] & NOTONE) & into_mask[3]) for j in range(4))
+            v0l, v0r, v1l, v1r = fr(v0l), fr(v0r), fr(v1l), fr(v1r)
+
+            shift = np.uint32(in_bits - 1) - i.astype(jnp.uint32)
+            ab = (a >> shift) & ONE
+            abm = zero - ab  # 0/~0
+
+            s_cw = _bitsel(abm,
+                           tuple(x ^ y for x, y in zip(l0w, l1w)),
+                           tuple(x ^ y for x, y in zip(r0w, r1w)))
+            tl_cw = t0l ^ t1l ^ ab ^ ONE
+            tr_cw = t0r ^ t1r ^ ab
+
+            # v_cw = -v + (off-path side: ab ? l : r) v1 - v0 [+ beta]
+            v1o = _bitsel(abm, v1l, v1r)
+            v0o = _bitsel(abm, v0l, v0r)
+            v_cw = g_add(g_neg(v), g_sub(v1o, v0o))
+            # beta joins when the off-path side is the predicate's side:
+            # kLt adds on the left (ab=1), kGt on the right (ab=0).
+            bm = abm if pred_lt else ~abm
+            v_cw = g_add(v_cw, tuple(w & bm for w in b_val))
+            t1m = zero - t1
+            v_cw = _bitsel(t1m, g_neg(v_cw), v_cw)
+
+            # v += (kept side) v0 - v1, then +/- v_cw by t1.
+            v0k = _bitsel(abm, v0r, v0l)
+            v1k = _bitsel(abm, v1r, v1l)
+            v = g_add(v, g_sub(v0k, v1k))
+            v = g_add(v, _bitsel(t1m, g_neg(v_cw), v_cw))
+
+            c_ref[i, 0] = s_cw[0]
+            c_ref[i, 1] = s_cw[1]
+            c_ref[i, 2] = s_cw[2]
+            c_ref[i, 3] = s_cw[3] | tl_cw
+            vb = tuple(w & m for w, m in zip(v_cw, into_mask))
+            c_ref[i, 4] = vb[0]
+            c_ref[i, 5] = vb[1]
+            c_ref[i, 6] = vb[2]
+            c_ref[i, 7] = vb[3] | tr_cw
+
+            tcw = jnp.where(ab.astype(jnp.bool_), tr_cw, tl_cw)
+            tm0 = zero - t0
+            tm1 = zero - t1
+            k0 = _bitsel(abm, r0w, l0w)
+            k1 = _bitsel(abm, r1w, l1w)
+            n0 = tuple(kw ^ (cw & tm0) for kw, cw in zip(k0, s_cw))
+            n1 = tuple(kw ^ (cw & tm1) for kw, cw in zip(k1, s_cw))
+            nt0 = jnp.where(ab.astype(jnp.bool_), t0r, t0l) ^ (t0 & tcw)
+            nt1 = jnp.where(ab.astype(jnp.bool_), t1r, t1l) ^ (t1 & tcw)
+            return (*n0, *n1, nt0, nt1, *v)
+
+        out = jax.lax.fori_loop(
+            0, in_bits, level, (*s0, *s1, t0, t1, *v))
+        s0f = out[0:4]
+        s1f = out[4:8]
+        t1f = out[9]
+        v = out[10:14]
+
+        fr = lambda wds: tuple(w & m for w, m in zip(wds, into_mask))
+        v_np1 = g_add(g_sub(fr(s1f), fr(s0f)), g_neg(v))
+        t1m = jnp.zeros_like(t1f) - t1f
+        v_np1 = _bitsel(t1m, g_neg(v_np1), v_np1)
+        vb = tuple(w & m for w, m in zip(v_np1, into_mask))
+        zero = jnp.zeros_like(vb[0])
+        c_ref[in_bits, 0] = zero
+        c_ref[in_bits, 1] = zero
+        c_ref[in_bits, 2] = zero
+        c_ref[in_bits, 3] = zero
+        c_ref[in_bits, 4] = vb[0]
+        c_ref[in_bits, 5] = vb[1]
+        c_ref[in_bits, 6] = vb[2]
+        c_ref[in_bits, 7] = vb[3]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("in_bits", "nonce", "rounds", "pred",
+                                    "group", "block_rows", "interpret"))
+def gen_packed(seeds8, a2, b4, in_bits: int, nonce, pred: str, group,
+               rounds: int = 20, block_rows: int = DEFAULT_BLOCK_ROWS,
+               interpret: bool = False):
+    # interpret mode rolls the ChaCha rounds (XLA:CPU compile pathology).
+    """Fused batched DCF Gen; returns cws_t [in_bits+1, 8, T, 128]."""
+    nrows = seeds8.shape[1]
+    assert nrows % block_rows == 0
+    grid = (nrows // block_rows,)
+    nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
+    kern = _make_gen_kernel(in_bits, nonce, rounds, pred == "lt", group,
+                            chacha_unroll=not interpret)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((in_bits + 1, 8, block_rows, LANES),
+                               lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((in_bits + 1, 8, nrows, LANES),
+                                       jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seeds8, a2, b4)
+
+
+def gen_batch(prg_nonce, group, in_bits: int, pred: str, s0s: jax.Array,
+              alphas: jax.Array, betas: jax.Array, rounds: int = 20,
+              block_rows: int = DEFAULT_BLOCK_ROWS,
+              interpret: bool = False) -> jax.Array:
+    """Batched DCF key generation on the fused kernel; returns the
+    standard [B, in_bits+1, 8] cws layout (alphas must fit uint32)."""
+    from fss_tpu import block as blk
+    from fss_tpu.ops import dpf_pallas as _dpfk
+
+    seeds8, a2, B = _dpfk.pack_gen_inputs(s0s, alphas, in_bits, block_rows)
+    tile = block_rows * LANES
+    Bp = ((B + tile - 1) // tile) * tile
+    T = Bp // LANES
+    bpad = jnp.pad(blk.clear_lsb(jnp.asarray(betas, dtype=jnp.uint32)),
+                   ((0, Bp - B), (0, 0)))
+    b4 = jnp.transpose(bpad, (1, 0)).reshape(4, T, LANES)
+    cws_t = gen_packed(seeds8, a2, b4, in_bits=in_bits,
+                       nonce=tuple(prg_nonce), pred=pred, group=group,
+                       rounds=rounds, block_rows=block_rows,
+                       interpret=interpret)
+    rows = jnp.transpose(cws_t.reshape(in_bits + 1, 8, T * LANES),
+                         (2, 0, 1))[:B]
+    return rows

@@ -166,3 +166,171 @@ def eval_points(prg_nonce, group, in_bits: int, party: int, hash_key,
                          rounds=rounds, block_rows=block_rows,
                          interpret=interpret)
     return finalize(group, party, ho, lo, ocw, B)
+
+
+# ---------------------------------------------------------------------------
+# Fused batched Gen kernel (half_tree_dpf.cuh:68-169): both parties' CCR
+# walks in-kernel, emitting the [in_bits, 5] cw rows plus the corrected
+# alpha-direction leaves; the group-typed ocw is one elementwise pass
+# outside (gen_finalize), keeping the kernel group-agnostic.
+# ---------------------------------------------------------------------------
+
+
+def _make_gen_kernel(in_bits: int, nonce, rounds: int, hash_key,
+                     chacha_unroll: bool = True):
+    hk = tuple(np.uint32(int(k) & 0xFFFFFFFF) for k in hash_key)
+
+    def kernel(s_ref, a_ref, c_ref, l0_ref, l1_ref):
+        n0 = [s_ref[i] for i in range(4)]
+        n1 = [s_ref[4 + i] for i in range(4)]
+        n0[3] &= NOTONE
+        n1[3] = n1[3] | ONE
+        a = a_ref[:]
+        zero = jnp.zeros_like(a)
+
+        def hashv(w):
+            (h,) = chacha_block(w[0] ^ hk[0], w[1] ^ hk[1], w[2] ^ hk[2],
+                                w[3] ^ hk[3], nonce, 1, rounds,
+                                unroll=chacha_unroll)
+            return h
+
+        def level(i, carry):
+            n0 = carry[0:4]
+            n1 = carry[4:8]
+            h0 = hashv(n0)
+            h1 = hashv(n1)
+            shift = np.uint32(in_bits - 1) - i.astype(jnp.uint32)
+            ab = (a >> shift) & ONE
+            nam = zero - (ab ^ ONE)  # mask: !a_bit
+            cw = tuple(h0w ^ h1w ^ ((n0w ^ n1w) & nam)
+                       for h0w, h1w, n0w, n1w in zip(h0, h1, n0, n1))
+            c_ref[i, 0] = cw[0]
+            c_ref[i, 1] = cw[1]
+            c_ref[i, 2] = cw[2]
+            c_ref[i, 3] = cw[3]
+            c_ref[i, 4] = zero
+            am = zero - ab
+            t0m = zero - (n0[3] & ONE)
+            t1m = zero - (n1[3] & ONE)
+            n0n = tuple(hw ^ (nw & am) ^ (cww & t0m)
+                        for hw, nw, cww in zip(h0, n0, cw))
+            n1n = tuple(hw ^ (nw & am) ^ (cww & t1m)
+                        for hw, nw, cww in zip(h1, n1, cw))
+            return (*n0n, *n1n)
+
+        out = jax.lax.fori_loop(0, in_bits - 1, level, (*n0, *n1))
+        n0 = out[0:4]
+        n1 = out[4:8]
+
+        # Last level (half_tree_dpf.cuh:109-169): 4 sigma-hashes.
+        a_n = a & ONE
+        anm = jnp.zeros_like(a_n) - a_n
+        t0 = n0[3] & ONE
+        t1 = n1[3] & ONE
+        h0_0 = hashv((n0[0], n0[1], n0[2], n0[3] & NOTONE))
+        h0_1 = hashv((n0[0], n0[1], n0[2], n0[3] | ONE))
+        h1_0 = hashv((n1[0], n1[1], n1[2], n1[3] & NOTONE))
+        h1_1 = hashv((n1[0], n1[1], n1[2], n1[3] | ONE))
+        # HCW = high_{!a_n}: select the 0-hashes when a_n=1.
+        hcw = tuple((h0_1w ^ h1_1w) ^ (anm & ((h0_1w ^ h1_1w)
+                                              ^ (h0_0w ^ h1_0w)))
+                    for h0_0w, h0_1w, h1_0w, h1_1w
+                    in zip(h0_0, h0_1, h1_0, h1_1))
+        hcw = (hcw[0], hcw[1], hcw[2], hcw[3] & NOTONE)
+        lcw_0 = (h0_0[3] & ONE) ^ (h1_0[3] & ONE) ^ a_n ^ ONE
+        lcw_1 = (h0_1[3] & ONE) ^ (h1_1[3] & ONE) ^ a_n
+        c_ref[in_bits - 1, 0] = hcw[0]
+        c_ref[in_bits - 1, 1] = hcw[1]
+        c_ref[in_bits - 1, 2] = hcw[2]
+        c_ref[in_bits - 1, 3] = hcw[3] | lcw_0
+        c_ref[in_bits - 1, 4] = lcw_1
+
+        # Alpha-direction leaves with the CW correction (for ocw outside).
+        lf0 = tuple(h0_0w ^ (anm & (h0_0w ^ h0_1w))
+                    for h0_0w, h0_1w in zip(h0_0, h0_1))
+        lf1 = tuple(h1_0w ^ (anm & (h1_0w ^ h1_1w))
+                    for h1_0w, h1_1w in zip(h1_0, h1_1))
+        lcw_an = lcw_0 ^ (a_n & (lcw_0 ^ lcw_1))
+        leaf_cw = (hcw[0], hcw[1], hcw[2], hcw[3] | lcw_an)
+        t0m = jnp.zeros_like(t0) - t0
+        t1m = jnp.zeros_like(t1) - t1
+        for j in range(4):
+            l0_ref[j] = lf0[j] ^ (leaf_cw[j] & t0m)
+            l1_ref[j] = lf1[j] ^ (leaf_cw[j] & t1m)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("in_bits", "nonce", "hash_key",
+                                    "rounds", "block_rows", "interpret"))
+def gen_packed(seeds8, a2, in_bits: int, nonce, hash_key,
+               rounds: int = 20, block_rows: int = DEFAULT_BLOCK_ROWS,
+               interpret: bool = False):
+    """Fused batched Half-Tree Gen. Returns (cws_t [in_bits, 5, T, 128],
+    leaf0 [4, T, 128], leaf1 [4, T, 128])."""
+    nrows = seeds8.shape[1]
+    assert nrows % block_rows == 0
+    grid = (nrows // block_rows,)
+    nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
+    kern = _make_gen_kernel(in_bits, nonce, rounds, hash_key,
+                            chacha_unroll=not interpret)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((in_bits, 5, block_rows, LANES),
+                         lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((in_bits, 5, nrows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((4, nrows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((4, nrows, LANES), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seeds8, a2)
+
+
+def gen_batch(prg_nonce, group, in_bits: int, hash_key, s0s: jax.Array,
+              alphas: jax.Array, betas: jax.Array, rounds: int = 20,
+              block_rows: int = DEFAULT_BLOCK_ROWS, interpret: bool = False):
+    """Batched Half-Tree key generation on the fused kernel; returns
+    (cws [B, in_bits, 8], ocw [B, 4])."""
+    from fss_tpu import block as blk
+    from fss_tpu.ops import dpf_pallas as _dpfk
+
+    assert in_bits >= 2, "the fused gen kernel needs in_bits >= 2"
+    hk = tuple(int(v) for v in np.asarray(hash_key, dtype=np.uint32))
+    seeds8, a2, B = _dpfk.pack_gen_inputs(s0s, alphas, in_bits, block_rows)
+    cws_t, l0, l1 = gen_packed(seeds8, a2, in_bits=in_bits,
+                               nonce=tuple(prg_nonce), hash_key=hk,
+                               rounds=rounds, block_rows=block_rows,
+                               interpret=interpret)
+    T = cws_t.shape[2]
+    rows = jnp.transpose(cws_t.reshape(in_bits, 5, T * LANES),
+                         (2, 0, 1))[:B]
+    pad = jnp.zeros((B, in_bits, 3), dtype=jnp.uint32)
+    cws = jnp.concatenate([rows, pad], axis=-1)
+
+    leaf0 = jnp.transpose(l0.reshape(4, -1), (1, 0))[:B]
+    leaf1 = jnp.transpose(l1.reshape(4, -1), (1, 0))[:B]
+    b_buf = blk.clear_lsb(jnp.asarray(betas, dtype=jnp.uint32))
+    v_cw = group.add(
+        group.add(group.from_block(b_buf),
+                  group.neg(group.from_block(blk.clear_lsb(leaf0)))),
+        group.from_block(blk.clear_lsb(leaf1)))
+    v_cw = jnp.where((leaf1[:, 3] & ONE).astype(jnp.bool_)[:, None],
+                     group.neg(v_cw), v_cw)
+    return cws, group.into_block(v_cw)

@@ -121,6 +121,48 @@ def eval_all(prg2, in_bits: int, party: int, s0: jax.Array,
     return jax.lax.associative_scan(jnp.bitwise_xor, t)
 
 
+class PrefixTable(NamedTuple):
+    """Bit-packed full-domain prefix parities: bit j of words[w] is the
+    party's share of 1[alpha <= 32w + j].
+
+    The TPU-native answer to the reference's post-preprocess point query
+    (grotto_dcf.cuh:116-135): per-level tree walks are in_bits dependent
+    gathers per query — the worst access pattern for a TPU — while the
+    full prefix array is one dense eval_all (the fast path) and each
+    query becomes a single word gather + bit select. Memory is N bits,
+    half the reference's 2N-1 byte tree.
+    """
+
+    words: jax.Array  # [max(N // 32, 1)] uint32
+    party: int
+    in_bits: int
+
+
+def build_prefix_table(prefix_bits: jax.Array, party: int) -> PrefixTable:
+    """Pack the [N] 0/1 prefix-parity array (= eval_all output)."""
+    n = prefix_bits.shape[0]
+    in_bits = int(np.log2(n))
+    if n < 32:
+        prefix_bits = jnp.pad(prefix_bits, (0, 32 - n))
+    w = prefix_bits.reshape(-1, 32).astype(jnp.uint32)
+    weights = jnp.asarray(np.uint32(1) << np.arange(32, dtype=np.uint32))
+    words = jnp.sum(w * weights, axis=1, dtype=jnp.uint32)  # disjoint bits
+    return PrefixTable(words=words, party=party, in_bits=in_bits)
+
+
+def preprocess_prefix(prg2, in_bits: int, party: int, s0: jax.Array,
+                      cws: jax.Array) -> PrefixTable:
+    return build_prefix_table(eval_all(prg2, in_bits, party, s0, cws),
+                              party)
+
+
+def eval_prefix(table: PrefixTable, xs) -> jax.Array:
+    """Point queries against the packed prefix table: one gather each."""
+    xs = jnp.asarray(xs, dtype=jnp.uint32)
+    w = table.words[xs >> np.uint32(5)]
+    return (w >> (xs & np.uint32(31))) & np.uint32(1)
+
+
 def _incr_lanes(x_lanes: jax.Array) -> jax.Array:
     """128-bit increment of [..., 4] uint32 lanes."""
     l0 = x_lanes[..., 0] + _ONE

@@ -76,3 +76,23 @@ def test_eval_endpoint_wrap(rng):
     pt1 = gd.preprocess(1, s0s[1], cws)
     q = np.asarray(gd.eval(pt0, n - 1)) ^ np.asarray(gd.eval(pt1, n - 1))
     assert q == 1  # alpha <= N-1 always
+
+
+def test_prefix_table_matches_tree_queries(rng):
+    """PrefixTable point queries == ParityTree queries == eval_all."""
+    from fss_tpu.api import GrottoDcf
+
+    in_bits = 10
+    d = GrottoDcf(in_bits, prg=ChaCha(mul=2, nonce=NONCE))
+    alpha = int(rng.integers(0, 2**in_bits))
+    s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+    cws = d.gen(s0s, alpha)
+    xs = rng.integers(0, 2**in_bits, size=200, dtype=np.uint32)
+    for party in (0, 1):
+        pt = d.preprocess(party, s0s[party], cws)
+        tbl = d.preprocess_prefix(party, s0s[party], cws)
+        tree_ys = np.asarray(d.eval(pt, xs))
+        tbl_ys = np.asarray(d.eval(tbl, xs))
+        all_ys = np.asarray(d.eval_all(party, s0s[party], cws))
+        assert np.array_equal(tbl_ys, tree_ys)
+        assert np.array_equal(tbl_ys, all_ys[xs])

@@ -185,3 +185,50 @@ def test_vdpf_gen_batch_kernel_matches_reference(rng):
                                 interpret=True)
     for name, r, o in zip(("cws", "cs", "ocw", "fail"), ref, got):
         assert np.array_equal(np.asarray(o), np.asarray(r)), name
+
+
+def test_dcf_gen_kernel_matches_scheme(rng):
+    """Fused DCF Gen kernel == XLA scan gen, both preds, 3 groups."""
+    from fss_tpu.ops import dcf_pallas
+    from fss_tpu.schemes import dcf as _dcf
+
+    B, in_bits = 128, 8
+    prg = ChaCha(mul=4, nonce=NONCE)
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    for g in (groups.Uint(32), groups.Uint(64), groups.Bytes()):
+        for pred in ("lt", "gt"):
+            want = np.asarray(jax.jit(jax.vmap(
+                lambda s, a, b: _dcf.gen(prg, g, in_bits, pred, s,
+                                         blk.pack_inputs(a, in_bits), b)))(
+                s0s, alphas, betas))
+            got = np.asarray(dcf_pallas.gen_batch(
+                NONCE, g, in_bits, pred, s0s, alphas, betas, block_rows=1,
+                interpret=True))
+            assert np.array_equal(got, want), f"{g} {pred}"
+
+
+def test_ht_gen_kernel_matches_scheme(rng):
+    """Fused Half-Tree Gen kernel == XLA scan gen (incl. in_bits=2)."""
+    from fss_tpu.ops import ht_pallas
+    from fss_tpu.schemes import half_tree_dpf as _ht
+
+    B = 128
+    hash_key = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    prg = ChaCha(mul=1, nonce=NONCE)
+    for in_bits in (2, 8):
+        g = groups.Uint(64)
+        s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+        alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+        betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+        hk = blk.block(hash_key)
+        want_cws, want_ocw = jax.jit(jax.vmap(
+            lambda s, a, b: _ht.gen(prg, g, in_bits, hk, s,
+                                    blk.pack_inputs(a, in_bits), b)))(
+            s0s, alphas, betas)
+        got_cws, got_ocw = ht_pallas.gen_batch(
+            NONCE, g, in_bits, hash_key, s0s, alphas, betas, block_rows=1,
+            interpret=True)
+        assert np.array_equal(np.asarray(got_cws), np.asarray(want_cws))
+        assert np.array_equal(np.asarray(got_ocw), np.asarray(want_ocw))
