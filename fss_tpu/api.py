@@ -57,6 +57,19 @@ def _plain_u32_inputs(xs, in_bits: int) -> bool:
             and arr.dtype in (np.uint32, np.int32, np.int64, np.uint64))
 
 
+def _kernel_inputs(xs, in_bits: int):
+    """xs as the eval kernels expect it, or None when not kernel-eligible:
+    a flat uint32 batch for in_bits <= 32, or packed [B, 4] uint32 lanes
+    for wide (33..128-bit) domains."""
+    if _plain_u32_inputs(xs, in_bits):
+        return jnp.asarray(xs, dtype=jnp.uint32)
+    if in_bits > 32:
+        packed = blk.pack_inputs(xs, in_bits)
+        if packed.ndim == 2:
+            return packed
+    return None
+
+
 # --- jitted kernels, specialized on (prg, group, in_bits, party) -----------
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
@@ -166,13 +179,7 @@ class Dpf:
     def eval(self, party: int, s0, cws, xs):
         if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
                 and jnp.asarray(cws).ndim == 3):
-            xk = None
-            if _plain_u32_inputs(xs, self.in_bits):
-                xk = jnp.asarray(xs, dtype=jnp.uint32)
-            elif self.in_bits > 32:
-                packed = blk.pack_inputs(xs, self.in_bits)
-                if packed.ndim == 2:  # batched lanes -> wide kernel path
-                    xk = packed
+            xk = _kernel_inputs(xs, self.in_bits)
             if xk is not None:
                 from fss_tpu.ops import dpf_pallas
                 return dpf_pallas.eval_points(
@@ -237,14 +244,14 @@ class Dcf:
 
     def eval(self, party: int, s0, cws, xs):
         if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
-                and _plain_u32_inputs(xs, self.in_bits)
                 and jnp.asarray(cws).ndim == 3):
             from fss_tpu.ops import dcf_pallas
-            if dcf_pallas.kernel_supports_group(self.group):
+            xk = _kernel_inputs(xs, self.in_bits)
+            if xk is not None and dcf_pallas.kernel_supports_group(
+                    self.group):
                 return dcf_pallas.eval_points(
                     self.prg.nonce, self.group, self.in_bits, int(party),
-                    jnp.asarray(s0), jnp.asarray(cws),
-                    jnp.asarray(xs, dtype=jnp.uint32),
+                    jnp.asarray(s0), jnp.asarray(cws), xk,
                     rounds=self.prg.rounds)
         x = blk.pack_inputs(xs, self.in_bits)
         return _dcf_eval(self.prg, self.group, self.in_bits, int(party),
@@ -388,13 +395,14 @@ class Vdpf:
 
     def eval(self, party: int, s0, cws, cs, ocw, xs):
         if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
-                and _plain_u32_inputs(xs, self.in_bits)
                 and jnp.asarray(cws).ndim == 3):
-            from fss_tpu.ops import vdpf_pallas
-            return vdpf_pallas.eval_points(
-                self.prg.nonce, self.xor_hash, self.group, self.in_bits,
-                int(party), jnp.asarray(s0), jnp.asarray(cws), cs, ocw,
-                jnp.asarray(xs, dtype=jnp.uint32), rounds=self.prg.rounds)
+            xk = _kernel_inputs(xs, self.in_bits)
+            if xk is not None:
+                from fss_tpu.ops import vdpf_pallas
+                return vdpf_pallas.eval_points(
+                    self.prg.nonce, self.xor_hash, self.group,
+                    self.in_bits, int(party), jnp.asarray(s0),
+                    jnp.asarray(cws), cs, ocw, xk, rounds=self.prg.rounds)
         x = blk.pack_inputs(xs, self.in_bits)
         return _vdpf_eval(self.prg, self.xor_hash, self.group, self.in_bits,
                           int(party), s0, cws, cs, ocw, x)
@@ -538,14 +546,15 @@ class HalfTreeDpf:
 
     def eval(self, party: int, s0, cws, ocw, xs):
         if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
-                and _plain_u32_inputs(xs, self.in_bits)
                 and jnp.asarray(cws).ndim == 3):
-            from fss_tpu.ops import ht_pallas
-            return ht_pallas.eval_points(
-                self.prg.nonce, self.group, self.in_bits, int(party),
-                np.asarray(self.hash_key), jnp.asarray(s0),
-                jnp.asarray(cws), jnp.asarray(ocw),
-                jnp.asarray(xs, dtype=jnp.uint32), rounds=self.prg.rounds)
+            xk = _kernel_inputs(xs, self.in_bits)
+            if xk is not None:
+                from fss_tpu.ops import ht_pallas
+                return ht_pallas.eval_points(
+                    self.prg.nonce, self.group, self.in_bits, int(party),
+                    np.asarray(self.hash_key), jnp.asarray(s0),
+                    jnp.asarray(cws), jnp.asarray(ocw), xk,
+                    rounds=self.prg.rounds)
         x = blk.pack_inputs(xs, self.in_bits)
         return _ht_eval(self.prg, self.group, self.in_bits, int(party),
                         self.hash_key, s0, cws, ocw, x)

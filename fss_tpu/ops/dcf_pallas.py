@@ -38,6 +38,8 @@ def kernel_supports_group(group) -> bool:
 
 def _make_kernel(in_bits: int, party: int, nonce, rounds: int,
                  group_is_xor: bool):
+    wide = in_bits > 32  # x as 4 packed uint32 lanes
+
     def acc(a, b):
         if group_is_xor:
             return tuple(x ^ y for x, y in zip(a, b))
@@ -47,7 +49,7 @@ def _make_kernel(in_bits: int, party: int, nonce, rounds: int,
         w = [s_ref[i] for i in range(4)]
         w[3] = w[3] & NOTONE
         t = jnp.zeros_like(w[0]) + np.uint32(party)
-        x = x_ref[:]
+        x = None if wide else x_ref[:]
         zero = jnp.zeros_like(w[0])
         v = (zero, zero, zero, zero)
 
@@ -81,8 +83,12 @@ def _make_kernel(in_bits: int, party: int, nonce, rounds: int,
             tl = tl ^ (t & tl_cw)
             tr = tr ^ (t & tr_cw)
 
-            shift = np.uint32(in_bits - 1) - i.astype(jnp.uint32)
-            xb = ((x >> shift) & ONE).astype(jnp.bool_)
+            pos = np.uint32(in_bits - 1) - i.astype(jnp.uint32)
+            if wide:
+                xb = ((x_ref[pos >> np.uint32(5)]
+                       >> (pos & np.uint32(31))) & ONE).astype(jnp.bool_)
+            else:
+                xb = ((x >> pos) & ONE).astype(jnp.bool_)
 
             # v += (xb ? vr : vl) + (t ? v_cw : 0)
             step = tuple(jnp.where(xb, a, b)
@@ -131,7 +137,10 @@ def pack_keys(s0: jax.Array, cws: jax.Array, xs: jax.Array, in_bits: int,
     seeds4 = jnp.transpose(s0p, (1, 0)).reshape(4, T, LANES)
     cws_t = jnp.transpose(cwsp[:, :in_bits, :], (1, 2, 0)).reshape(
         in_bits, 8, T, LANES)
-    xs2 = xsp.reshape(T, LANES)
+    if xsp.ndim == 2:  # packed lanes (in_bits > 32)
+        xs2 = jnp.transpose(xsp, (1, 0)).reshape(4, T, LANES)
+    else:
+        xs2 = xsp.reshape(T, LANES)
     v_last = cws[:, in_bits, 4:8]
     return seeds4, cws_t, xs2, v_last, B
 
@@ -149,6 +158,11 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
     grid = (nrows // block_rows,)
     nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
     kern = _make_kernel(in_bits, party, nonce, rounds, group_is_xor)
+    x_spec = (pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+              if in_bits > 32 else
+              pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM))
     vo, so, t = pl.pallas_call(
         kern,
         grid=grid,
@@ -157,8 +171,7 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((in_bits, 8, block_rows, LANES),
                          lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
         ],
         out_specs=[
             pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),

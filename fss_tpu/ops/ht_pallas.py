@@ -25,13 +25,14 @@ DEFAULT_BLOCK_ROWS = 32
 
 def _make_kernel(in_bits: int, party: int, nonce, rounds: int, hash_key):
     hk = tuple(np.uint32(int(k) & 0xFFFFFFFF) for k in hash_key)
+    wide = in_bits > 32  # x as 4 packed uint32 lanes
 
     def kernel(s_ref, c_ref, x_ref, ho_ref, lo_ref):
         n0 = s_ref[0]
         n1 = s_ref[1]
         n2 = s_ref[2]
         n3 = (s_ref[3] & NOTONE) | np.uint32(party)
-        x = x_ref[:]
+        x = None if wide else x_ref[:]
 
         def level(i, carry):
             n0, n1, n2, n3 = carry
@@ -39,9 +40,13 @@ def _make_kernel(in_bits: int, party: int, nonce, rounds: int, hash_key):
             (h0, h1, h2, h3), = chacha_block(
                 n0 ^ hk[0], n1 ^ hk[1], n2 ^ hk[2], n3 ^ hk[3],
                 nonce, 1, rounds)
-            shift = np.uint32(in_bits - 1) - i.astype(jnp.uint32)
-            xm = jnp.where(((x >> shift) & ONE).astype(jnp.bool_), FULL,
-                           np.uint32(0))
+            pos = np.uint32(in_bits - 1) - i.astype(jnp.uint32)
+            if wide:
+                xb = (x_ref[pos >> np.uint32(5)]
+                      >> (pos & np.uint32(31))) & ONE
+            else:
+                xb = (x >> pos) & ONE
+            xm = jnp.where(xb.astype(jnp.bool_), FULL, np.uint32(0))
             tm = jnp.where(t.astype(jnp.bool_), FULL, np.uint32(0))
             cw0 = c_ref[i, 0]
             cw1 = c_ref[i, 1]
@@ -58,7 +63,7 @@ def _make_kernel(in_bits: int, party: int, nonce, rounds: int, hash_key):
 
         # Last level (half_tree_dpf.cuh:199-225).
         t = n3 & ONE
-        x_n = x & ONE
+        x_n = (x_ref[0] if wide else x) & ONE
         n3s = (n3 & NOTONE) | x_n
         (h0, h1, h2, h3), = chacha_block(
             n0 ^ hk[0], n1 ^ hk[1], n2 ^ hk[2], n3s ^ hk[3],
@@ -94,7 +99,11 @@ def pack_keys(s0: jax.Array, cws: jax.Array, ocw: jax.Array, xs: jax.Array,
     seeds4 = jnp.transpose(padb(s0), (1, 0)).reshape(4, T, LANES)
     cws_t = jnp.transpose(padb(cws), (1, 2, 0)).reshape(in_bits, 8, T,
                                                         LANES)
-    xs2 = padb(jnp.asarray(xs, dtype=jnp.uint32)).reshape(T, LANES)
+    xsp = padb(jnp.asarray(xs, dtype=jnp.uint32))
+    if xsp.ndim == 2:  # packed lanes (in_bits > 32)
+        xs2 = jnp.transpose(xsp, (1, 0)).reshape(4, T, LANES)
+    else:
+        xs2 = xsp.reshape(T, LANES)
     return seeds4, cws_t, xs2, ocw, B
 
 
@@ -111,6 +120,11 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
     grid = (nrows // block_rows,)
     nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
     kern = _make_kernel(in_bits, party, nonce, rounds, hash_key)
+    x_spec = (pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+              if in_bits > 32 else
+              pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM))
     ho, lo = pl.pallas_call(
         kern,
         grid=grid,
@@ -119,8 +133,7 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((in_bits, 8, block_rows, LANES),
                          lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
         ],
         out_specs=[
             pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),

@@ -35,7 +35,11 @@ def pack_keys(s0: jax.Array, cws: jax.Array, xs: jax.Array, in_bits: int,
     seeds4 = jnp.transpose(padb(s0), (1, 0)).reshape(4, T, LANES)
     cws_t = jnp.transpose(padb(cws), (1, 2, 0)).reshape(in_bits, 8, T,
                                                         LANES)
-    xs2 = padb(jnp.asarray(xs, dtype=jnp.uint32)).reshape(T, LANES)
+    xsp = padb(jnp.asarray(xs, dtype=jnp.uint32))
+    if xsp.ndim == 2:  # packed lanes (in_bits > 32)
+        xs2 = jnp.transpose(xsp, (1, 0)).reshape(4, T, LANES)
+    else:
+        xs2 = xsp.reshape(T, LANES)
     return seeds4, cws_t, xs2, B
 
 

@@ -83,3 +83,61 @@ def test_wide_domain_kernel_path(in_bits, rng):
         NONCE, g, in_bits, 0, s0s[:, 0], cws, a_lanes, block_rows=1,
         interpret=True))
     assert np.array_equal(got, want)
+
+
+def test_wide_domain_dcf_ht_vdpf_kernels(rng):
+    """Wide packed-lane inputs on the DCF / Half-Tree / VDPF eval kernels
+    (interpret mode) match the scheme paths."""
+    import jax
+    from fss_tpu.ops import dcf_pallas, ht_pallas, vdpf_pallas
+    from fss_tpu.schemes import dcf as _dcf
+    from fss_tpu.schemes import half_tree_dpf as _ht
+    from fss_tpu.schemes import vdpf as _vdpf
+
+    in_bits, B = 40, 128
+    g = groups.Uint(64)
+    prg4 = ChaCha(mul=4, nonce=NONCE)
+    prg2 = ChaCha(mul=2, nonce=NONCE)
+    prg1 = ChaCha(mul=1, nonce=NONCE)
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = [int(v) | (1 << (in_bits - 1))
+              for v in rng.integers(0, 2**39, size=B)]
+    a_lanes = blk.pack_inputs(alphas, in_bits)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+
+    # DCF
+    cws = jax.jit(jax.vmap(lambda s, a, b: _dcf.gen(
+        prg4, g, in_bits, "lt", s, a, b)))(s0s, a_lanes, betas)
+    want = np.asarray(_dcf.eval_points(prg4, g, in_bits, None, 0,
+                                       s0s[:, 0], cws, a_lanes))
+    got = np.asarray(dcf_pallas.eval_points(
+        NONCE, g, in_bits, 0, s0s[:, 0], cws, a_lanes, block_rows=1,
+        interpret=True))
+    assert np.array_equal(got, want), "dcf wide kernel"
+
+    # Half-Tree
+    hk = blk.block(rng.integers(0, 2**32, size=4, dtype=np.uint32))
+    hcws, ocws = jax.jit(jax.vmap(lambda s, a, b: _ht.gen(
+        prg1, g, in_bits, hk, s, a, b)))(s0s, a_lanes, betas)
+    want = np.asarray(_ht.eval_points(prg1, g, in_bits, 0, hk, s0s[:, 0],
+                                      hcws, ocws, a_lanes))
+    got = np.asarray(ht_pallas.eval_points(
+        NONCE, g, in_bits, 0, np.asarray(hk), s0s[:, 0], hcws, ocws,
+        a_lanes, block_rows=1, interpret=True))
+    assert np.array_equal(got, want), "ht wide kernel"
+
+    # VDPF (first key whose gen succeeds)
+    from fss_tpu.hash.blake3 import Blake3
+    h = Blake3(tuple(range(8)))
+    cws_v, cs, ocw, fail = jax.jit(jax.vmap(lambda s, a, b: _vdpf.gen(
+        prg2, h.xor_hash, g, in_bits, s, a, b)))(s0s, a_lanes, betas)
+    ok = np.nonzero(~np.asarray(fail).astype(bool))[0][:16]
+    wys, wpts = _vdpf.eval_points(
+        prg2, h.xor_hash, g, in_bits, 0, s0s[ok, 0], cws_v[ok], cs[ok],
+        ocw[ok], a_lanes[ok])
+    gys, gpts = vdpf_pallas.eval_points(
+        NONCE, h.xor_hash, g, in_bits, 0, s0s[ok, 0], cws_v[ok], cs[ok],
+        ocw[ok], a_lanes[ok], block_rows=1, interpret=True)
+    assert np.array_equal(np.asarray(gys), np.asarray(wys)), "vdpf wide y"
+    assert np.array_equal(np.asarray(gpts), np.asarray(wpts)), \
+        "vdpf wide pi"
