@@ -403,6 +403,13 @@ class Vdpf:
                     self.prg.nonce, self.xor_hash, self.group,
                     self.in_bits, int(party), jnp.asarray(s0),
                     jnp.asarray(cws), cs, ocw, xk, rounds=self.prg.rounds)
+        if (_use_tpu_kernels() and isinstance(self.prg, Aes128Mmo)
+                and _plain_u32_inputs(xs, self.in_bits)):
+            from fss_tpu.ops import aes_pallas
+            return aes_pallas.vdpf_eval_points(
+                self.prg.keys, self.xor_hash, self.group, self.in_bits,
+                int(party), jnp.asarray(s0), jnp.asarray(cws), cs, ocw,
+                jnp.asarray(xs, dtype=jnp.uint32))
         x = blk.pack_inputs(xs, self.in_bits)
         return _vdpf_eval(self.prg, self.xor_hash, self.group, self.in_bits,
                           int(party), s0, cws, cs, ocw, x)
@@ -555,6 +562,14 @@ class HalfTreeDpf:
                     np.asarray(self.hash_key), jnp.asarray(s0),
                     jnp.asarray(cws), jnp.asarray(ocw), xk,
                     rounds=self.prg.rounds)
+        if (_use_tpu_kernels() and isinstance(self.prg, Aes128Mmo)
+                and _plain_u32_inputs(xs, self.in_bits)):
+            from fss_tpu.ops import aes_pallas
+            return aes_pallas.ht_eval_points(
+                self.prg.keys, self.group, self.in_bits, int(party),
+                np.asarray(self.hash_key), jnp.asarray(s0),
+                jnp.asarray(cws), jnp.asarray(ocw),
+                jnp.asarray(xs, dtype=jnp.uint32))
         x = blk.pack_inputs(xs, self.in_bits)
         return _ht_eval(self.prg, self.group, self.in_bits, int(party),
                         self.hash_key, s0, cws, ocw, x)

@@ -394,3 +394,252 @@ def eval_points(prg_keys, group, in_bits: int, party: int, s0: jax.Array,
                             jnp.asarray(cws),
                             jnp.asarray(xs, dtype=jnp.uint32), block_rows,
                             interpret)
+
+
+def vdpf_eval_points(prg_keys, xor_hash, group, in_bits: int, party: int,
+                     s0: jax.Array, cws: jax.Array, cs: jax.Array,
+                     ocw: jax.Array, xs: jax.Array,
+                     block_rows: int = DEFAULT_BLOCK_ROWS,
+                     interpret: bool = False):
+    """VDPF point evaluation on the plane-domain AES kernel.
+
+    The VDPF tree walk is the DPF walk over (in_bits, 8) rows
+    (vdpf.cuh:189-230); the kernel produces the leaf (s, t) and the
+    group finalize + corrected hash pi-tilde = H(x, s) (^ cs if t) run
+    outside. Returns (ys [B, 4], pi_tildes [B, 4, 4]).
+    """
+    xs = jnp.asarray(xs, dtype=jnp.uint32)
+    cws = jnp.asarray(cws)
+    # pack_eval reads row in_bits as the output CW; pad a zero row.
+    zrow = jnp.zeros(cws.shape[:-2] + (1, 8), dtype=jnp.uint32)
+    cws_p = jnp.concatenate([cws, zrow], axis=-2)
+    sp, cwp, xp, _, B = pack_eval(jnp.asarray(s0), cws_p, xs, in_bits,
+                                  block_rows)
+    so, to = eval_packed(sp, cwp, xp, in_bits=in_bits, party=party,
+                         keys=tuple(bytes(k) for k in prg_keys),
+                         block_rows=block_rows, interpret=interpret)
+    s, t = unpack_out(so, to, B)
+
+    csb = jnp.broadcast_to(jnp.asarray(cs), (B, 4, 4))
+    ocwb = jnp.broadcast_to(jnp.asarray(ocw), (B, 4))
+    y = group.from_block(s)
+    y = jnp.where(t.astype(jnp.bool_)[:, None],
+                  group.add(y, group.from_block(ocwb)), y)
+    if party:
+        y = group.neg(y)
+
+    from fss_tpu import block as blk
+    x_lanes = blk.pack_inputs(xs, in_bits)
+    pi = xor_hash(x_lanes, s)
+    pi = jnp.where(t.astype(jnp.bool_)[:, None, None],
+                   jnp.bitwise_xor(pi, csb), pi)
+    return group.into_block(y), pi
+
+
+# ---------------------------------------------------------------------------
+# Half-Tree eval on the AES-MMO CCR hash (mul=1): one AES per level, the
+# hash key folded in as constant plane masks, last-level conversion fused.
+# ---------------------------------------------------------------------------
+
+
+def _byte_patterns(data16: bytes):
+    """16 bytes -> per-bit 16-bit pattern over the bytes (which bytes have
+    bit b set), for constant-mask XOR in-kernel."""
+    pats = []
+    for b in range(8):
+        pat = 0
+        for c in range(16):
+            if (data16[c] >> b) & 1:
+                pat |= 1 << c
+        pats.append(pat)
+    return tuple(pats)
+
+
+def _make_ht_eval_kernel(in_bits: int, party: int, key_pats, hk_pats):
+    def kernel(sp_ref, cw_ref, xp_ref, ho_ref, lo_ref, st_ref):
+        i = pl.program_id(1)
+        byte_idx = _byte_iota()
+        oh96 = _pattern_mask(byte_idx, 1 << 12)  # ~0 at byte 12 only
+        mask96 = ~oh96
+
+        @pl.when(i == 0)
+        def _init():
+            st_ref[...] = sp_ref[...]
+            st_ref[12] = jnp.full_like(
+                st_ref[12], _FULL if party else np.uint32(0))
+
+        R, L = st_ref.shape[1], st_ref.shape[2]
+        node = [st_ref[16 * b:16 * (b + 1)].reshape(4, 4, R, L)
+                for b in range(8)]
+        t = node[0][3, 0]
+        xb = xp_ref[0]
+        is_last = i == np.uint32(in_bits - 1)
+
+        # Hash input: node with the clamped-bit plane replaced by x_n on
+        # the last level (half_tree_dpf.cuh:204), XOR the hash key.
+        lsb = jnp.where(is_last, xb, t)
+        inp = list(node)
+        inp[0] = (inp[0] & mask96) ^ (oh96 & lsb[None, None])
+        inp = [inp[b] ^ _pattern_mask(byte_idx, hk_pats[b])
+               if hk_pats[b] else inp[b] for b in range(8)]
+        e = _aes_bits(inp, key_pats[0], byte_idx)
+        h = [e[b] ^ inp[b] for b in range(8)]  # MMO feed-forward
+
+        cw = cw_ref[0]  # [129, R, L]: 128 cw planes (lcw0 at 12) + lcw1
+
+        @pl.when(jnp.logical_not(is_last))
+        def _mid():
+            out = []
+            for b in range(8):
+                cwb = cw[16 * b:16 * (b + 1)].reshape(4, 4, R, L)
+                nb = h[b] ^ (node[b] & xb[None, None]) ^ (cwb & t[None,
+                                                                 None])
+                out.append(nb.reshape(16, R, L))
+            st_ref[...] = jnp.concatenate(out, axis=0)
+
+        @pl.when(is_last)
+        def _last():
+            lcw0 = cw[12]
+            lcw1 = cw[128]
+            lcw_xn = lcw0 ^ (xb & (lcw0 ^ lcw1))
+            low = h[0][3, 0] ^ (t & lcw_xn)
+            outs = []
+            for b in range(8):
+                hcwb = cw[16 * b:16 * (b + 1)].reshape(4, 4, R, L)
+                if b == 0:
+                    hcwb = hcwb & mask96
+                hb = h[b]
+                if b == 0:
+                    hb = hb & mask96
+                outs.append((hb ^ (hcwb & t[None, None])).reshape(16, R, L))
+            ho_ref[...] = jnp.concatenate(outs, axis=0)
+            lo_ref[...] = low
+
+    return kernel
+
+
+def ht_pack_eval(s0, cws, xs, in_bits: int,
+                 block_rows: int = DEFAULT_BLOCK_ROWS):
+    """Half-Tree keys -> plane layout: cwp [in_bits, 129, T, 128] keeps
+    the word-3 LSB plane (lcw0 of the last row) and adds the extra-word
+    bit plane (lcw1)."""
+    xs = jnp.asarray(xs, dtype=jnp.uint32)
+    B = xs.shape[0]
+    tile = 32 * LANES * block_rows
+    (xsp,), Bp = _pad_batch([xs], B, tile)
+    W = Bp // 32
+    T = W // LANES
+
+    shared_key = cws.ndim == 2
+    if shared_key:
+        s0b, cwsb = s0[None], cws[None]
+    else:
+        (s0b, cwsb), _ = _pad_batch([jnp.asarray(s0), jnp.asarray(cws)],
+                                    B, tile)
+    Wk = 1 if shared_key else W
+
+    sbytes = jnp.stack([(s0b[:, c // 4] >> np.uint32(8 * (c % 4)))
+                        & np.uint32(0xFF) for c in range(16)])
+    if shared_key:
+        sbytes = sbytes.repeat(32, axis=1)
+    sp8 = _bytes_to_planes(sbytes)
+    sp = jnp.transpose(sp8, (1, 0, 2)).reshape(128, Wk)
+
+    lv = cwsb[:, :in_bits]
+    cbytes = jnp.stack([
+        (lv[:, :, c // 4] >> np.uint32(8 * (c % 4))) & np.uint32(0xFF)
+        for c in range(16)])
+    cb = jnp.transpose(cbytes, (2, 0, 1)).reshape(in_bits * 16, -1)
+    if shared_key:
+        cb = cb.repeat(32, axis=1)
+    cp8 = _bytes_to_planes(cb).reshape(in_bits, 16, 8, Wk)
+    cwp_s = jnp.transpose(cp8, (0, 2, 1, 3)).reshape(in_bits, 128, Wk)
+    exw = lv[:, :, 4] & np.uint32(1)
+    exb = jnp.transpose(exw, (1, 0))
+    if shared_key:
+        exb = exb.repeat(32, axis=1)
+    ex = _bytes_to_planes(exb)[:, 0]
+    cwp = jnp.concatenate([cwp_s, ex[:, None]], axis=1)
+
+    if shared_key:
+        sp = jnp.broadcast_to(sp[:, :1], (128, W))
+        cwp = jnp.broadcast_to(cwp[:, :, :1], (in_bits, 129, W))
+    sp = sp.reshape(128, T, LANES)
+    cwp = cwp.reshape(in_bits, 129, T, LANES)
+
+    xbits = _bytes_to_planes(
+        jnp.stack([(xsp >> np.uint32(8 * k)) & np.uint32(0xFF)
+                   for k in range(4)]))
+    xplane = xbits.reshape(32, W)
+    xp = jnp.stack([xplane[in_bits - 1 - i]
+                    for i in range(in_bits)]).reshape(in_bits, T, LANES)
+    return sp, cwp, xp, B
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("in_bits", "party", "keys", "hash_key",
+                                    "block_rows", "interpret"))
+def ht_eval_packed(sp, cwp, xp, in_bits: int, party: int, keys, hash_key,
+                   block_rows: int = DEFAULT_BLOCK_ROWS,
+                   interpret: bool = False):
+    """keys: 1-tuple of 16-byte AES keys; hash_key: 16 bytes."""
+    T = sp.shape[1]
+    assert T % block_rows == 0
+    key_pats = tuple(
+        tuple(map(tuple, _key_patterns(_round_key_bytes(k))))
+        for k in keys)
+    hk_pats = _byte_patterns(hash_key)
+    kern = _make_ht_eval_kernel(in_bits, party, key_pats, hk_pats)
+    R = block_rows
+    ho, lo = pl.pallas_call(
+        kern,
+        grid=(T // R, in_bits),
+        in_specs=[
+            pl.BlockSpec((128, R, LANES), lambda w, i: (0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 129, R, LANES), lambda w, i: (i, 0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda w, i: (i, w, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((128, R, LANES), lambda w, i: (0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda w, i: (w, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((128, T, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((T, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[pltpu.VMEM((128, R, LANES), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(sp, cwp, xp)
+    return ho, lo
+
+
+def ht_eval_points(prg_keys, group, in_bits: int, party: int, hash_key,
+                   s0: jax.Array, cws: jax.Array, ocw: jax.Array,
+                   xs: jax.Array, block_rows: int = DEFAULT_BLOCK_ROWS,
+                   interpret: bool = False) -> jax.Array:
+    """Half-Tree point evaluation with the AES-MMO CCR hash
+    (half_tree_dpf.cuh:182-226 on the plane-domain kernel)."""
+    xs = jnp.asarray(xs, dtype=jnp.uint32)
+    sp, cwp, xp, B = ht_pack_eval(jnp.asarray(s0), jnp.asarray(cws), xs,
+                                  in_bits, block_rows)
+    hk = np.asarray(hash_key, dtype=np.uint32).tobytes()
+    ho, lo = ht_eval_packed(sp, cwp, xp, in_bits=in_bits, party=party,
+                            keys=(bytes(prg_keys[0]),), hash_key=hk,
+                            block_rows=block_rows, interpret=interpret)
+    s, low = unpack_out(ho, lo, B)
+    ocwb = jnp.asarray(ocw)
+    if ocwb.ndim == 2:
+        ocwb = ocwb[:B]
+    y = group.from_block(s)
+    y = jnp.where(low.astype(jnp.bool_)[:, None],
+                  group.add(y, group.from_block(ocwb)), y)
+    if party:
+        y = group.neg(y)
+    return group.into_block(y)

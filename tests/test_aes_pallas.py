@@ -56,3 +56,57 @@ def test_eval_kernel_shared_key(rng):
         KEYS, g, in_bits, 0, s0s[0, 0], cws[0], xs, block_rows=1,
         interpret=True))
     assert np.array_equal(got, want)
+
+
+def test_vdpf_eval_kernel(rng):
+    """VDPF on the plane-domain AES kernel == schemes.vdpf (interpret)."""
+    from fss_tpu.hash.sha256 import Sha256
+    from fss_tpu.schemes import vdpf as _vdpf
+
+    in_bits, B = 10, 4096
+    prg = Aes128Mmo(mul=2, keys=KEYS, backend="table")
+    g = groups.Uint(64)
+    h = Sha256(tuple(range(4)))
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    a_lanes = blk.pack_inputs(alphas, in_bits)
+    cws, cs, ocw, fail = jax.jit(jax.vmap(
+        lambda s, a, b: _vdpf.gen(prg, h.xor_hash, g, in_bits, s, a, b)))(
+        s0s, a_lanes, betas)
+    ok = np.nonzero(~np.asarray(fail).astype(bool))[0][:1024]
+    wys, wpts = _vdpf.eval_points(prg, h.xor_hash, g, in_bits, 1,
+                                  s0s[ok, 1], cws[ok], cs[ok], ocw[ok],
+                                  blk.pack_inputs(alphas[ok], in_bits))
+    gys, gpts = aes_pallas.vdpf_eval_points(
+        KEYS, h.xor_hash, g, in_bits, 1, s0s[ok, 1], cws[ok], cs[ok],
+        ocw[ok], alphas[ok], block_rows=1, interpret=True)
+    assert np.array_equal(np.asarray(gys), np.asarray(wys))
+    assert np.array_equal(np.asarray(gpts), np.asarray(wpts))
+
+
+def test_ht_eval_kernel(rng):
+    """Half-Tree on the plane-domain AES CCR kernel == schemes path."""
+    from fss_tpu.schemes import half_tree_dpf as _ht
+
+    in_bits, B = 10, 4096
+    key1 = (KEYS[0],)
+    prg = Aes128Mmo(mul=1, keys=key1, backend="table")
+    g = groups.Uint(64)
+    hash_key = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    hk = blk.block(hash_key)
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    a_lanes = blk.pack_inputs(alphas, in_bits)
+    cws, ocws = jax.jit(jax.vmap(
+        lambda s, a, b: _ht.gen(prg, g, in_bits, hk, s, a, b)))(
+        s0s, a_lanes, betas)
+    for party in (0, 1):
+        want = np.asarray(_ht.eval_points(prg, g, in_bits, party, hk,
+                                          s0s[:, party], cws, ocws,
+                                          a_lanes))
+        got = np.asarray(aes_pallas.ht_eval_points(
+            key1, g, in_bits, party, hash_key, s0s[:, party], cws, ocws,
+            alphas, block_rows=1, interpret=True))
+        assert np.array_equal(got, want), f"party {party}"
