@@ -148,6 +148,34 @@ def _bench_registry():
 
     out.append(("dpf_eval_aes_uint_16bit",
                 _timeit(fae, (asp, acwp, axp, aocw), Ba), "evals/s/chip"))
+
+    # Half-Tree eval with the AES-MMO CCR hash (1 AES/level kernel).
+    from fss_tpu.schemes import half_tree_dpf as _hts
+    prgh = Aes128Mmo(mul=1, keys=aes_keys[:1])
+    htk_a = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    hkb = blk.block(htk_a)
+    hcw_a, hocw_a = jax.jit(jax.vmap(
+        lambda s, a, b: _hts.gen(prgh, g, ib, hkb, s, a, b)))(
+        s0sb[:Ba], a_l[:Ba], betas[:Ba])
+    hsp, hcwp, hxp, _ = jax.jit(
+        _aesk.ht_pack_eval, static_argnames=("in_bits", "block_rows"))(
+            s0sb[:Ba, 0], hcw_a, xsa, in_bits=ib)
+    hk_bytes = htk_a.tobytes()
+
+    @jax.jit
+    def fha(sp, cwp, xp, ocws):
+        ho, lo = _aesk.ht_eval_packed(sp, cwp, xp, in_bits=ib, party=0,
+                                      keys=(aes_keys[0],),
+                                      hash_key=hk_bytes)
+        sw, low = _aesk.unpack_out(ho, lo, Ba)
+        y = g.from_block(sw)
+        y = jnp.where(low.astype(jnp.bool_)[:, None],
+                      g.add(y, g.from_block(ocws)), y)
+        return jnp.sum(g.into_block(y)[:, 0])
+
+    out.append(("half_tree_eval_aes_uint_16bit",
+                _timeit(fha, (hsp, hcwp, hxp, hocw_a), Ba),
+                "evals/s/chip"))
     from fss_tpu.ops import dpf_pallas as _dpfk
     alphas_u32 = rng.integers(0, 2**ib, size=B, dtype=np.uint32)
     fg = jax.jit(lambda s, a, b: jnp.sum(_dpfk.gen_batch(

@@ -253,6 +253,14 @@ class Dcf:
                     self.prg.nonce, self.group, self.in_bits, int(party),
                     jnp.asarray(s0), jnp.asarray(cws), xk,
                     rounds=self.prg.rounds)
+        if (_use_tpu_kernels() and isinstance(self.prg, Aes128Mmo)
+                and _plain_u32_inputs(xs, self.in_bits)):
+            from fss_tpu.ops import aes_pallas, dcf_pallas
+            if dcf_pallas.kernel_supports_group(self.group):
+                return aes_pallas.dcf_eval_points(
+                    self.prg.keys, self.group, self.in_bits, int(party),
+                    jnp.asarray(s0), jnp.asarray(cws),
+                    jnp.asarray(xs, dtype=jnp.uint32))
         x = blk.pack_inputs(xs, self.in_bits)
         return _dcf_eval(self.prg, self.group, self.in_bits, int(party),
                          s0, cws, x)

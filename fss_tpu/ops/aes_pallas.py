@@ -643,3 +643,258 @@ def ht_eval_points(prg_keys, group, in_bits: int, party: int, hash_key,
     if party:
         y = group.neg(y)
     return group.into_block(y)
+
+
+# ---------------------------------------------------------------------------
+# DCF eval on AES-MMO (mul=4): four AES per level; the group value
+# accumulates in-kernel as a bitsliced ripple-carry add over the value
+# planes (20 word-ops/instance per add vs ~1475 for one AES — cheap),
+# XOR for the Bytes group. Mod groups fall back to the XLA path.
+# ---------------------------------------------------------------------------
+
+
+def _plane_index(k: int) -> int:
+    """Plane index of integer bit k of a block value (little-endian
+    words, little-endian bytes): p = 16*(k%8) + byte(k)."""
+    return 16 * (k % 8) + 4 * (k // 32) + ((k % 32) // 8)
+
+
+def _ripple_add(a_planes, b_planes, nbits: int):
+    """Bitsliced add of two 128-plane lists over the low nbits integer
+    bits (wrapping mod 2^nbits; higher planes come from a unchanged)."""
+    out = list(a_planes)
+    carry = None
+    for k in range(nbits):
+        p = _plane_index(k)
+        a = a_planes[p]
+        b = b_planes[p]
+        axb = a ^ b
+        if carry is None:
+            out[p] = axb
+            carry = a & b
+        else:
+            out[p] = axb ^ carry
+            carry = (a & b) | (carry & axb)
+    return out
+
+
+def _make_dcf_eval_kernel(in_bits: int, party: int, key_pats,
+                          group_is_xor: bool, group_bits: int):
+    def kernel(sp_ref, cw_ref, xp_ref, vo_ref, so_ref, to_ref, st_ref,
+               v_ref, t_ref):
+        i = pl.program_id(1)
+        byte_idx = _byte_iota()
+        mask96 = ~_pattern_mask(byte_idx, 1 << 12)
+
+        @pl.when(i == 0)
+        def _init():
+            st_ref[...] = sp_ref[...]
+            st_ref[12] = jnp.zeros_like(st_ref[12])
+            v_ref[...] = jnp.zeros_like(v_ref)
+            t_ref[...] = jnp.full(
+                t_ref.shape, _FULL if party else np.uint32(0),
+                dtype=jnp.uint32)
+
+        R, L = st_ref.shape[1], st_ref.shape[2]
+        s_bits = [st_ref[16 * b:16 * (b + 1)].reshape(4, 4, R, L)
+                  for b in range(8)]
+        t = t_ref[...]
+        xb = xp_ref[0]
+
+        # MMO x4: (sl, vl, sr, vr) = AES_{k0..k3}(s) ^ s (dcf.cuh:119).
+        outs = []
+        for k in range(4):
+            e = _aes_bits(s_bits, key_pats[k], byte_idx)
+            outs.append([e[b] ^ s_bits[b] for b in range(8)])
+        sl, vl, sr, vr = outs
+
+        tl = sl[0][3, 0]
+        tr = sr[0][3, 0]
+        sl[0] = sl[0] & mask96
+        sr[0] = sr[0] & mask96
+        vl[0] = vl[0] & mask96  # value blocks are clamped before From
+        vr[0] = vr[0] & mask96
+
+        cw = cw_ref[0]  # [258, R, L]: s_cw | v_cw | tl_cw | tr_cw
+        for b in range(8):
+            cwb = cw[16 * b:16 * (b + 1)].reshape(4, 4, R, L) & t[None,
+                                                                  None]
+            sl[b] = sl[b] ^ cwb
+            sr[b] = sr[b] ^ cwb
+        tl = tl ^ (t & cw[256])
+        tr = tr ^ (t & cw[257])
+
+        # v += (xb ? vr : vl) + (t ? v_cw : 0)
+        v_sel = [vl[b] ^ (xb[None, None] & (vl[b] ^ vr[b]))
+                 for b in range(8)]
+        sel_flat = [v_sel[p // 16][(p % 16) // 4, (p % 16) % 4]
+                    for p in range(128)]
+        vcw_flat = [cw[128 + p] & t for p in range(128)]
+        v_now = [v_ref[p] for p in range(128)]
+        if group_is_xor:
+            v_new = [v_now[p] ^ sel_flat[p] ^ vcw_flat[p]
+                     for p in range(128)]
+        else:
+            v_new = _ripple_add(v_now, sel_flat, group_bits)
+            v_new = _ripple_add(v_new, vcw_flat, group_bits)
+        v_ref[...] = jnp.stack(v_new)
+
+        s_new = [sl[b] ^ (xb[None, None] & (sl[b] ^ sr[b]))
+                 for b in range(8)]
+        t_ref[...] = tl ^ (xb & (tl ^ tr))
+        st_ref[...] = jnp.concatenate(
+            [v.reshape(16, R, L) for v in s_new], axis=0)
+
+        vo_ref[...] = v_ref[...]
+        so_ref[...] = st_ref[...]
+        to_ref[...] = t_ref[...]
+
+    return kernel
+
+
+def dcf_pack_eval(s0, cws, xs, in_bits: int,
+                  block_rows: int = DEFAULT_BLOCK_ROWS):
+    """DCF keys -> plane layout. cws rows are 8 words: s_cw (tl in the
+    word-3 LSB) + v_cw (tr in the word-7 LSB). Returns (sp, cwp
+    [in_bits, 258, T, 128], xp, v_last [B?, 4], B)."""
+    xs = jnp.asarray(xs, dtype=jnp.uint32)
+    B = xs.shape[0]
+    tile = 32 * LANES * block_rows
+    (xsp,), Bp = _pad_batch([xs], B, tile)
+    W = Bp // 32
+    T = W // LANES
+
+    cws = jnp.asarray(cws)
+    shared_key = cws.ndim == 2
+    if shared_key:
+        s0b, cwsb = jnp.asarray(s0)[None], cws[None]
+    else:
+        (s0b, cwsb), _ = _pad_batch([jnp.asarray(s0), cws], B, tile)
+    Wk = 1 if shared_key else W
+
+    sbytes = jnp.stack([(s0b[:, c // 4] >> np.uint32(8 * (c % 4)))
+                        & np.uint32(0xFF) for c in range(16)])
+    if shared_key:
+        sbytes = sbytes.repeat(32, axis=1)
+    sp8 = _bytes_to_planes(sbytes)
+    sp = jnp.transpose(sp8, (1, 0, 2)).reshape(128, Wk)
+
+    lv = cwsb[:, :in_bits]  # [Bk, n, 8]
+    cbytes = jnp.stack([
+        (lv[:, :, c // 4] >> np.uint32(8 * (c % 4))) & np.uint32(0xFF)
+        for c in range(32)])  # all 8 words
+    cb = jnp.transpose(cbytes, (2, 0, 1)).reshape(in_bits * 32, -1)
+    if shared_key:
+        cb = cb.repeat(32, axis=1)
+    cp8 = _bytes_to_planes(cb).reshape(in_bits, 32, 8, Wk)
+    # s part: bytes 0..15; v part: bytes 16..31.
+    cwp_s = jnp.transpose(cp8[:, :16], (0, 2, 1, 3)).reshape(
+        in_bits, 128, Wk)
+    cwp_v = jnp.transpose(cp8[:, 16:], (0, 2, 1, 3)).reshape(
+        in_bits, 128, Wk)
+    tl = cwp_s[:, 12]
+    tr = cwp_v[:, 12]
+    cwp_s = cwp_s.at[:, 12].set(jnp.zeros_like(tl))
+    cwp_v = cwp_v.at[:, 12].set(jnp.zeros_like(tr))
+    cwp = jnp.concatenate([cwp_s, cwp_v, tl[:, None], tr[:, None]],
+                          axis=1)
+
+    if shared_key:
+        sp = jnp.broadcast_to(sp[:, :1], (128, W))
+        cwp = jnp.broadcast_to(cwp[:, :, :1], (in_bits, 258, W))
+    sp = sp.reshape(128, T, LANES)
+    cwp = cwp.reshape(in_bits, 258, T, LANES)
+
+    xbits = _bytes_to_planes(
+        jnp.stack([(xsp >> np.uint32(8 * k)) & np.uint32(0xFF)
+                   for k in range(4)]))
+    xplane = xbits.reshape(32, W)
+    xp = jnp.stack([xplane[in_bits - 1 - i]
+                    for i in range(in_bits)]).reshape(in_bits, T, LANES)
+
+    v_last = (cws[None] if shared_key else cwsb)[:, in_bits, 4:8]
+    return sp, cwp, xp, v_last, B
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("in_bits", "party", "keys",
+                                    "group_is_xor", "group_bits",
+                                    "block_rows", "interpret"))
+def dcf_eval_packed(sp, cwp, xp, in_bits: int, party: int, keys,
+                    group_is_xor: bool, group_bits: int,
+                    block_rows: int = DEFAULT_BLOCK_ROWS,
+                    interpret: bool = False):
+    T = sp.shape[1]
+    assert T % block_rows == 0
+    key_pats = tuple(
+        tuple(map(tuple, _key_patterns(_round_key_bytes(k))))
+        for k in keys)
+    kern = _make_dcf_eval_kernel(in_bits, party, key_pats, group_is_xor,
+                                 group_bits)
+    R = block_rows
+    vo, so, to = pl.pallas_call(
+        kern,
+        grid=(T // R, in_bits),
+        in_specs=[
+            pl.BlockSpec((128, R, LANES), lambda w, i: (0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 258, R, LANES), lambda w, i: (i, 0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda w, i: (i, w, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((128, R, LANES), lambda w, i: (0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, R, LANES), lambda w, i: (0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda w, i: (w, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((128, T, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((128, T, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((T, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((128, R, LANES), jnp.uint32),
+            pltpu.VMEM((128, R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(sp, cwp, xp)
+    return vo, so, to
+
+
+def dcf_eval_points(prg_keys, group, in_bits: int, party: int,
+                    s0: jax.Array, cws: jax.Array, xs: jax.Array,
+                    block_rows: int = DEFAULT_BLOCK_ROWS,
+                    interpret: bool = False) -> jax.Array:
+    """DCF point evaluation on the plane-domain AES kernel
+    (dcf.cuh:205-276). Supports Bytes and wrapping Uint groups."""
+    from fss_tpu import groups as _groups
+
+    group_is_xor = isinstance(group, _groups.Bytes)
+    assert group_is_xor or (isinstance(group, _groups.Uint)
+                            and group.mod == 0)
+    gbits = 0 if group_is_xor else min(group.bits, 128)
+    sp, cwp, xp, v_last, B = dcf_pack_eval(s0, cws, xs, in_bits,
+                                           block_rows)
+    vo, so, to = dcf_eval_packed(
+        sp, cwp, xp, in_bits=in_bits, party=party,
+        keys=tuple(bytes(k) for k in prg_keys),
+        group_is_xor=group_is_xor, group_bits=gbits,
+        block_rows=block_rows, interpret=interpret)
+    v_raw, _tb = unpack_out(vo, to, B)
+    s, tb = unpack_out(so, to, B)
+    v_lastb = v_last if v_last.shape[0] == 1 else v_last[:B]
+    v = group.from_block(v_raw)
+    term = group.from_block(s)
+    term = jnp.where(tb.astype(jnp.bool_)[:, None],
+                     group.add(term, group.from_block(v_lastb)), term)
+    y = group.add(v, term)
+    if party:
+        y = group.neg(y)
+    return group.into_block(y)

@@ -110,3 +110,26 @@ def test_ht_eval_kernel(rng):
             key1, g, in_bits, party, hash_key, s0s[:, party], cws, ocws,
             alphas, block_rows=1, interpret=True))
         assert np.array_equal(got, want), f"party {party}"
+
+
+def test_dcf_eval_kernel(rng):
+    """DCF on the plane-domain AES kernel (mul=4, in-kernel bitsliced
+    value accumulation) == schemes.dcf (interpret)."""
+    from fss_tpu.schemes import dcf as _dcf
+
+    in_bits, B = 8, 2048
+    keys4 = tuple(bytes(range(16 * i, 16 * i + 16)) for i in range(4))
+    prg = Aes128Mmo(mul=4, keys=keys4, backend="table")
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    a_lanes = blk.pack_inputs(alphas, in_bits)
+    for g in (groups.Uint(64), groups.Bytes()):
+        cws = jax.jit(jax.vmap(lambda s, a, b: _dcf.gen(
+            prg, g, in_bits, "lt", s, a, b)))(s0s, a_lanes, betas)
+        want = np.asarray(_dcf.eval_points(prg, g, in_bits, None, 0,
+                                           s0s[:, 0], cws, a_lanes))
+        got = np.asarray(aes_pallas.dcf_eval_points(
+            keys4, g, in_bits, 0, s0s[:, 0], cws, alphas, block_rows=1,
+            interpret=True))
+        assert np.array_equal(got, want), str(g)
