@@ -52,20 +52,52 @@ def bswap32(x):
             | (x << np.uint32(24)))
 
 
-def compress_words(state, block_words):
+def compress_words(state, block_words, unroll=None):
     """One SHA-256 compression, SoA over any batch shape.
 
     state: 8 uint32 words; block_words: 16 big-endian uint32 message words.
-    Returns the 8 updated state words. Rolled: 64 rounds in a fori_loop
-    with a rolling 16-word schedule window.
+    Returns the 8 updated state words.
+
+    The rolled form carries the 16-word schedule window as separate loop
+    carries, so the per-round shift is trace-time tuple reindexing (no
+    data movement). unroll=True emits the 64 rounds straight-line —
+    slightly faster standalone on TPU but with much longer XLA compiles
+    inside large fused programs (and pathological on XLA:CPU).
     """
+    if unroll is None:
+        unroll = False
+    if unroll:
+        zero = jnp.zeros_like(block_words[0] + state[0])
+        w = [zero + x for x in block_words]
+        a, b, c, d, e, f, g, h = (zero + s for s in state)
+        for t in range(64):
+            if t < 16:
+                wt = w[t]
+            else:
+                w1, w9, w14 = w[t - 15], w[t - 7], w[t - 2]
+                ls0 = _rotr(w1, 7) ^ _rotr(w1, 18) ^ (w1 >> np.uint32(3))
+                ls1 = (_rotr(w14, 17) ^ _rotr(w14, 19)
+                       ^ (w14 >> np.uint32(10)))
+                wt = w[t - 16] + ls0 + w9 + ls1
+                w.append(wt)
+            s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = h + s1 + ch + np.uint32(_K[t]) + wt
+            s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            a, b, c, d, e, f, g, h = (t1 + s0 + maj, a, b, c, d + t1,
+                                      e, f, g)
+        outs = (a, b, c, d, e, f, g, h)
+        return tuple(s + o for s, o in zip(state, outs))
+
     k = jnp.asarray(_K)
     zero = jnp.zeros_like(block_words[0] + state[0])
-    w = jnp.stack([zero + x for x in block_words])  # [16, ...]
+    wtup = tuple(zero + x for x in block_words)
     st = tuple(zero + s for s in state)
 
     def body(t, carry):
-        a, b, c, d, e, f, g, h, w = carry
+        a, b, c, d, e, f, g, h = carry[:8]
+        w = carry[8:]
         wt = w[0]
         kt = jax.lax.dynamic_index_in_dim(k, t, 0, keepdims=False)
         s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
@@ -76,15 +108,14 @@ def compress_words(state, block_words):
         t2 = s0 + maj
         # Schedule: W[t+16] = W[t] + s0(W[t+1]) + W[t+9] + s1(W[t+14]).
         ls0 = _rotr(w[1], 7) ^ _rotr(w[1], 18) ^ (w[1] >> np.uint32(3))
-        ls1 = _rotr(w[14], 17) ^ _rotr(w[14], 19) ^ (w[14] >> np.uint32(10))
+        ls1 = (_rotr(w[14], 17) ^ _rotr(w[14], 19)
+               ^ (w[14] >> np.uint32(10)))
         w_new = w[0] + ls0 + w[9] + ls1
-        w = jnp.concatenate([w[1:], w_new[None]], axis=0)
-        return (t1 + t2, a, b, c, t1 + d, e, f, g, w)
+        # Window shift = carry reindexing; no data movement.
+        return (t1 + t2, a, b, c, t1 + d, e, f, g, *w[1:], w_new)
 
-    a, b, c, d, e, f, g, h, _ = jax.lax.fori_loop(
-        0, 64, body, (*st, w))
-    outs = (a, b, c, d, e, f, g, h)
-    return tuple(s + o for s, o in zip(state, outs))
+    out = jax.lax.fori_loop(0, 64, body, (*st, *wtup))
+    return tuple(s + o for s, o in zip(state, out[:8]))
 
 
 def _sha256_blocks(blocks):
