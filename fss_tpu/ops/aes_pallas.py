@@ -388,7 +388,12 @@ def eval_points(prg_keys, group, in_bits: int, party: int, s0: jax.Array,
                 interpret: bool = False) -> jax.Array:
     """Pack + kernel + finalize, one jitted program (mirror of
     dpf_pallas.eval_points for the AES-MMO PRG). prg_keys: tuple of 2
-    16-byte AES keys."""
+    16-byte AES keys.
+
+    The word->plane key packing (bit-transposes of all cw bytes) runs on
+    every call here; for repeated evals over the same keys, call
+    pack_eval once and eval_packed per batch — packing costs a large
+    fraction of a full eval."""
     return _eval_points_jit(tuple(bytes(k) for k in prg_keys), group,
                             in_bits, int(party), jnp.asarray(s0),
                             jnp.asarray(cws),
