@@ -523,6 +523,72 @@ class NativeEngine:
                                       ctypes.c_uint32(block_len), out_p)
         return out
 
+    def vdmpf_gen(self, bucket_bits: int, prg_kind: int, hash_kind: int,
+                  hash_key: bytes, group_kind: int, group_bits: int,
+                  sigma: bytes, n: int, m: int, m_rt: int, b_size: int,
+                  kappa: int, s0s, alphas, betas, ch_retry: int = 1000,
+                  nonce=None, aes_keys=None, rounds: int = 20):
+        """Native VDMPF Gen (vdmpf.cuh:135-189): Cuckoo placement with
+        the reference's mt19937(42) stream + per-bucket inner VDPF Gens.
+        s0s [m,2,4]; returns (cws [m,bb,8], cs [m,4,4], ocw [m,4], fail).
+        """
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        hkh, hk_p = self._u8(hash_key)
+        sgh, sg_p = self._u8(sigma)
+        s0s_a, s0s_p = self._u32(s0s)
+        a_a, a_p = self._u64(np.asarray(alphas, dtype=np.uint64))
+        b_a, b_p = self._u32(betas)
+        cws = np.zeros((m, bucket_bits, 8), dtype=np.uint32)
+        cs = np.zeros((m, 4, 4), dtype=np.uint32)
+        ocw = np.zeros((m, 4), dtype=np.uint32)
+        _, cws_p = self._u32(cws)
+        _, cs_p = self._u32(cs)
+        _, ocw_p = self._u32(ocw)
+        self._lib.fss_vdmpf_gen.restype = ctypes.c_int
+        fail = self._lib.fss_vdmpf_gen(
+            ctypes.c_int(bucket_bits), ctypes.c_int(prg_kind), nonce_p,
+            keys_p, rounds_c, ctypes.c_int(hash_kind), hk_p,
+            ctypes.c_int(group_kind), ctypes.c_int(group_bits), sg_p,
+            ctypes.c_uint64(n), ctypes.c_int(m), ctypes.c_int(m_rt),
+            ctypes.c_int(b_size), ctypes.c_int(kappa), s0s_p, a_p, b_p,
+            ctypes.c_int(len(a_a)), ctypes.c_int(ch_retry), cws_p, cs_p,
+            ocw_p)
+        return cws, cs, ocw, int(fail)
+
+    def vdmpf_batch_eval(self, bucket_bits: int, prg_kind: int,
+                         hash_kind: int, hash_key: bytes, group_kind: int,
+                         group_bits: int, party: int, sigma: bytes,
+                         n: int, m: int, b_size: int, kappa: int, s0, cws,
+                         cs, ocw, xs, nonce=None, aes_keys=None,
+                         rounds: int = 20):
+        """Full native BatchEval (vdmpf.cuh:202-270): routing, inner
+        VDPF evals, group accumulation, and the reference proof chain.
+        s0 [m,4], cws [m,bucket_bits,8], cs [m,4,4], ocw [m,4]."""
+        nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
+            prg_kind, nonce, aes_keys, rounds)
+        hkh, hk_p = self._u8(hash_key)
+        sgh, sg_p = self._u8(sigma)
+        s0_a, s0_p = self._u32(s0)
+        cws_a, cws_p = self._u32(cws)
+        cs_a, cs_p = self._u32(cs)
+        ocw_a, ocw_p = self._u32(ocw)
+        xs_a, xs_p = self._u64(np.asarray(xs, dtype=np.uint64))
+        eta = len(xs_a)
+        ys = np.zeros((eta, 4), dtype=np.uint32)
+        pi = np.zeros((4, 4), dtype=np.uint32)
+        _, ys_p = self._u32(ys)
+        _, pi_p = self._u32(pi)
+        self._lib.fss_vdmpf_batch_eval(
+            ctypes.c_int(bucket_bits), ctypes.c_int(prg_kind), nonce_p,
+            keys_p, rounds_c, ctypes.c_int(hash_kind), hk_p,
+            ctypes.c_int(group_kind), ctypes.c_int(group_bits),
+            ctypes.c_int(party), sg_p, ctypes.c_uint64(n),
+            ctypes.c_int(m), ctypes.c_int(b_size), ctypes.c_int(kappa),
+            s0_p, cws_p, cs_p, ocw_p, xs_p, ctypes.c_int64(eta), ys_p,
+            pi_p)
+        return ys, pi
+
     def vdmpf_route(self, sigma: bytes, n: int, b_size: int, kappa: int,
                     xs):
         sg_hold, sg_p = self._u8(sigma)

@@ -17,6 +17,9 @@
 
 #include <cstdint>
 #include <cstring>
+#include <random>
+#include <utility>
+#include <vector>
 
 #if defined(__AES__) || defined(__x86_64__)
 #include <immintrin.h>
@@ -1599,6 +1602,137 @@ void fss_vdpf_gen_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
     std::memcpy(cs + 16 * i, cs_b, 64);
     std::memcpy(ocws + 4 * i, ocw_b.w, 16);
   }
+}
+
+// VDMPF key generation (vdmpf.cuh:135-189): Cuckoo placement with the
+// reference's std::mt19937(42) eviction stream, then per-bucket inner
+// VDPF Gens (empty buckets get the zero function). Returns 0 on success,
+// 1 on Cuckoo or inner-Gen failure (caller resamples sigma + seeds).
+int fss_vdmpf_gen(int bucket_bits, int prg_kind, const uint32_t nonce[2],
+                  const uint8_t *aes_keys, int rounds, int hash_kind,
+                  const uint8_t *hash_key, int group_kind, int group_bits,
+                  const uint8_t sigma[16], uint64_t n, int m, int m_rt,
+                  int b_size, int kappa, const uint32_t *s0s,
+                  const uint64_t *alphas, const uint32_t *betas, int t,
+                  int ch_retry, uint32_t *cws, uint32_t *cs,
+                  uint32_t *ocw) {
+  Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  Hash xh = make_hash(hash_kind, hash_key);
+
+  // Compact Cuckoo insertion (cuckoo_hash.cuh:154-199).
+  std::vector<std::pair<int, int>> table(m_rt, {-1, -1});
+  std::mt19937 rng(42);
+  for (int omega = 0; omega < t; ++omega) {
+    int cur_idx = omega;
+    int cur_k = (int)(rng() % (uint32_t)kappa);
+    int evictions = 0;
+    for (;;) {
+      uint64_t val = alphas[cur_idx] + n * (uint64_t)cur_k;
+      uint64_t y;
+      prp_permu_batch(sigma, n * (uint64_t)kappa, &val, 1, &y);
+      int bucket = (int)((y / (uint64_t)b_size) % (uint64_t)m_rt);
+      if (table[bucket].first == -1) {
+        table[bucket] = {cur_idx, cur_k};
+        break;
+      }
+      int evicted = table[bucket].first;
+      table[bucket] = {cur_idx, cur_k};
+      cur_idx = evicted;
+      cur_k = (int)(rng() % (uint32_t)kappa);
+      if (++evictions > ch_retry) return 1;
+    }
+  }
+
+  for (int i = 0; i < m; ++i) {
+    uint64_t a_prime = 0;
+    Block b_prime = {};
+    if (i < m_rt && table[i].first != -1) {
+      int j = table[i].first;
+      int k = table[i].second;
+      uint64_t val = alphas[j] + n * (uint64_t)k;
+      uint64_t y;
+      prp_permu_batch(sigma, n * (uint64_t)kappa, &val, 1, &y);
+      a_prime = y % (uint64_t)b_size;
+      std::memcpy(b_prime.w, betas + 4 * j, 16);
+    }
+    Block seeds[2], csb[4], ocwb;
+    std::memcpy(seeds, s0s + 8 * i, 32);
+    int ret = vdpf_gen(prg, xh, grp, bucket_bits, seeds, a_prime, 0,
+                       b_prime, reinterpret_cast<Block *>(
+                           cws + 8 * bucket_bits * i), csb, ocwb);
+    if (ret != 0) return 1;
+    std::memcpy(cs + 16 * i, csb, 64);
+    std::memcpy(ocw + 4 * i, ocwb.w, 16);
+  }
+  return 0;
+}
+
+// Full VDMPF BatchEval (vdmpf.cuh:202-270): route, dedupe, inner VDPF
+// evals, group accumulation, and the reference's two-level proof chain.
+// Bucket keys laid out as in the JAX engine: s0 [m,4], cws [m,bb,8],
+// cs [m,4,4], ocw [m,4], all uint32.
+void fss_vdmpf_batch_eval(int bucket_bits, int prg_kind,
+                          const uint32_t nonce[2], const uint8_t *aes_keys,
+                          int rounds, int hash_kind,
+                          const uint8_t *hash_key, int group_kind,
+                          int group_bits, int party,
+                          const uint8_t sigma[16], uint64_t n, int m,
+                          int b_size, int kappa, const uint32_t *s0,
+                          const uint32_t *cws, const uint32_t *cs,
+                          const uint32_t *ocw, const uint64_t *xs,
+                          int64_t eta, uint32_t *ys, uint32_t *pi_out) {
+  Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
+  Group grp{group_kind, group_bits};
+  Hash h = make_hash(hash_kind, hash_key);
+
+  // Route all points; per-bucket lists with (j, omega) dedupe
+  // (vdmpf.cuh:213-232).
+  std::vector<std::vector<std::pair<uint32_t, int64_t>>> inputs(m);
+  for (int64_t omega = 0; omega < eta; ++omega) {
+    for (int k = 0; k < kappa; ++k) {
+      uint64_t val = xs[omega] + n * (uint64_t)k;
+      uint64_t y;
+      prp_permu_batch(sigma, n * (uint64_t)kappa, &val, 1, &y);
+      int bucket = (int)(y / (uint64_t)b_size);
+      if (bucket >= m) continue;
+      uint32_t j = (uint32_t)(y % (uint64_t)b_size);
+      bool dup = false;
+      for (auto &e : inputs[bucket])
+        if (e.first == j && e.second == omega) { dup = true; break; }
+      if (!dup) inputs[bucket].push_back({j, omega});
+    }
+  }
+
+  for (int64_t i = 0; i < eta; ++i)
+    ys[4 * i] = ys[4 * i + 1] = ys[4 * i + 2] = ys[4 * i + 3] = 0;
+  Block pi[4] = {};
+
+  for (int i = 0; i < m; ++i) {
+    Block pib[4];
+    std::memcpy(pib, cs + 16 * i, 64);
+    Block seed;
+    std::memcpy(seed.w, s0 + 4 * i, 16);
+    Block ocwb;
+    std::memcpy(ocwb.w, ocw + 4 * i, 16);
+    const Block *bk_cws =
+        reinterpret_cast<const Block *>(cws + 8 * bucket_bits * i);
+    Block csb[4];
+    std::memcpy(csb, cs + 16 * i, 64);
+    for (auto &[j, omega] : inputs[i]) {
+      Block y, pt[4];
+      vdpf_eval(prg, h, grp, bucket_bits, party, seed, bk_cws, csb, ocwb,
+                j, 0, y, pt);
+      Block cur;
+      std::memcpy(cur.w, ys + 4 * omega, 16);
+      u128 acc = grp.add(grp.from_block(cur), grp.from_block(y));
+      grp.into_block(acc, cur);
+      std::memcpy(ys + 4 * omega, cur.w, 16);
+      vdpf_fold_step(h, pib, pt);
+    }
+    vdpf_fold_step(h, pi, pib);
+  }
+  std::memcpy(pi_out, pi, 64);
 }
 
 // VDMPF routing (vdmpf.cuh:213-232): Locate each x under all kappa hash

@@ -159,3 +159,56 @@ def test_vdmpf_route_native(eng):
         for k in range(kappa):
             eb, ei = cuckoo.locate_host(prp, int(x), k, n, b_size, kappa)
             assert (bucket[i, k], index[i, k]) == (eb, ei)
+
+
+def test_vdmpf_batch_eval_native_golden(eng):
+    """Full native VDMPF BatchEval vs the compiled reference's outputs
+    (ys per party + the two-level proof chain)."""
+    from tests.test_golden import _VDMPF_CASES
+
+    case = _VDMPF_CASES[0]
+    n_bits = case["in_bits"]
+    bb = case["bucket_bits"]
+    m = case["m"]
+    iv = b"".join(h2b(h) for h in case["blake3_iv"])
+    nonce = (case["nonce_lo"], case["nonce_hi"])
+    sigma = h2b(case["sigma"])
+    xs = ints(case["xs"])
+    cws = np.stack([rows(b["cws"]) for b in case["buckets"]])
+    cs = np.stack([h2u32(b["cs"]).reshape(4, 4) for b in case["buckets"]])
+    ocw = np.stack([h2u32(b["ocw"]) for b in case["buckets"]])
+    for party, skey in ((0, "bucket_s0s0"), (1, "bucket_s0s1")):
+        s0 = np.stack([h2u32(h) for h in case[skey]])
+        ys, pi = eng.vdmpf_batch_eval(
+            bb, native.PRG_CHACHA, 1, iv, native.GROUP_UINT, 64, party,
+            sigma, 1 << n_bits, m, case["b_size_rt"], 3, s0, cws, cs,
+            ocw, xs, nonce=nonce)
+        for i in range(len(xs)):
+            assert ys[i].tobytes() == h2b(case[f"ys{party}"][i]), \
+                f"party{party} x={case['xs'][i]}"
+        assert pi.tobytes() == h2b(case[f"pi{party}"])
+
+
+def test_vdmpf_gen_native_golden(eng):
+    """Native VDMPF Gen reproduces the reference's bucket key material."""
+    from tests.test_golden import _VDMPF_CASES
+
+    case = _VDMPF_CASES[0]
+    bb, m = case["bucket_bits"], case["m"]
+    iv = b"".join(h2b(h) for h in case["blake3_iv"])
+    nonce = (case["nonce_lo"], case["nonce_hi"])
+    s0s = np.zeros((m, 2, 4), dtype=np.uint32)
+    for i in range(m):
+        s0s[i, 0] = h2u32(case["bucket_s0s0"][i])
+        s0s[i, 1] = h2u32(case["bucket_s0s1"][i])
+    betas = np.stack([h2u32(h) for h in case["betas"]])
+    cws, cs, ocw, fail = eng.vdmpf_gen(
+        bb, native.PRG_CHACHA, 1, iv, native.GROUP_UINT, 64,
+        h2b(case["sigma"]), 1 << case["in_bits"], m, case["m_rt"],
+        case["b_size_rt"], 3, s0s, ints(case["alphas"]), betas,
+        nonce=nonce)
+    assert not fail
+    for i, bucket in enumerate(case["buckets"]):
+        assert cws[i].tobytes() == rows(bucket["cws"]).tobytes(), i
+        assert cs[i].tobytes() == h2b(bucket["cs"]), i
+        assert ocw[i].tobytes() == h2b(bucket["ocw"]), i
