@@ -3,9 +3,9 @@
 Table lookups are serialized on TPU, so the T-table AES in prg/aes.py is
 host-oracle-grade only. This module computes AES as pure bitwise ops on
 bit-planes: 32 instances pack into each uint32 word, the 128 state bits
-become 128 [B/32]-shaped word arrays, and the S-box is GF(2^8) inversion
-(x^254 via an addition chain of bitsliced multiplies/squarings) plus the
-affine map — ~4k word-ops per instance, no gathers anywhere. This is the
+become 128 [B/32]-shaped word arrays, and the S-box is tower-field
+GF(((2^2)^2)^2) inversion plus the affine map — ~1.5k word-ops per
+instance, no gathers anywhere. This is the
 approach SURVEY §7.3 calls out as the TPU-native answer to soft AES (the
 reference's GPU answer is shared-memory T-tables, aes128_mmo_soft.cuh).
 
@@ -50,19 +50,7 @@ def _linear_matrix(fn):
             for i in range(8)]
 
 
-_SQ_MAT = _linear_matrix(lambda x: _gf_mul_int(x, x))
 _XTIME_MAT = _linear_matrix(lambda x: _gf_mul_int(x, 2))
-# Reduction of schoolbook product bits 8..14 back into bits 0..7.
-
-
-def _reduce_int(v: int) -> int:
-    for bit in range(14, 7, -1):
-        if (v >> bit) & 1:
-            v ^= _POLY << (bit - 8)
-    return v & 0xFF
-
-
-_RED = [_reduce_int(1 << k) for k in range(15)]
 # Affine layer: out_i = in_i ^ in_{i+4} ^ in_{i+5} ^ in_{i+6} ^ in_{i+7} ^ c_i
 _AFFINE_C = 0x63
 
@@ -78,29 +66,6 @@ def _apply_matrix(mat, bits):
                 acc = bits[j] if acc is None else acc ^ bits[j]
         out.append(acc if acc is not None else jnp.zeros_like(bits[0]))
     return out
-
-
-def _gf_mul(a, b):
-    """Bitsliced GF(2^8) multiply: two 8-plane lists -> 8-plane list."""
-    # Schoolbook partial products t_k = XOR_{i+j=k} a_i & b_j.
-    t = [None] * 15
-    for i in range(8):
-        for j in range(8):
-            p = a[i] & b[j]
-            k = i + j
-            t[k] = p if t[k] is None else t[k] ^ p
-    # Fold bits 8..14 through the field polynomial.
-    out = list(t[:8])
-    for k in range(8, 15):
-        red = _RED[k]  # byte value of x^k mod poly
-        for i in range(8):
-            if (red >> i) & 1:
-                out[i] = out[i] ^ t[k]
-    return out
-
-
-def _gf_sq(a):
-    return _apply_matrix(_SQ_MAT, a)
 
 
 # ---------------------------------------------------------------------------
