@@ -336,6 +336,27 @@ def _bench_registry():
                 _timeit(fha, (jnp.asarray(s0s[0]), hcw20, hocw20),
                         2**ib20), "items/s/chip"))
 
+    # VDMPF batch evaluation, 2^14 points, t=30 (host-only in the
+    # reference; vdmpf.cuh:202-270).
+    from fss_tpu.api import Vdmpf as _VdmpfApi
+    vm = _VdmpfApi(16, group=g, prg=prg2)
+    vrng = np.random.default_rng(7)
+    vm_alphas = sorted(vrng.choice(1 << 16, size=30,
+                                   replace=False).tolist())
+    vm_betas = jnp.asarray(blk.block(np.concatenate(
+        [vrng.integers(0, 2**31, size=(30, 1)),
+         np.zeros((30, 3), np.uint32)], axis=1)))
+    vk0, _vk1 = vm.gen_retry(vrng, vm_alphas, vm_betas)
+    vm_xs = jnp.asarray(vrng.integers(0, 1 << 16, size=1 << 14,
+                                      dtype=np.uint32))
+
+    def fvm(xs):
+        ys, pi = vm.batch_eval(0, vk0, xs)
+        return jnp.sum(ys[:, 0]) + jnp.sum(pi[0])
+
+    out.append(("vdmpf_batch_eval_2e14pts_t30_16bit",
+                _timeit(fvm, (vm_xs,), 1 << 14), "pts/s/chip"))
+
     # Grotto post-preprocess point queries against the packed prefix
     # table (reference CPU: 46.9 ns/query, its README.md:356).
     gr_cws = jax.jit(lambda s: _gr.gen(
