@@ -387,7 +387,32 @@ def _bench_registry():
     return out
 
 
+def _verify_gate() -> bool:
+    """Byte-check the hot kernels against reference-produced golden
+    vectors ON THE DEVICE before timing anything (scripts/verify_tpu.py
+    --quick). A silent XLA:TPU/Mosaic miscompile would otherwise time
+    garbage; no headline is printed on mismatch."""
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    import jax
+    import verify_tpu
+    on_tpu = jax.devices()[0].platform == "tpu"
+    try:
+        n = verify_tpu.run(quick=True, interpret=not on_tpu)
+    except verify_tpu.Mismatch as e:
+        print(json.dumps({"metric": "VERIFY_FAILED", "value": 0,
+                          "unit": "configs", "vs_baseline": 0,
+                          "error": str(e)[:300]}))
+        return False
+    print(f"verify gate: {n} kernel configs byte-exact "
+          f"({'tpu' if on_tpu else 'cpu-interpret'})", file=sys.stderr)
+    return True
+
+
 def main():
+    if not _verify_gate():
+        sys.exit(1)
     # Best of 3 measurement passes: throughput over the tunneled chip has
     # ~+-8% run-to-run noise from unrelated host activity; the max is the
     # least-interference estimate of device throughput (the same reason

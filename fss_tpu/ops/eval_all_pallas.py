@@ -195,18 +195,23 @@ def _make_dcf_kernel(nonce, rounds: int, group_is_xor: bool,
 
 def dcf_eval_all(prg4, group, in_bits: int, party: int, s0: jax.Array,
                  cws: jax.Array, rounds: int = 20,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False,
+                 force_kernel: bool = False) -> jax.Array:
     """DCF full-domain evaluation via the hybrid kernel; [2^in_bits, 4].
 
     Supported groups: Bytes and wrapping Uint (value accumulation defers
     masking/negation to the finalize); others fall back to the XLA path.
+    ``force_kernel`` lowers the dispatch threshold to the structural floor
+    (used by scripts/verify_tpu.py to byte-check the kernel at golden-case
+    domain sizes that would normally take the XLA path).
     """
     from fss_tpu import groups as _groups
     from fss_tpu.schemes import dcf as _dcf
 
     group_ok = isinstance(group, _groups.Bytes) or (
         isinstance(group, _groups.Uint) and group.mod == 0)
-    threshold = MIN_BITS if interpret else KERNEL_WORTHWHILE_BITS
+    threshold = (MIN_BITS if (interpret or force_kernel)
+                 else KERNEL_WORTHWHILE_BITS)
     if (in_bits < threshold or not group_ok
             or (not interpret and not _on_tpu())):
         return _dcf.eval_all(prg4, group, in_bits, party, s0, cws)
@@ -363,11 +368,13 @@ def _make_ht_kernel(nonce, rounds: int, hash_key, unroll: bool = True):
 
 def ht_eval_all(prg1, group, in_bits: int, party: int, hash_key,
                 s0: jax.Array, cws: jax.Array, ocw: jax.Array,
-                rounds: int = 20, interpret: bool = False) -> jax.Array:
+                rounds: int = 20, interpret: bool = False,
+                force_kernel: bool = False) -> jax.Array:
     """Half-Tree full-domain evaluation via the hybrid kernel."""
     from fss_tpu.schemes import half_tree_dpf as _ht
 
-    threshold = MIN_BITS if interpret else KERNEL_WORTHWHILE_BITS
+    threshold = (MIN_BITS if (interpret or force_kernel)
+                 else KERNEL_WORTHWHILE_BITS)
     if in_bits < threshold or (not interpret and not _on_tpu()):
         return _ht.eval_all(prg1, group, in_bits, party,
                             jnp.asarray(hash_key, dtype=jnp.uint32), s0,
@@ -454,7 +461,8 @@ def expand_leaves(prg2, in_bits: int, party: int, s0: jax.Array,
 
 def eval_all(prg2, group, in_bits: int, party: int, s0: jax.Array,
              cws: jax.Array, rounds: int = 20,
-             interpret: bool = False) -> jax.Array:
+             interpret: bool = False,
+             force_kernel: bool = False) -> jax.Array:
     """Full-domain DPF evaluation via the hybrid kernel; [2^in_bits, 4].
 
     ``prg2`` must be the ChaCha PRG whose nonce/rounds drive the kernel
@@ -463,7 +471,8 @@ def eval_all(prg2, group, in_bits: int, party: int, s0: jax.Array,
     """
     from fss_tpu.schemes import dpf as _dpf
 
-    threshold = MIN_BITS if interpret else KERNEL_WORTHWHILE_BITS
+    threshold = (MIN_BITS if (interpret or force_kernel)
+                 else KERNEL_WORTHWHILE_BITS)
     if in_bits < threshold or (not interpret and not _on_tpu()):
         return _dpf.eval_all(prg2, group, in_bits, party, s0, cws)
     s_leaves, t_leaves = expand_leaves(prg2, in_bits, party, s0, cws,
@@ -476,7 +485,7 @@ def vdpf_eval_all_chunked(prg2, xor_hash, hash64, group, in_bits: int,
                           party: int, s0: jax.Array, cws: jax.Array,
                           cs: jax.Array, ocw: jax.Array, rounds: int = 20,
                           chunk: int = 256, interpret: bool = False,
-                          fold: str = "tree"):
+                          fold: str = "tree", force_kernel: bool = False):
     """VDPF full-domain evaluation with a batched proof fold:
     hybrid-kernel tree expansion, batched output conversion and per-point
     hashes, then ``fold`` = "tree" (log-depth Merkle fold, default) or
@@ -487,7 +496,8 @@ def vdpf_eval_all_chunked(prg2, xor_hash, hash64, group, in_bits: int,
     from fss_tpu.schemes import vdpf as _vdpf
 
     n = 1 << in_bits
-    threshold = MIN_BITS if interpret else KERNEL_WORTHWHILE_BITS
+    threshold = (MIN_BITS if (interpret or force_kernel)
+                 else KERNEL_WORTHWHILE_BITS)
     if in_bits >= threshold and (interpret or _on_tpu()):
         s_leaves, t_leaves = expand_leaves(prg2, in_bits, party, s0,
                                            cws[:in_bits], rounds,
@@ -553,12 +563,14 @@ def _prove_tree_batched(hash64_batch_fn, pts, cs):
 
 def grotto_eval_all(prg2, in_bits: int, party: int, s0: jax.Array,
                     cws: jax.Array, rounds: int = 20,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    force_kernel: bool = False) -> jax.Array:
     """Grotto full-domain comparison shares via the hybrid kernel:
     leaf control bits + prefix-XOR scan (grotto_dcf.cuh:151-163)."""
     from fss_tpu.schemes import grotto_dcf as _gr
 
-    threshold = MIN_BITS if interpret else KERNEL_WORTHWHILE_BITS
+    threshold = (MIN_BITS if (interpret or force_kernel)
+                 else KERNEL_WORTHWHILE_BITS)
     if in_bits < threshold or (not interpret and not _on_tpu()):
         return _gr.eval_all(prg2, in_bits, party, s0, cws)
     _, t_leaves = expand_leaves(prg2, in_bits, party, s0, cws, rounds,
