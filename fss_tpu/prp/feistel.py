@@ -32,6 +32,51 @@ from fss_tpu.prg import aes as _aes
 _U32MASK = 0xFFFFFFFF
 
 
+def _shr_lanes(x4, k: int):
+    """Logical right shift of [..., 4] little-endian uint32 lanes by a
+    static 0 <= k < 128."""
+    ws, bs = divmod(k, 32)
+    w = [x4[..., i] for i in range(4)]
+    zero = jnp.zeros_like(w[0])
+    w = w[ws:] + [zero] * ws
+    if bs:
+        lo, hi = np.uint32(bs), np.uint32(32 - bs)
+        w = [(w[i] >> lo) | (w[i + 1] << hi) if i < 3 else (w[i] >> lo)
+             for i in range(4)]
+    return jnp.stack(w, axis=-1)
+
+
+def _shl_lanes(x4, k: int):
+    """Left shift of [..., 4] little-endian uint32 lanes by a static k."""
+    ws, bs = divmod(k, 32)
+    w = [x4[..., i] for i in range(4)]
+    zero = jnp.zeros_like(w[0])
+    w = [zero] * ws + w[:4 - ws]
+    if bs:
+        lo, hi = np.uint32(bs), np.uint32(32 - bs)
+        w = [(w[i] << lo) | (w[i - 1] >> hi) if i > 0 else (w[i] << lo)
+             for i in range(4)]
+    return jnp.stack(w, axis=-1)
+
+
+def _mask_low_lanes(x4, nbits: int):
+    """Keep the low ``nbits`` of [..., 4] little-endian uint32 lanes."""
+    mask = (1 << nbits) - 1
+    lanes = [np.uint32((mask >> (32 * i)) & _U32MASK) for i in range(4)]
+    return x4 & jnp.asarray(np.array(lanes, dtype=np.uint32))
+
+
+def _lt_const_lanes(x4, c: int):
+    """Elementwise x < c for [..., 4] little-endian uint32 lane values."""
+    lt = jnp.zeros(x4.shape[:-1], dtype=jnp.bool_)
+    eq = jnp.ones(x4.shape[:-1], dtype=jnp.bool_)
+    for i in range(3, -1, -1):
+        ci = np.uint32((c >> (32 * i)) & _U32MASK)
+        lt = lt | (eq & (x4[..., i] < ci))
+        eq = eq & (x4[..., i] == ci)
+    return lt
+
+
 def ceil_log2(x: int) -> int:
     """ceil(log2(x)); 0 for x <= 1 (aes128_feistel.cuh:50-59)."""
     if x <= 1:
@@ -63,11 +108,11 @@ class Aes128Feistel:
         assert self.domain >= 2
         b = ceil_log2(self.domain)
         half = (b + 1) // 2
-        assert half <= 32, "domains above 2^62 unsupported on this path"
+        assert half <= 64, "domain must fit 128 bits (prp.cuh:22-25)"
         object.__setattr__(self, "_half", half)
         object.__setattr__(self, "_mask",
-                           np.uint32((1 << half) - 1 if half < 32
-                                     else _U32MASK))
+                           np.uint32(((1 << half) - 1) & _U32MASK
+                                     if half < 32 else _U32MASK))
         # Round key = sigma with the round index XORed into lane 0
         # (byte 0, little-endian) — aes128_feistel.cuh:142-144.
         rks = []
@@ -81,6 +126,7 @@ class Aes128Feistel:
 
     def _feistel(self, hi, lo):
         half = self._half
+        assert half <= 32, "use permu_lanes for domains above 2^62"
         mask = self._mask
         if half == 32:
             left, right = hi, lo
@@ -130,6 +176,47 @@ class Aes128Feistel:
 
         hi, lo = jax.lax.while_loop(cond, body, (hi, lo))
         return hi, lo
+
+    # -- wide device path (4-lane values, domains up to 2^128) --------------
+
+    def _feistel_lanes(self, x4):
+        """One Feistel pass over [..., 4] uint32 lane values (little-
+        endian lanes), half <= 64. Bit-exact twin of ``permu_host`` for
+        wide domains — parity with the reference PRP's __uint128_t
+        domain (prp.cuh:22-25, aes128_feistel.cuh:127-159)."""
+        half = self._half
+        r = _mask_low_lanes(x4, half)
+        left = _mask_low_lanes(_shr_lanes(x4, half), half)
+        for rk in self._round_keys:
+            # PRF block = right.to_bytes(16, 'little'); AES words are the
+            # big-endian views of each 4-byte group.
+            w = [_aes._bswap32(r[..., i]) for i in range(4)]
+            o = _aes.aes128_encrypt_words(rk, *w)
+            f = jnp.stack([_aes._bswap32(oi) for oi in o], axis=-1)
+            f = _mask_low_lanes(f, half)
+            left = left ^ f
+            left, r = r, left
+        return _shl_lanes(left, half) | r
+
+    def permu_lanes(self, x4) -> jax.Array:
+        """Batched PRP over [..., 4] uint32 lane values; any domain up to
+        2^128. Returns [..., 4] lanes (cycle-walked into [0, domain))."""
+        x4 = jnp.asarray(x4, dtype=jnp.uint32)
+        d = self.domain
+
+        def in_domain(v):
+            return _lt_const_lanes(v, d)
+
+        y = self._feistel_lanes(x4)
+
+        def cond(v):
+            return jnp.any(~in_domain(v))
+
+        def body(v):
+            nv = self._feistel_lanes(v)
+            return jnp.where(in_domain(v)[..., None], v, nv)
+
+        return jax.lax.while_loop(cond, body, y)
 
     # -- precomputed permutation table --------------------------------------
 

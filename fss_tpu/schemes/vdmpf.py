@@ -85,7 +85,7 @@ def gen(prg2, xor_hash, group, in_bits: int, bucket_bits: int,
 
     # Per-bucket inner point: alpha' = within-bucket index, beta' = payload;
     # empty buckets share the zero function (vdmpf.cuh:164-175).
-    a_prime = np.zeros(m, dtype=np.uint32)
+    a_prime = [0] * m  # ints: wide bucket domains exceed uint32
     b_prime = np.zeros((m, 4), dtype=np.uint32)
     betas_np = np.asarray(betas, dtype=np.uint32)
     for i in range(m_rt):
@@ -93,7 +93,7 @@ def gen(prg2, xor_hash, group, in_bits: int, bucket_bits: int,
         if j == -1:
             continue
         _, index = cuckoo.locate_host(prp, int(alphas[j]), k, n, b_rt, kappa)
-        a_prime[i] = index
+        a_prime[i] = int(index)
         b_prime[i] = betas_np[j]
 
     a_lanes = blk.pack_inputs(a_prime, bucket_bits)  # [m, 4]
@@ -116,34 +116,86 @@ def _zero_key(sigma, m_rt, b_rt, s0s, bucket_bits, m):
 
 
 def route(key: VdmpfKey, in_bits: int, xs, kappa: int = KAPPA):
-    """Batched Locate: xs [eta] -> (bucket [eta, kappa], index [eta, kappa],
-    dup [eta, kappa]) where dup marks repeated (bucket, index) pairs per
+    """Batched Locate: xs [eta] -> (bucket [eta, kappa], index, dup
+    [eta, kappa]) where dup marks repeated (bucket, index) pairs per
     point (the dedup of vdmpf.cuh:221-231).
 
-    Device path supports in_bits <= 29 (PRP values fit uint32).
+    in_bits <= 29: PRP values fit uint32; index is [eta, kappa] uint32
+    (with a tabulated permutation for domains <= 2^22 — one gather per
+    Locate). Wider domains (parity with the reference PRP's __uint128_t
+    domain, prp.cuh:22-25): the 4-lane Feistel walk, index returned as
+    [eta, kappa, 4] packed uint32 lanes; bucket/index come from an
+    m_rt-way compare-accumulate instead of a 128-bit divide (m_rt is
+    static and small, so the "division" is ~m_rt lane compares).
     """
     n = 1 << in_bits
-    assert in_bits <= 29, "device routing path supports in_bits <= 29"
-    xs = jnp.asarray(xs, dtype=jnp.uint32)
+    if in_bits <= 29:
+        xs = jnp.asarray(xs, dtype=jnp.uint32)
+        prp = Aes128Feistel(key.sigma, n * kappa)
+        vals = jnp.stack([xs + np.uint32(n * k) for k in range(kappa)],
+                         axis=-1)  # [eta, kappa]
+        if n * kappa <= Aes128Feistel.TABLE_MAX_DOMAIN:
+            # Public permutation tabulated once per key (host AES-NI):
+            # each Locate becomes one gather instead of 4 AES rounds of
+            # gathers.
+            table = jnp.asarray(prp.permutation_table())
+            y = table[vals]
+        else:
+            _, y = prp.permu(vals)  # hi is all-zero for this domain size
+        b_rt = np.uint32(key.b_size_rt)
+        bucket = y // b_rt
+        index = y % b_rt
+        dup = jnp.zeros(bucket.shape, dtype=jnp.bool_)
+        for k in range(1, kappa):
+            same = jnp.zeros(bucket.shape[:-1], dtype=jnp.bool_)
+            for kp in range(k):
+                same = same | ((bucket[..., kp] == bucket[..., k])
+                               & (index[..., kp] == index[..., k]))
+            dup = dup.at[..., k].set(same)
+        return bucket, index, dup
+
+    from fss_tpu.ops._chacha_core import add128, neg128
+    from fss_tpu.prp.feistel import _lt_const_lanes
+
+    x4 = blk.pack_inputs(xs, in_bits)  # [eta, 4]
     prp = Aes128Feistel(key.sigma, n * kappa)
-    vals = jnp.stack([xs + np.uint32(n * k) for k in range(kappa)],
-                     axis=-1)  # [eta, kappa]
-    if n * kappa <= Aes128Feistel.TABLE_MAX_DOMAIN:
-        # Public permutation tabulated once per key (host AES-NI): each
-        # Locate becomes one gather instead of 4 AES rounds of gathers.
-        table = jnp.asarray(prp.permutation_table())
-        y = table[vals]
-    else:
-        _, y = prp.permu(vals)  # hi is all-zero for this domain size
-    b_rt = np.uint32(key.b_size_rt)
-    bucket = y // b_rt
-    index = y % b_rt
+    vals = []
+    for k in range(kappa):
+        off = n * k
+        offw = tuple(np.uint32((off >> (32 * i)) & 0xFFFFFFFF)
+                     for i in range(4))
+        w = add128(tuple(x4[..., i] for i in range(4)),
+                   tuple(jnp.full(x4.shape[:-1], o, dtype=jnp.uint32)
+                         for o in offw))
+        vals.append(jnp.stack(w, axis=-1))
+    vals = jnp.stack(vals, axis=-2)        # [eta, kappa, 4]
+    y = prp.permu_lanes(vals)              # [eta, kappa, 4]
+
+    # bucket = y // b_size via compare-accumulate; base = bucket * b_size
+    # accumulated alongside so index = y - base needs no multiply.
+    b_rt = key.b_size_rt
+    bucket = jnp.zeros(y.shape[:-1], dtype=jnp.int32)
+    base = jnp.zeros_like(y)
+    bw = jnp.asarray(np.array(
+        [(b_rt >> (32 * i)) & 0xFFFFFFFF for i in range(4)],
+        dtype=np.uint32))
+    for i in range(1, key.m_rt):
+        ge = ~_lt_const_lanes(y, i * b_rt)
+        bucket = bucket + ge.astype(jnp.int32)
+        step = jnp.where(ge[..., None], bw, jnp.zeros_like(bw))
+        base = jnp.stack(add128(tuple(base[..., j] for j in range(4)),
+                                tuple(step[..., j] for j in range(4))),
+                         axis=-1)
+    nb = jnp.stack(neg128(tuple(base[..., j] for j in range(4))), axis=-1)
+    index = jnp.stack(add128(tuple(y[..., j] for j in range(4)),
+                             tuple(nb[..., j] for j in range(4))), axis=-1)
+
     dup = jnp.zeros(bucket.shape, dtype=jnp.bool_)
     for k in range(1, kappa):
         same = jnp.zeros(bucket.shape[:-1], dtype=jnp.bool_)
         for kp in range(k):
             same = same | ((bucket[..., kp] == bucket[..., k])
-                           & (index[..., kp] == index[..., k]))
+                           & (index[..., kp] == index[..., k]).all(-1))
         dup = dup.at[..., k].set(same)
     return bucket, index, dup
 
@@ -164,29 +216,14 @@ def batch_eval(prg2, xor_hash, hash64, group, in_bits: int,
     # are serial on TPU, but selecting rows from the m (~53) bucket keys
     # is an [E, m] x [m, D] contraction — exact in f32 via 16-bit halves.
     bflat = bucket.reshape(-1).astype(jnp.int32)     # [E]
-    jflat = index.reshape(-1).astype(jnp.uint32)     # [E]
-    m = key.s0.shape[0]
-    onehot = (bflat[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
-              ).astype(jnp.float32)
-
-    def take_rows(table):
-        d = table.reshape(m, -1)
-        lo = (d & np.uint32(0xFFFF)).astype(jnp.float32)
-        hi = (d >> np.uint32(16)).astype(jnp.float32)
-        lo_e = jnp.dot(onehot, lo,
-                       preferred_element_type=jnp.float32)
-        hi_e = jnp.dot(onehot, hi,
-                       preferred_element_type=jnp.float32)
-        out = (hi_e.astype(jnp.uint32) << np.uint32(16)) | \
-            lo_e.astype(jnp.uint32)
-        return out.reshape((bflat.shape[0],) + table.shape[1:])
-
-    s0_e = take_rows(key.s0)
-    cws_e = take_rows(key.cws)
-    cs_e = take_rows(key.cs)
-    ocw_e = take_rows(key.ocw)
+    if index.ndim == 3:  # wide routing: [eta, kappa, 4] packed lanes
+        jflat = (index[..., 0].reshape(-1).astype(jnp.uint32)
+                 if bucket_bits <= 32
+                 else index.reshape(-1, 4).astype(jnp.uint32))
+    else:
+        jflat = index.reshape(-1).astype(jnp.uint32)
     ys_e, pt_e = _inner_eval(prg2, xor_hash, group, bucket_bits, party,
-                             s0_e, cws_e, cs_e, ocw_e, jflat)
+                             key, bflat, jflat)
 
     # Output shares: group-fold the kappa contributions per point, masking
     # duplicates (group add is commutative, so fold order is free).
@@ -270,24 +307,117 @@ def _batched_hash64(hash64):
     return hash64
 
 
-def _inner_eval(prg2, xor_hash, group, bucket_bits, party, s0_e, cws_e,
-                cs_e, ocw_e, jflat):
-    """Per-entry inner VDPF evals; fused Pallas kernel on TPU for the
-    ChaCha PRG (the hot loop of BatchEval, vdmpf.cuh:242-261)."""
+def _take_rows_matmul(table, onehot, m):
+    """Exact uint32 row select via two f32 MXU contractions (16-bit
+    halves; values < 2^16 are exact in f32)."""
+    d = table.reshape(m, -1)
+    lo = (d & np.uint32(0xFFFF)).astype(jnp.float32)
+    hi = (d >> np.uint32(16)).astype(jnp.float32)
+    lo_e = jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
+    hi_e = jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
+    out = (hi_e.astype(jnp.uint32) << np.uint32(16)) | \
+        lo_e.astype(jnp.uint32)
+    return out.reshape((onehot.shape[0],) + table.shape[1:])
+
+
+def _inner_eval(prg2, xor_hash, group, bucket_bits, party, key: VdmpfKey,
+                bflat, jflat):
+    """Per-entry inner VDPF evals (the hot loop of BatchEval,
+    vdmpf.cuh:242-261).
+
+    TPU + ChaCha path: ONE [D_all, m] x [m, E] contraction per 16-bit
+    half emits the fused eval kernel's packed SoA layout directly —
+    seeds and cw tables land as [word, tile, lane] planes with no [E, D]
+    row-major intermediate and no post-hoc bit-transpose (those two
+    staging steps cost ~7x the inner evals themselves). cs/ocw ride a
+    small row-major select for the finalize.
+    """
     from fss_tpu.prg.chacha import ChaCha
 
+    m = key.s0.shape[0]
+    E = bflat.shape[0]
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except RuntimeError:
         on_tpu = False
     prg_obj = getattr(prg2, "__self__", prg2)
-    if on_tpu and isinstance(prg_obj, ChaCha):
-        from fss_tpu.ops import vdpf_pallas
-        return vdpf_pallas.eval_points(
-            prg_obj.nonce, xor_hash, group, bucket_bits, party, s0_e,
-            cws_e, cs_e, ocw_e, jflat, rounds=prg_obj.rounds)
-    return _vdpf.eval_points(prg2, xor_hash, group, bucket_bits, party,
-                             s0_e, cws_e, cs_e, ocw_e, jflat)
+
+    if not (on_tpu and isinstance(prg_obj, ChaCha)):
+        onehot = (bflat[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.float32)
+        s0_e = _take_rows_matmul(key.s0, onehot, m)
+        cws_e = _take_rows_matmul(key.cws, onehot, m)
+        cs_e = _take_rows_matmul(key.cs, onehot, m)
+        ocw_e = _take_rows_matmul(key.ocw, onehot, m)
+        return _vdpf.eval_points(prg2, xor_hash, group, bucket_bits,
+                                 party, s0_e, cws_e, cs_e, ocw_e, jflat)
+
+    from fss_tpu.ops import dpf_pallas
+
+    LANES = dpf_pallas.LANES
+    block_rows = dpf_pallas.DEFAULT_BLOCK_ROWS
+    tile = block_rows * LANES
+    Ep = ((E + tile - 1) // tile) * tile
+    T = Ep // LANES
+
+    # [m, Ep] one-hot, padding columns all-zero (out-of-range bucket id).
+    bpad = jnp.pad(bflat, (0, Ep - E), constant_values=m)
+    onehot_T = (jnp.arange(m, dtype=jnp.int32)[:, None] == bpad[None, :]
+                ).astype(jnp.float32)
+
+    # Concatenated [m, 4 + bucket_bits*8] seed+cw table, contracted into
+    # the packed orientation: packed[d, e] = table[bucket(e), d].
+    tbl = jnp.concatenate(
+        [key.s0.reshape(m, 4), key.cws.reshape(m, bucket_bits * 8)],
+        axis=1)
+    lo = (tbl & np.uint32(0xFFFF)).astype(jnp.float32).T  # [D, m]
+    hi = (tbl >> np.uint32(16)).astype(jnp.float32).T
+    lo_p = jnp.dot(lo, onehot_T, preferred_element_type=jnp.float32)
+    hi_p = jnp.dot(hi, onehot_T, preferred_element_type=jnp.float32)
+    packed = (hi_p.astype(jnp.uint32) << np.uint32(16)) | \
+        lo_p.astype(jnp.uint32)                           # [D, Ep]
+
+    seeds4 = packed[0:4].reshape(4, T, LANES)
+    cws_t = packed[4:].reshape(bucket_bits, 8, T, LANES)
+    if jflat.ndim == 2:  # wide bucket domains: [E, 4] packed lanes
+        jp = jnp.pad(jflat, ((0, Ep - E), (0, 0)))
+        xs2 = jnp.transpose(jp, (1, 0)).reshape(4, T, LANES)
+    else:
+        xs2 = jnp.pad(jflat, (0, Ep - E)).reshape(T, LANES)
+
+    so, tb = dpf_pallas.eval_packed(
+        seeds4, cws_t, xs2, in_bits=bucket_bits, party=party,
+        nonce=tuple(prg_obj.nonce), rounds=prg_obj.rounds,
+        block_rows=block_rows)
+    s = jnp.transpose(so.reshape(4, -1), (1, 0))[:E]
+    t = tb.reshape(-1)[:E]
+
+    # cs/ocw for the finalize: small row-major select ([E, 20] output).
+    onehot = (bflat[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)
+    co = _take_rows_matmul(
+        jnp.concatenate([key.cs.reshape(m, 16), key.ocw], axis=1),
+        onehot, m)
+    cs_e = co[:, :16].reshape(E, 4, 4)
+    ocw_e = co[:, 16:20]
+
+    y = group.from_block(s)
+    y = jnp.where(t.astype(jnp.bool_)[:, None],
+                  group.add(y, group.from_block(ocw_e)), y)
+    if party:
+        y = group.neg(y)
+
+    x_lanes = blk.pack_inputs(jflat, bucket_bits)
+    from fss_tpu.ops.eval_all_pallas import _blake3_iv_of
+    iv = _blake3_iv_of(xor_hash)
+    if iv is not None:  # fused BLAKE3 kernel for the per-point hashes
+        from fss_tpu.ops import blake3_pallas as _b3
+        pt = _b3.xor_hash_batch(x_lanes, s, iv)
+    else:
+        pt = xor_hash(x_lanes, s)
+    pt = jnp.where(t.astype(jnp.bool_)[:, None, None],
+                   jnp.bitwise_xor(pt, cs_e), pt)
+    return group.into_block(y), pt
 
 
 def verify(pi0: jax.Array, pi1: jax.Array) -> jax.Array:

@@ -85,6 +85,37 @@ def test_wide_domain_kernel_path(in_bits, rng):
     assert np.array_equal(got, want)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("in_bits", [48, 64])
+def test_vdmpf_wide_domain(in_bits, rng):
+    """VDMPF routing over wide domains: the PRP runs the 4-lane Feistel
+    walk (parity with the reference PRP's __uint128_t domain,
+    prp.cuh:22-25 / cuckoo_hash.cuh:94-124); bucket/index come from the
+    compare-accumulate divide. Reconstruction and Verify close over a
+    t=30 multi-point function."""
+    from fss_tpu.api import Vdmpf
+
+    g = groups.Uint(64)
+    d = Vdmpf(in_bits, group=g, prg=ChaCha(mul=2, nonce=NONCE))
+    assert d.bucket_bits > 32  # the wide inner-domain path
+    alphas = sorted(int(v) | (1 << (in_bits - 1))
+                    for v in rng.integers(0, 2**47, size=30))
+    b = np.zeros((30, 4), dtype=np.uint32)
+    b[:, 0] = rng.integers(1, 2**31, size=30)
+    betas = blk.block(b)
+    k0, k1 = d.gen_retry(rng, alphas, betas)
+
+    xs = alphas[:4] + [a ^ 1 for a in alphas[:2]] + [0, 123456789]
+    ys0, pi0 = d.batch_eval(0, k0, xs)
+    ys1, pi1 = d.batch_eval(1, k1, xs)
+    rec = np.asarray(g.add(g.from_block(ys0), g.from_block(ys1)))
+    for i, x in enumerate(xs):
+        want = int(b[alphas.index(x), 0]) if x in alphas else 0
+        got = int(rec[i][0]) | (int(rec[i][1]) << 32)
+        assert got == want, f"x={x}"
+    assert d.verify(pi0, pi1)
+
+
 def test_wide_domain_dcf_ht_vdpf_kernels(rng):
     """Wide packed-lane inputs on the DCF / Half-Tree / VDPF eval kernels
     (interpret mode) match the scheme paths."""
