@@ -171,7 +171,22 @@ class Dpf:
         return _dpf_gen(self.prg, self.group, self.in_bits, s0s, a, beta)
 
     def gen_batch(self, s0s, alphas, betas):
-        """Vectorized gen over a leading key-batch axis."""
+        """Vectorized gen over a leading key-batch axis (fused Pallas
+        kernels on TPU: ChaCha word-domain, AES-MMO plane-domain)."""
+        if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
+                and _plain_u32_inputs(alphas, self.in_bits)):
+            from fss_tpu.ops import dpf_pallas
+            return dpf_pallas.gen_batch(
+                self.prg.nonce, self.group, self.in_bits,
+                jnp.asarray(s0s), jnp.asarray(alphas, dtype=jnp.uint32),
+                jnp.asarray(betas), rounds=self.prg.rounds)
+        if (_use_tpu_kernels() and isinstance(self.prg, Aes128Mmo)
+                and _plain_u32_inputs(alphas, self.in_bits)):
+            from fss_tpu.ops import aes_pallas
+            return aes_pallas.gen_batch(
+                self.prg.keys, self.group, self.in_bits,
+                jnp.asarray(s0s), jnp.asarray(alphas, dtype=jnp.uint32),
+                jnp.asarray(betas))
         a = blk.pack_inputs(alphas, self.in_bits)
         return _dpf_gen_batch(self.prg, self.group, self.in_bits,
                               s0s, a, betas)
@@ -512,7 +527,10 @@ class Vdmpf:
         """``fold``: "tree" (default, log-depth batched fold) or
         "reference" (the reference's sequential chain, byte-compatible
         with vdmpf.cuh:242-268) — both parties must pick the same."""
-        xs = jnp.asarray(xs, dtype=jnp.uint32)
+        if self.in_bits <= 32:
+            xs = jnp.asarray(xs, dtype=jnp.uint32)
+        else:  # wide domains: packed [eta, 4] uint32 lanes
+            xs = blk.pack_inputs(xs, self.in_bits)
         return _vdmpf_batch_eval(
             self.prg, self.xor_hash, self.hash64, self.group, self.in_bits,
             self.bucket_bits, int(party), self.kappa, fold, key.sigma,

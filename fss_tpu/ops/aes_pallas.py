@@ -903,3 +903,238 @@ def dcf_eval_points(prg_keys, group, in_bits: int, party: int,
     if party:
         y = group.neg(y)
     return group.into_block(y)
+
+
+# ---------------------------------------------------------------------------
+# Fused batched Gen kernel in the plane domain (dpf.cuh:93-153): both
+# parties' tree walks run bitsliced — 4 AES per level (2 MMO lanes x 2
+# parties) — emitting per-level correction-word planes in the exact layout
+# pack_eval produces, so gen -> eval chains stay in plane space with no
+# word-domain round trip. The reference generates AES-config keys host-only
+# (aes128_mmo.cuh is __trap() on device); its GPU ChaCha gen posture is
+# 175-190 M keys/s (README.md:372-380 there) — this closes the analogous
+# device-gen gap for the AES config (the XLA bitsliced path managed only
+# ~30-65 k keys/s; see docs/benchmarks.md).
+# ---------------------------------------------------------------------------
+
+
+def _make_gen_kernel(in_bits: int, key_pats):
+    """key_pats: tuple of 2 per-key round-key pattern structures (the
+    mul=2 MMO lanes; dpf Gen consumes both children per level)."""
+
+    def kernel(sp0_ref, sp1_ref, ap_ref, cwo_ref, s0o_ref, s1o_ref,
+               t0o_ref, t1o_ref, st0_ref, st1_ref, tt0_ref, tt1_ref):
+        i = pl.program_id(1)
+        byte_idx = _byte_iota()
+        mask96 = ~_pattern_mask(byte_idx, 1 << 12)  # clamped-bit plane
+
+        @pl.when(i == 0)
+        def _init():
+            st0_ref[...] = sp0_ref[...]
+            st0_ref[12] = jnp.zeros_like(st0_ref[12])
+            st1_ref[...] = sp1_ref[...]
+            st1_ref[12] = jnp.zeros_like(st1_ref[12])
+            tt0_ref[...] = jnp.zeros(tt0_ref.shape, dtype=jnp.uint32)
+            tt1_ref[...] = jnp.full(tt1_ref.shape, _FULL,
+                                    dtype=jnp.uint32)
+
+        R, L = st0_ref.shape[1], st0_ref.shape[2]
+
+        def expand(st_ref):
+            s_bits = [st_ref[16 * b:16 * (b + 1)].reshape(4, 4, R, L)
+                      for b in range(8)]
+            kids = []
+            for k in range(2):
+                e = _aes_bits(s_bits, key_pats[k], byte_idx)
+                kids.append([e[b] ^ s_bits[b] for b in range(8)])
+            return kids
+
+        (l0, r0), (l1, r1) = expand(st0_ref), expand(st1_ref)
+        t0l, t0r = l0[0][3, 0], r0[0][3, 0]
+        t1l, t1r = l1[0][3, 0], r1[0][3, 0]
+        for kid in (l0, r0, l1, r1):
+            kid[0] = kid[0] & mask96
+
+        ab = ap_ref[0]  # [R, L] alpha-bit plane, MSB-first level order
+
+        # Off-path sibling XOR is the CW (dpf.cuh:117-122):
+        # cw = ab ? (l0 ^ l1) : (r0 ^ r1), per plane.
+        cwb = []
+        for b in range(8):
+            lx = l0[b] ^ l1[b]
+            rx = r0[b] ^ r1[b]
+            cwb.append(rx ^ (ab[None] & (lx ^ rx)))
+        tl_cw = t0l ^ t1l ^ ab ^ _FULL
+        tr_cw = t0r ^ t1r ^ ab
+
+        # Emit the eval kernel's cw layout: 128 planes (plane 12 zero) +
+        # tl + tr planes.
+        cw_planes = jnp.concatenate([v.reshape(16, R, L) for v in cwb],
+                                    axis=0)
+        cw_planes = cw_planes.at[12].set(jnp.zeros_like(cw_planes[12]))
+        cwo_ref[0] = jnp.concatenate(
+            [cw_planes, tl_cw[None], tr_cw[None]], axis=0)
+
+        # Descend on the alpha path, applying the cw where t is set
+        # (dpf.cuh:124-147).
+        tcw = tl_cw ^ (ab & (tl_cw ^ tr_cw))
+        for st_ref, tt_ref, (lk, rk), (tl, tr) in (
+                (st0_ref, tt0_ref, (l0, r0), (t0l, t0r)),
+                (st1_ref, tt1_ref, (l1, r1), (t1l, t1r))):
+            t = tt_ref[...]
+            nb = []
+            for b in range(8):
+                keep = lk[b] ^ (ab[None] & (lk[b] ^ rk[b]))
+                cm = cwb[b] & t[None]
+                if b == 0:
+                    cm = cm & mask96
+                nb.append(keep ^ cm)
+            tt_ref[...] = (tl ^ (ab & (tl ^ tr))) ^ (t & tcw)
+            st_ref[...] = jnp.concatenate(
+                [v.reshape(16, R, L) for v in nb], axis=0)
+
+        s0o_ref[...] = st0_ref[...]
+        s1o_ref[...] = st1_ref[...]
+        t0o_ref[...] = tt0_ref[...]
+        t1o_ref[...] = tt1_ref[...]
+
+    return kernel
+
+
+def pack_gen(s0s: jax.Array, alphas: jax.Array, in_bits: int,
+             block_rows: int = DEFAULT_BLOCK_ROWS):
+    """s0s [B, 2, 4], alphas [B] uint32 -> (sp0, sp1 [128, T, 128],
+    ap [in_bits, T, 128], B)."""
+    alphas = jnp.asarray(alphas, dtype=jnp.uint32)
+    B = alphas.shape[0]
+    tile = 32 * LANES * block_rows
+    (ap_, s0b), Bp = _pad_batch([alphas, s0s], B, tile)
+    W = Bp // 32
+    T = W // LANES
+
+    sps = []
+    for p in range(2):
+        sbytes = jnp.stack(
+            [(s0b[:, p, c // 4] >> np.uint32(8 * (c % 4)))
+             & np.uint32(0xFF) for c in range(16)])
+        sp8 = _bytes_to_planes(sbytes)  # [16, 8, W]
+        sps.append(jnp.transpose(sp8, (1, 0, 2)).reshape(128, T, LANES))
+
+    abits = _bytes_to_planes(
+        jnp.stack([(ap_ >> np.uint32(8 * k)) & np.uint32(0xFF)
+                   for k in range(4)]))
+    aplane = abits.reshape(32, W)
+    ap = jnp.stack([aplane[in_bits - 1 - i]
+                    for i in range(in_bits)]).reshape(in_bits, T, LANES)
+    return sps[0], sps[1], ap, B
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("in_bits", "keys", "block_rows",
+                                    "interpret"))
+def gen_packed(sp0, sp1, ap, in_bits: int, keys,
+               block_rows: int = DEFAULT_BLOCK_ROWS,
+               interpret: bool = False):
+    """Run the fused plane-domain Gen kernel. Returns
+    (cwp [in_bits, 130, T, 128] — pack_eval's layout — plus final seed
+    planes s0f/s1f [128, T, 128] and t planes t0/t1 [T, 128])."""
+    T = sp0.shape[1]
+    assert T % block_rows == 0
+    key_pats = tuple(
+        tuple(map(tuple, _key_patterns(_round_key_bytes(k))))
+        for k in keys)
+    kern = _make_gen_kernel(in_bits, key_pats)
+    R = block_rows
+    return pl.pallas_call(
+        kern,
+        grid=(T // R, in_bits),
+        in_specs=[
+            pl.BlockSpec((128, R, LANES), lambda w, i: (0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, R, LANES), lambda w, i: (0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda w, i: (i, w, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 130, R, LANES), lambda w, i: (i, 0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, R, LANES), lambda w, i: (0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, R, LANES), lambda w, i: (0, w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda w, i: (w, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda w, i: (w, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((in_bits, 130, T, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((128, T, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((128, T, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((T, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((T, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((128, R, LANES), jnp.uint32),
+            pltpu.VMEM((128, R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(sp0, sp1, ap)
+
+
+def unpack_cws(cwp: jax.Array, batch: int) -> jax.Array:
+    """Gen-kernel cw planes [in_bits, 130, T, 128] -> standard word rows
+    [B, in_bits, 8] (tl folded into word 3 bit 0, tr in word 4 bit 0)."""
+    n = cwp.shape[0]
+    W = cwp.shape[2] * LANES
+    planes = cwp.reshape(n, 130, W)
+    # Restore the tl plane into its clamped-bit slot for word assembly.
+    planes_s = planes[:, :128].at[:, 12].set(planes[:, 128])
+    words = []
+    for w in range(4):
+        rows = [planes_s[:, 16 * (j % 8) + 4 * w + j // 8]
+                for j in range(32)]
+        tr32 = _transpose32(jnp.stack(rows, axis=-1))  # [n, W, 32]
+        words.append(tr32.reshape(n, W * 32))
+    tr_rows = [planes[:, 129]] + [jnp.zeros_like(planes[:, 129])] * 31
+    w4 = _transpose32(jnp.stack(tr_rows, axis=-1)).reshape(n, W * 32)
+    zero = jnp.zeros_like(w4)
+    rows8 = jnp.stack(words + [w4, zero, zero, zero], axis=-1)  # [n,B,8]
+    return jnp.transpose(rows8, (1, 0, 2))[:batch]
+
+
+def gen_batch(prg_keys, group, in_bits: int, s0s: jax.Array,
+              alphas: jax.Array, betas: jax.Array,
+              block_rows: int = DEFAULT_BLOCK_ROWS,
+              interpret: bool = False) -> jax.Array:
+    """Batched AES-MMO DPF key generation on the fused plane-domain
+    kernel; returns the standard [B, in_bits+1, 8] cws layout (bit-exact
+    with schemes.dpf.gen; dpf.cuh:93-153)."""
+    keys = tuple(bytes(k) for k in prg_keys)
+    sp0, sp1, ap, B = pack_gen(jnp.asarray(s0s),
+                               jnp.asarray(alphas, dtype=jnp.uint32),
+                               in_bits, block_rows)
+    cwp, s0f, s1f, _t0, t1 = gen_packed(sp0, sp1, ap, in_bits=in_bits,
+                                        keys=keys, block_rows=block_rows,
+                                        interpret=interpret)
+    rows = unpack_cws(cwp, B)
+    s0w, _ = unpack_out(s0f, t1, B)
+    s1w, t1b = unpack_out(s1f, t1, B)
+
+    from fss_tpu import block as blk
+    b_buf = blk.clear_lsb(jnp.asarray(betas))
+    v_cw = group.add(
+        group.add(group.from_block(b_buf),
+                  group.neg(group.from_block(s0w))),
+        group.from_block(s1w))
+    v_cw = jnp.where((t1b & np.uint32(1)).astype(jnp.bool_)[:, None],
+                     group.neg(v_cw), v_cw)
+    last = jnp.concatenate(
+        [group.into_block(v_cw), jnp.zeros((B, 4), dtype=jnp.uint32)],
+        axis=-1)
+    return jnp.concatenate([rows, last[:, None, :]], axis=1)

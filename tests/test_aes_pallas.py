@@ -133,3 +133,21 @@ def test_dcf_eval_kernel(rng):
             keys4, g, in_bits, 0, s0s[:, 0], cws, alphas, block_rows=1,
             interpret=True))
         assert np.array_equal(got, want), str(g)
+
+
+def test_gen_kernel(rng):
+    """Plane-domain AES Gen kernel == schemes.dpf.gen (interpret):
+    identical [B, in_bits+1, 8] key bytes, and eval at alpha
+    reconstructs beta."""
+    in_bits, B = 8, 2048
+    prg, g, s0s, _, _ = _setup(rng, in_bits, B)
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    want = np.asarray(jax.jit(jax.vmap(
+        lambda s, a, b: _dpf.gen(prg, g, in_bits, s,
+                                 blk.pack_inputs(a, in_bits), b)))(
+        s0s, alphas, betas))
+    got = np.asarray(aes_pallas.gen_batch(
+        KEYS, g, in_bits, s0s, alphas, betas, block_rows=1,
+        interpret=True))
+    assert np.array_equal(got, want)
