@@ -493,26 +493,24 @@ void vdpf_case(Json &j, const char *prg_name, const char *hash_name, const char 
   j.item_obj_close();
 }
 
-void vdmpf_case(Json &j) {
-  // Mirror of the reference's own VDMPF test config (vdmpf_test.cu):
-  // t=30 points, 16-bit domain, bucket_bits=14, ChaCha + Blake3 + Feistel PRP.
+// Parameterized over PRG/hash/occupancy (vdmpf_test.cu:38-122 is the
+// coverage bar): the base config mirrors the reference's own test
+// (t=30, 16-bit, bucket_bits=14, ChaCha+Blake3); extra registrations
+// sweep the AES-MMO PRG, the SHA-256 hash pair, and a t < max_points
+// occupancy where the runtime bucket count m_rt differs from the
+// compile-time m.
+template <int max_points, typename Prg, typename Hash>
+void vdmpf_case(Json &j, const char *prg_name, const char *hash_name, Prg prg, Hash xor_hash, Hash hash,
+    const Material &m, int t) {
   constexpr int in_bits = 16;
-  constexpr int max_points = 30;
   constexpr int bucket_bits = 14;
-  using Prg = fss::prg::ChaCha<2>;
-  using Hash = fss::hash::Blake3;
   using Prp = fss::prp::Aes128Feistel;
   using Vdmpf = fss::Vdmpf<in_bits, max_points, bucket_bits, fss::group::Uint<uint64_t>, Prg, Hash, Hash, Prp,
       uint16_t>;
 
-  Material m = fresh_material();
-  Prg prg(m.nonce);
-  Hash xor_hash(cuda::std::span<const int4, 2>(m.blake3_iv, 2));
-  Hash hash(cuda::std::span<const int4, 2>(m.blake3_iv, 2));
   Prp prp;
   Vdmpf vdmpf{prg, xor_hash, hash, prp};
 
-  constexpr int t = 30;
   std::vector<uint16_t> alphas;
   std::vector<int4> betas;
   for (int i = 0; i < t; ++i) {
@@ -524,8 +522,8 @@ void vdmpf_case(Json &j) {
     betas.push_back(fss::util::SetLsb(rand_int4(), false));
   }
 
-  auto k0 = std::make_unique<Vdmpf::Key>();
-  auto k1 = std::make_unique<Vdmpf::Key>();
+  auto k0 = std::make_unique<typename Vdmpf::Key>();
+  auto k1 = std::make_unique<typename Vdmpf::Key>();
   int4 sigma;
   std::vector<cuda::std::array<int4, 2>> s0s(Vdmpf::m);
   int retries = 0;
@@ -541,8 +539,8 @@ void vdmpf_case(Json &j) {
 
   j.item_obj_open();
   j.kv("scheme", "vdmpf");
-  j.kv("prg", "chacha");
-  j.kv("hash", "blake3");
+  j.kv("prg", prg_name);
+  j.kv("hash", hash_name);
   j.kv("prp", "aes128_feistel");
   j.kv("group", "uint64");
   j.kv("in_bits", in_bits);
@@ -1001,7 +999,33 @@ int main(int argc, char **argv) {
     Json j(outdir + "/vdmpf.json");
     j.open_obj();
     j.open_arr("cases");
-    vdmpf_case(j);
+    {
+      // The reference's own test config (vdmpf_test.cu): t = max_points.
+      Material m = fresh_material();
+      fss::hash::Blake3 h(cuda::std::span<const int4, 2>(m.blake3_iv, 2));
+      vdmpf_case<30>(j, "chacha", "blake3", fss::prg::ChaCha<2>(m.nonce), h, h, m, 30);
+    }
+    {
+      // AES-MMO PRG sweep.
+      Material m = fresh_material();
+      cuda::std::array<EVP_CIPHER_CTX *, 2> ctxs;
+      auto mmo = make_mmo<2>(m, ctxs);
+      fss::hash::Blake3 h(cuda::std::span<const int4, 2>(m.blake3_iv, 2));
+      vdmpf_case<30>(j, "aes", "blake3", mmo, h, h, m, 30);
+      fss::prg::Aes128Mmo<2>::FreeCtxs(ctxs);
+    }
+    {
+      // SHA-256 hash pair sweep.
+      Material m = fresh_material();
+      fss::hash::Sha256 h(m.hash_key);
+      vdmpf_case<30>(j, "chacha", "sha256", fss::prg::ChaCha<2>(m.nonce), h, h, m, 30);
+    }
+    {
+      // t < max_points occupancy: runtime m_rt differs from compile m.
+      Material m = fresh_material();
+      fss::hash::Blake3 h(cuda::std::span<const int4, 2>(m.blake3_iv, 2));
+      vdmpf_case<60>(j, "chacha", "blake3", fss::prg::ChaCha<2>(m.nonce), h, h, m, 42);
+    }
     j.close_arr();
     j.close_obj();
     j.close();
