@@ -1616,6 +1616,12 @@ int fss_vdmpf_gen(int bucket_bits, int prg_kind, const uint32_t nonce[2],
                   const uint64_t *alphas, const uint32_t *betas, int t,
                   int ch_retry, uint32_t *cws, uint32_t *cs,
                   uint32_t *ocw) {
+  // Gen places with bucket = (y / b_size) % m_rt while BatchEval routes
+  // with a plain divide plus a bucket >= m skip; the two agree only when
+  // every y < m_rt * b_size, i.e. b_size * m_rt >= n * kappa (the PRP
+  // domain). Reject violating callers instead of silently disagreeing.
+  if ((uint64_t)b_size * (uint64_t)m_rt < n * (uint64_t)kappa) return 1;
+
   Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
   Group grp{group_kind, group_bits};
   Hash xh = make_hash(hash_kind, hash_key);

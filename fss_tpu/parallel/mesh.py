@@ -287,6 +287,14 @@ def vdmpf_batch_eval_sharded(prg2, xor_hash, hash64, group, in_bits: int,
     proofs merge with an ordered cross-shard chain seeded at zero — both
     parties compute the identical structure from public data (sigma, xs),
     which is all Verify needs. Returns (ys [eta, 4], pi [4, 4]).
+
+    Proof comparability: xs is padded to a shard multiple and the padded
+    lanes are dropped from ys but their pi-tildes DO fold into each
+    shard's proof, so the merged proof depends on the shard count and
+    padding. Both parties computing with the same mesh shape produce
+    identical proofs (padding is public), which is what Verify checks —
+    but a sharded proof is not byte-comparable to the unsharded fold or
+    to a different mesh shape.
     """
     from fss_tpu.schemes import vdmpf as _vdmpf
 
@@ -294,7 +302,9 @@ def vdmpf_batch_eval_sharded(prg2, xor_hash, hash64, group, in_bits: int,
     xs = jnp.asarray(xs, dtype=jnp.uint32)
     eta = xs.shape[0]
     pad = (-eta) % n_shards
-    xs_p = jnp.pad(xs, (0, pad))  # padded lanes evaluate and are dropped
+    # Padded lanes evaluate, are dropped from ys, and fold into the proof
+    # (see the docstring's comparability note).
+    xs_p = jnp.pad(xs, (0, pad))
 
     def shard_fn(xs_l, s0, cws, cs, ocw):
         k_l = _vdmpf.VdmpfKey(key.sigma, key.m_rt, key.b_size_rt, s0, cws,
