@@ -951,6 +951,14 @@ int main(int argc, char **argv) {
       m = fresh_material();
       grotto_case<8, fss::prg::ChaCha<2>, uint8_t>(j, "chacha", fss::prg::ChaCha<2>(m.nonce), m, 255,
           {254, 255, 0});
+      m = fresh_material();
+      {
+        cuda::std::array<EVP_CIPHER_CTX *, 2> ctxs;
+        auto mmo = make_mmo<2>(m, ctxs);
+        grotto_case<16, fss::prg::Aes128Mmo<2>, uint16_t>(j, "aes", mmo, m, 31337,
+            {31336, 31337, 31338, 0, 65534, 65535});
+        fss::prg::Aes128Mmo<2>::FreeCtxs(ctxs);
+      }
     }
     j.close_arr();
     j.close_obj();
