@@ -70,6 +70,22 @@ class NativeEngine:
         return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
 
     @staticmethod
+    def _split_u128(xs):
+        """(lo, hi) uint64 halves of the inputs. Integer ndarrays take the
+        vectorized path; Python-int (object) arrays carry > 64-bit domains
+        element-wise (the per-element loop costs ~270 ns/point, so it is
+        reserved for inputs that actually need it)."""
+        if (isinstance(xs, np.ndarray) and xs.dtype != object
+                and np.issubdtype(xs.dtype, np.integer)):
+            lo = np.atleast_1d(xs).astype(np.uint64)
+            return lo, np.zeros_like(lo)
+        xs = np.atleast_1d(np.asarray(xs, dtype=object))
+        lo = np.array([int(x) & (2**64 - 1) for x in xs],
+                      dtype=np.uint64)
+        hi = np.array([int(x) >> 64 for x in xs], dtype=np.uint64)
+        return lo, hi
+
+    @staticmethod
     def _u8(arr):
         if arr is None:
             return None, None
@@ -142,18 +158,16 @@ class NativeEngine:
             prg_kind, nonce, aes_keys, rounds)
         s0_a, s0_p = self._u32(s0)
         cws_a, cws_p = self._u32(cws)
-        xs = np.atleast_1d(np.asarray(xs, dtype=object))
-        lo = np.array([int(x) & (2**64 - 1) for x in xs], dtype=np.uint64)
-        hi = np.array([int(x) >> 64 for x in xs], dtype=np.uint64)
+        lo, hi = self._split_u128(xs)
         _, lo_p = self._u64(lo)
         _, hi_p = self._u64(hi)
-        ys = np.zeros((len(xs), 4), dtype=np.uint32)
+        ys = np.zeros((len(lo), 4), dtype=np.uint32)
         _, ys_p = self._u32(ys)
         self._lib.fss_dpf_eval(
             ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
             rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
             ctypes.c_int(party), s0_p, cws_p, lo_p, hi_p,
-            ctypes.c_int64(len(xs)), ys_p)
+            ctypes.c_int64(len(lo)), ys_p)
         return ys
 
     def dpf_eval_batch(self, in_bits: int, prg_kind: int, group_kind: int,
@@ -200,18 +214,16 @@ class NativeEngine:
             prg_kind, nonce, aes_keys, rounds)
         s0_a, s0_p = self._u32(s0)
         cws_a, cws_p = self._u32(cws)
-        xs = np.atleast_1d(np.asarray(xs, dtype=object))
-        lo = np.array([int(x) & (2**64 - 1) for x in xs], dtype=np.uint64)
-        hi = np.array([int(x) >> 64 for x in xs], dtype=np.uint64)
+        lo, hi = self._split_u128(xs)
         _, lo_p = self._u64(lo)
         _, hi_p = self._u64(hi)
-        ys = np.zeros((len(xs), 4), dtype=np.uint32)
+        ys = np.zeros((len(lo), 4), dtype=np.uint32)
         _, ys_p = self._u32(ys)
         self._lib.fss_dcf_eval(
             ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
             rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
             ctypes.c_int(party), s0_p, cws_p, lo_p, hi_p,
-            ctypes.c_int64(len(xs)), ys_p)
+            ctypes.c_int64(len(lo)), ys_p)
         return ys
 
     def dcf_eval_all(self, in_bits: int, prg_kind: int, group_kind: int,
@@ -260,18 +272,16 @@ class NativeEngine:
         s0_a, s0_p = self._u32(s0)
         cws_a, cws_p = self._u32(cws)
         ocw_a, ocw_p = self._u32(ocw)
-        xs = np.atleast_1d(np.asarray(xs, dtype=object))
-        lo = np.array([int(x) & (2**64 - 1) for x in xs], dtype=np.uint64)
-        hi = np.array([int(x) >> 64 for x in xs], dtype=np.uint64)
+        lo, hi = self._split_u128(xs)
         _, lo_p = self._u64(lo)
         _, hi_p = self._u64(hi)
-        ys = np.zeros((len(xs), 4), dtype=np.uint32)
+        ys = np.zeros((len(lo), 4), dtype=np.uint32)
         _, ys_p = self._u32(ys)
         self._lib.fss_ht_eval(
             ctypes.c_int(in_bits), ctypes.c_int(prg_kind), nonce_p, keys_p,
             rounds_c, ctypes.c_int(group_kind), ctypes.c_int(group_bits),
             ctypes.c_int(party), hk_p, s0_p, cws_p, ocw_p, lo_p, hi_p,
-            ctypes.c_int64(len(xs)), ys_p)
+            ctypes.c_int64(len(lo)), ys_p)
         return ys
 
     def dcf_gen_batch(self, in_bits: int, prg_kind: int, group_kind: int,
@@ -393,13 +403,11 @@ class NativeEngine:
         cws_a, cws_p = self._u32(cws)
         cs_a, cs_p = self._u32(cs)
         ocw_a, ocw_p = self._u32(ocw)
-        xs = np.atleast_1d(np.asarray(xs, dtype=object))
-        lo = np.array([int(x) & (2**64 - 1) for x in xs], dtype=np.uint64)
-        hi = np.array([int(x) >> 64 for x in xs], dtype=np.uint64)
+        lo, hi = self._split_u128(xs)
         _, lo_p = self._u64(lo)
         _, hi_p = self._u64(hi)
-        ys = np.zeros((len(xs), 4), dtype=np.uint32)
-        pts = np.zeros((len(xs), 4, 4), dtype=np.uint32)
+        ys = np.zeros((len(lo), 4), dtype=np.uint32)
+        pts = np.zeros((len(lo), 4, 4), dtype=np.uint32)
         _, ys_p = self._u32(ys)
         _, pts_p = self._u32(pts)
         self._lib.fss_vdpf_eval_batch(
@@ -407,7 +415,7 @@ class NativeEngine:
             rounds_c, ctypes.c_int(hash_kind), hk_p,
             ctypes.c_int(group_kind), ctypes.c_int(group_bits),
             ctypes.c_int(party), s0_p, cws_p, cs_p, ocw_p, lo_p, hi_p,
-            ctypes.c_int64(len(xs)), ys_p, pts_p)
+            ctypes.c_int64(len(lo)), ys_p, pts_p)
         return ys, pts
 
     def vdpf_prove(self, hash_kind: int, hash_key: bytes, pi_tildes,

@@ -263,6 +263,151 @@ inline int input_bit(uint64_t lo, uint64_t hi, int in_bits, int level) {
   return (int)((lo >> pos) & 1u);
 }
 
+#if FSS_HAVE_AESNI
+// ---------------------------------------------------------------------------
+// Register-resident AES-NI tree walks. The portable scalar walks round-trip
+// every Block through memory and branch on the data-dependent (t, x_bit)
+// pair; at ~50% mispredict those branches cost more than the AES rounds
+// themselves. These variants keep the node in an XMM register for the whole
+// walk and replace the selects with mask blends. Outputs are bit-identical
+// to the scalar paths (same dpf.cuh / dcf.cuh / half_tree_dpf.cuh
+// semantics); the scalar paths remain for non-AES PRGs and non-x86 hosts.
+// ---------------------------------------------------------------------------
+
+inline __m128i load_b(const Block &b) {
+  return _mm_loadu_si128(reinterpret_cast<const __m128i *>(b.w));
+}
+
+inline void store_b(__m128i v, Block &b) {
+  _mm_storeu_si128(reinterpret_cast<__m128i *>(b.w), v);
+}
+
+// Block.w[3]'s bit 0 (the control bit) is bit 0 of XMM lane 3.
+inline uint32_t lsb_of(__m128i v) {
+  return (uint32_t)_mm_extract_epi32(v, 3) & 1u;
+}
+
+inline __m128i clear_ctl(__m128i v) {
+  return _mm_andnot_si128(_mm_set_epi32(1, 0, 0, 0), v);
+}
+
+inline __m128i or_ctl(__m128i v, uint32_t bit) {
+  return _mm_or_si128(v,
+                      _mm_slli_si128(_mm_cvtsi32_si128((int)(bit & 1u)),
+                                     12));
+}
+
+inline __m128i mask_of(uint32_t bit) {  // 0/1 -> all-zeros / all-ones
+  return _mm_set1_epi32(-(int)bit);
+}
+
+inline __m128i aes_mmo1(const AesKeySchedule &ks, __m128i x) {
+  return _mm_xor_si128(aes128_encrypt(ks, x), x);
+}
+
+// Shared BGI walk (dpf.cuh:164-199): final seed (control bit cleared) in
+// s_out, final t bit in t_out. Used by dpf_eval and vdpf_eval.
+void dpf_walk_aesni(const Prg &prg, int in_bits, int party,
+                    const Block &seed, const Block *cws, uint64_t x_lo,
+                    uint64_t x_hi, Block &s_out, uint32_t &t_out) {
+  __m128i s = clear_ctl(load_b(seed));
+  uint32_t t = (uint32_t)party;
+  for (int i = 0; i < in_bits; ++i) {
+    __m128i l = aes_mmo1(prg.ks[0], s);
+    __m128i r = aes_mmo1(prg.ks[1], s);
+    __m128i cwa = load_b(cws[2 * i]);
+    uint32_t tl = lsb_of(l) ^ (t & lsb_of(cwa));
+    uint32_t tr = lsb_of(r) ^ (t & (cws[2 * i + 1].w[0] & 1u));
+    __m128i corr = _mm_and_si128(clear_ctl(cwa), mask_of(t));
+    l = _mm_xor_si128(clear_ctl(l), corr);
+    r = _mm_xor_si128(clear_ctl(r), corr);
+    uint32_t xb = (uint32_t)input_bit(x_lo, x_hi, in_bits, i);
+    s = _mm_blendv_epi8(l, r, mask_of(xb));
+    t = tl ^ ((tl ^ tr) & (0u - xb));
+  }
+  store_b(s, s_out);
+  t_out = t;
+}
+
+// Four interleaved BGI walks. One walk is latency-bound: ten dependent
+// AESENCs (~4 cycles each) per level while the AES unit could issue 1-2
+// per cycle. Walking four instances at once keeps eight independent AES
+// chains in flight — this is how the per-eval cost drops below the
+// single-chain latency that a one-instance-at-a-time loop can never beat
+// (the reference's recursive eval gets the same effect from the CPU's
+// out-of-order window across google-benchmark iterations).
+void dpf_walk_aesni_x4(const Prg &prg, int in_bits, int party,
+                       const Block *const seeds[4],
+                       const Block *const cwp[4], const uint64_t xlo[4],
+                       const uint64_t xhi[4], Block s_out[4],
+                       uint32_t t_out[4]) {
+  __m128i s[4];
+  uint32_t t[4];
+  for (int k = 0; k < 4; ++k) {
+    s[k] = clear_ctl(load_b(*seeds[k]));
+    t[k] = (uint32_t)party;
+  }
+  for (int i = 0; i < in_bits; ++i) {
+    __m128i l[4], r[4];
+    for (int k = 0; k < 4; ++k) {
+      l[k] = _mm_xor_si128(s[k], prg.ks[0].rk[0]);
+      r[k] = _mm_xor_si128(s[k], prg.ks[1].rk[0]);
+    }
+    for (int rd = 1; rd < 10; ++rd) {
+      for (int k = 0; k < 4; ++k) {
+        l[k] = _mm_aesenc_si128(l[k], prg.ks[0].rk[rd]);
+        r[k] = _mm_aesenc_si128(r[k], prg.ks[1].rk[rd]);
+      }
+    }
+    for (int k = 0; k < 4; ++k) {
+      l[k] = _mm_xor_si128(_mm_aesenclast_si128(l[k], prg.ks[0].rk[10]),
+                           s[k]);
+      r[k] = _mm_xor_si128(_mm_aesenclast_si128(r[k], prg.ks[1].rk[10]),
+                           s[k]);
+    }
+    for (int k = 0; k < 4; ++k) {
+      const Block *cw = cwp[k];
+      __m128i cwa = load_b(cw[2 * i]);
+      uint32_t tl = lsb_of(l[k]) ^ (t[k] & lsb_of(cwa));
+      uint32_t tr = lsb_of(r[k]) ^ (t[k] & (cw[2 * i + 1].w[0] & 1u));
+      __m128i corr = _mm_and_si128(clear_ctl(cwa), mask_of(t[k]));
+      __m128i ll = _mm_xor_si128(clear_ctl(l[k]), corr);
+      __m128i rr = _mm_xor_si128(clear_ctl(r[k]), corr);
+      uint32_t xb = (uint32_t)input_bit(xlo[k], xhi[k], in_bits, i);
+      s[k] = _mm_blendv_epi8(ll, rr, mask_of(xb));
+      t[k] = tl ^ ((tl ^ tr) & (0u - xb));
+    }
+  }
+  for (int k = 0; k < 4; ++k) {
+    store_b(s[k], s_out[k]);
+    t_out[k] = t[k];
+  }
+}
+
+// One breadth-first DPF level over ys[0..m) in place (the level body of
+// dpf.cuh:294-341), shared by dpf_eval_all / vdpf_eval_all / grotto.
+void dpf_expand_level_aesni(const Prg &prg, Block *ys, uint64_t m,
+                            const Block &cw_row0, uint32_t tr_cw_bit) {
+  __m128i cwa = load_b(cw_row0);
+  __m128i scw = clear_ctl(cwa);
+  uint32_t tl_cw = lsb_of(cwa);
+  uint32_t tr_cw = tr_cw_bit & 1u;
+  for (uint64_t j = m; j-- > 0;) {
+    __m128i node = load_b(ys[j]);
+    uint32_t t = lsb_of(node);
+    __m128i s = clear_ctl(node);
+    __m128i l = aes_mmo1(prg.ks[0], s);
+    __m128i r = aes_mmo1(prg.ks[1], s);
+    uint32_t tl = lsb_of(l) ^ (t & tl_cw);
+    uint32_t tr = lsb_of(r) ^ (t & tr_cw);
+    __m128i corr = _mm_and_si128(scw, mask_of(t));
+    store_b(or_ctl(_mm_xor_si128(clear_ctl(l), corr), tl), ys[2 * j]);
+    store_b(or_ctl(_mm_xor_si128(clear_ctl(r), corr), tr),
+            ys[2 * j + 1]);
+  }
+}
+#endif  // FSS_HAVE_AESNI
+
 void dpf_gen(const Prg &prg, const Group &grp, int in_bits,
              const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
              const Block &beta, Block *cws /* (in_bits+1) x 2 blocks */) {
@@ -314,6 +459,11 @@ void dpf_eval(const Prg &prg, const Group &grp, int in_bits, int party,
               uint64_t x_hi, Block &y_out) {
   Block s = set_lsb(seed, 0);
   uint32_t t = (uint32_t)party;
+#if FSS_HAVE_AESNI
+  if (prg.kind == 1) {
+    dpf_walk_aesni(prg, in_bits, party, seed, cws, x_lo, x_hi, s, t);
+  } else
+#endif
   for (int i = 0; i < in_bits; ++i) {
     Block o[2];
     prg.gen(s, o);
@@ -345,6 +495,13 @@ void dpf_eval_all(const Prg &prg, const Group &grp, int in_bits, int party,
   ys[0] = set_lsb(set_lsb(seed, 0), (uint32_t)party);
   for (int i = 0; i < in_bits; ++i) {
     uint64_t m = 1ull << i;
+#if FSS_HAVE_AESNI
+    if (prg.kind == 1) {
+      dpf_expand_level_aesni(prg, ys, m, cws[2 * i],
+                             cws[2 * i + 1].w[0]);
+      continue;
+    }
+#endif
     Block s_cw = set_lsb(cws[2 * i], 0);
     uint32_t tl_cw = get_lsb(cws[2 * i]);
     uint32_t tr_cw = cws[2 * i + 1].w[0] & 1u;
@@ -446,9 +603,116 @@ void dcf_gen(const Prg &prg, const Group &grp, int in_bits, int pred_lt,
   grp.into_block(v_last, cws[2 * in_bits + 1]);
 }
 
+#if FSS_HAVE_AESNI
+// DCF walk with register-resident seeds; the u128 value chain stays
+// scalar (it is off the AES critical path). dcf.cuh:205-276 semantics.
+void dcf_eval_aesni(const Prg &prg, const Group &grp, int in_bits,
+                    int party, const Block &seed, const Block *cws,
+                    uint64_t x_lo, uint64_t x_hi, Block &y_out) {
+  __m128i s = clear_ctl(load_b(seed));
+  uint32_t t = (uint32_t)party;
+  u128 v = 0;
+  for (int i = 0; i < in_bits; ++i) {
+    __m128i o0 = aes_mmo1(prg.ks[0], s);
+    __m128i o1 = aes_mmo1(prg.ks[1], s);
+    __m128i o2 = aes_mmo1(prg.ks[2], s);
+    __m128i o3 = aes_mmo1(prg.ks[3], s);
+    __m128i cwa = load_b(cws[2 * i]);
+    const Block &cwb = cws[2 * i + 1];
+    uint32_t tl = lsb_of(o0) ^ (t & lsb_of(cwa));
+    uint32_t tr = lsb_of(o2) ^ (t & (cwb.w[3] & 1u));
+    __m128i corr = _mm_and_si128(clear_ctl(cwa), mask_of(t));
+    __m128i sl = _mm_xor_si128(clear_ctl(o0), corr);
+    __m128i sr = _mm_xor_si128(clear_ctl(o2), corr);
+    uint32_t xb = (uint32_t)input_bit(x_lo, x_hi, in_bits, i);
+    Block vb;
+    store_b(clear_ctl(_mm_blendv_epi8(o1, o3, mask_of(xb))), vb);
+    u128 v_step = grp.from_block(vb);
+    if (t) {
+      Block vcw_b = set_lsb(cwb, 0);
+      v_step = grp.add(v_step, grp.from_block(vcw_b));
+    }
+    if (party) v_step = grp.neg(v_step);
+    v = grp.add(v, v_step);
+    s = _mm_blendv_epi8(sl, sr, mask_of(xb));
+    t = tl ^ ((tl ^ tr) & (0u - xb));
+  }
+  Block sb;
+  store_b(s, sb);
+  u128 term = grp.from_block(sb);
+  if (t) term = grp.add(term, grp.from_block(cws[2 * in_bits + 1]));
+  if (party) term = grp.neg(term);
+  grp.into_block(grp.add(v, term), y_out);
+}
+// Two interleaved DCF walks: each walk already carries four independent
+// AES chains per level, so two walks (eight chains) saturate the unit.
+void dcf_eval_aesni_x2(const Prg &prg, const Group &grp, int in_bits,
+                       int party, const Block &seed, const Block *cws,
+                       const uint64_t xlo[2], const uint64_t xhi[2],
+                       Block y_out[2]) {
+  __m128i s[2];
+  uint32_t t[2];
+  u128 v[2] = {0, 0};
+  for (int k = 0; k < 2; ++k) {
+    s[k] = clear_ctl(load_b(seed));
+    t[k] = (uint32_t)party;
+  }
+  for (int i = 0; i < in_bits; ++i) {
+    __m128i o[2][4];
+    for (int m = 0; m < 4; ++m)
+      for (int k = 0; k < 2; ++k)
+        o[k][m] = _mm_xor_si128(s[k], prg.ks[m].rk[0]);
+    for (int rd = 1; rd < 10; ++rd)
+      for (int m = 0; m < 4; ++m)
+        for (int k = 0; k < 2; ++k)
+          o[k][m] = _mm_aesenc_si128(o[k][m], prg.ks[m].rk[rd]);
+    for (int m = 0; m < 4; ++m)
+      for (int k = 0; k < 2; ++k)
+        o[k][m] = _mm_xor_si128(
+            _mm_aesenclast_si128(o[k][m], prg.ks[m].rk[10]), s[k]);
+    __m128i cwa = load_b(cws[2 * i]);
+    const Block &cwb = cws[2 * i + 1];
+    Block vcw_b = set_lsb(cwb, 0);
+    u128 vcwv = grp.from_block(vcw_b);
+    for (int k = 0; k < 2; ++k) {
+      uint32_t tl = lsb_of(o[k][0]) ^ (t[k] & lsb_of(cwa));
+      uint32_t tr = lsb_of(o[k][2]) ^ (t[k] & (cwb.w[3] & 1u));
+      __m128i corr = _mm_and_si128(clear_ctl(cwa), mask_of(t[k]));
+      __m128i sl = _mm_xor_si128(clear_ctl(o[k][0]), corr);
+      __m128i sr = _mm_xor_si128(clear_ctl(o[k][2]), corr);
+      uint32_t xb = (uint32_t)input_bit(xlo[k], xhi[k], in_bits, i);
+      Block vb;
+      store_b(clear_ctl(_mm_blendv_epi8(o[k][1], o[k][3], mask_of(xb))),
+              vb);
+      u128 v_step = grp.from_block(vb);
+      v_step = grp.add(v_step, t[k] ? vcwv : (u128)0);
+      if (party) v_step = grp.neg(v_step);
+      v[k] = grp.add(v[k], v_step);
+      s[k] = _mm_blendv_epi8(sl, sr, mask_of(xb));
+      t[k] = tl ^ ((tl ^ tr) & (0u - xb));
+    }
+  }
+  for (int k = 0; k < 2; ++k) {
+    Block sb;
+    store_b(s[k], sb);
+    u128 term = grp.from_block(sb);
+    if (t[k]) term = grp.add(term, grp.from_block(cws[2 * in_bits + 1]));
+    if (party) term = grp.neg(term);
+    grp.into_block(grp.add(v[k], term), y_out[k]);
+  }
+}
+#endif  // FSS_HAVE_AESNI
+
 void dcf_eval(const Prg &prg, const Group &grp, int in_bits, int party,
               const Block &seed, const Block *cws, uint64_t x_lo,
               uint64_t x_hi, Block &y_out) {
+#if FSS_HAVE_AESNI
+  if (prg.kind == 1) {
+    dcf_eval_aesni(prg, grp, in_bits, party, seed, cws, x_lo, x_hi,
+                   y_out);
+    return;
+  }
+#endif
   Block s = set_lsb(seed, 0);
   uint32_t t = (uint32_t)party;
   u128 v = 0;
@@ -601,9 +865,123 @@ void ht_gen(const HtCtx &ht, const Group &grp, int in_bits,
   grp.into_block(v, ocw);
 }
 
+#if FSS_HAVE_AESNI
+// Register-resident CCR walk: one AES-MMO latency chain per level with
+// branchless CW application (half_tree_dpf.cuh:182-226 semantics).
+void ht_eval_aesni(const HtCtx &ht, const Group &grp, int in_bits,
+                   int party, const Block &s0, const Block *cws,
+                   const Block &ocw, uint64_t x_lo, uint64_t x_hi,
+                   Block &y_out) {
+  const __m128i hk = load_b(ht.hash_key);
+  __m128i node = or_ctl(clear_ctl(load_b(s0)), (uint32_t)party);
+  for (int i = 0; i < in_bits - 1; ++i) {
+    uint32_t t = lsb_of(node);
+    __m128i x = _mm_xor_si128(node, hk);
+    __m128i h = aes_mmo1(ht.prg->ks[0], x);
+    uint32_t xb = (uint32_t)input_bit(x_lo, x_hi, in_bits, i);
+    __m128i m = _mm_xor_si128(h, _mm_and_si128(node, mask_of(xb)));
+    node = _mm_xor_si128(
+        m, _mm_and_si128(load_b(cws[2 * i]), mask_of(t)));
+  }
+  uint32_t x_n = (uint32_t)input_bit(x_lo, x_hi, in_bits, in_bits - 1);
+  uint32_t t = lsb_of(node);
+  __m128i ns = or_ctl(clear_ctl(node), x_n);
+  __m128i h = aes_mmo1(ht.prg->ks[0], _mm_xor_si128(ns, hk));
+  const Block &last = cws[2 * (in_bits - 1)];
+  __m128i hcw = clear_ctl(load_b(last));
+  uint32_t lcw_xn = x_n ? (cws[2 * (in_bits - 1) + 1].w[0] & 1u)
+                        : (last.w[3] & 1u);
+  uint32_t low = lsb_of(h) ^ (t & lcw_xn);
+  __m128i high = _mm_xor_si128(clear_ctl(h),
+                               _mm_and_si128(hcw, mask_of(t)));
+  Block hb;
+  store_b(high, hb);
+  u128 y = grp.from_block(hb);
+  if (low) y = grp.add(y, grp.from_block(ocw));
+  if (party) y = grp.neg(y);
+  grp.into_block(y, y_out);
+}
+
+// Four interleaved CCR walks (same rationale as dpf_walk_aesni_x4: one
+// walk is a single AES latency chain; four keep the pipe full).
+void ht_eval_aesni_x4(const HtCtx &ht, const Group &grp, int in_bits,
+                      int party, const Block &s0, const Block *cws,
+                      const Block &ocw, const uint64_t xlo[4],
+                      const uint64_t xhi[4], Block y_out[4]) {
+  const __m128i hk = load_b(ht.hash_key);
+  const AesKeySchedule &ks = ht.prg->ks[0];
+  __m128i n[4];
+  for (int k = 0; k < 4; ++k)
+    n[k] = or_ctl(clear_ctl(load_b(s0)), (uint32_t)party);
+  for (int i = 0; i < in_bits - 1; ++i) {
+    const __m128i cw = load_b(cws[2 * i]);
+    uint32_t t[4];
+    __m128i v[4], e[4];
+    for (int k = 0; k < 4; ++k) {
+      t[k] = lsb_of(n[k]);
+      v[k] = _mm_xor_si128(n[k], hk);
+      e[k] = _mm_xor_si128(v[k], ks.rk[0]);
+    }
+    for (int rd = 1; rd < 10; ++rd)
+      for (int k = 0; k < 4; ++k)
+        e[k] = _mm_aesenc_si128(e[k], ks.rk[rd]);
+    for (int k = 0; k < 4; ++k) {
+      __m128i h = _mm_xor_si128(_mm_aesenclast_si128(e[k], ks.rk[10]),
+                                v[k]);
+      uint32_t xb = (uint32_t)input_bit(xlo[k], xhi[k], in_bits, i);
+      __m128i m = _mm_xor_si128(h, _mm_and_si128(n[k], mask_of(xb)));
+      n[k] = _mm_xor_si128(m, _mm_and_si128(cw, mask_of(t[k])));
+    }
+  }
+  const Block &last = cws[2 * (in_bits - 1)];
+  const __m128i hcw = clear_ctl(load_b(last));
+  const uint32_t lcw0 = last.w[3] & 1u;
+  const uint32_t lcw1 = cws[2 * (in_bits - 1) + 1].w[0] & 1u;
+  for (int k = 0; k < 4; ++k) {
+    uint32_t x_n =
+        (uint32_t)input_bit(xlo[k], xhi[k], in_bits, in_bits - 1);
+    uint32_t t = lsb_of(n[k]);
+    __m128i ns = or_ctl(clear_ctl(n[k]), x_n);
+    __m128i h = aes_mmo1(ks, _mm_xor_si128(ns, hk));
+    uint32_t lcw_xn = x_n ? lcw1 : lcw0;
+    uint32_t low = lsb_of(h) ^ (t & lcw_xn);
+    __m128i high = _mm_xor_si128(clear_ctl(h),
+                                 _mm_and_si128(hcw, mask_of(t)));
+    Block hb;
+    store_b(high, hb);
+    u128 y = grp.from_block(hb);
+    if (low) y = grp.add(y, grp.from_block(ocw));
+    if (party) y = grp.neg(y);
+    grp.into_block(y, y_out[k]);
+  }
+}
+
+// Phase-1 level expansion of ht_eval_all, AES in registers.
+void ht_expand_level_aesni(const HtCtx &ht, Block *ys, uint64_t m,
+                           const Block &cw) {
+  const __m128i hk = load_b(ht.hash_key);
+  const __m128i cwv = load_b(cw);
+  for (uint64_t j = m; j-- > 0;) {
+    __m128i node = load_b(ys[j]);
+    uint32_t t = lsb_of(node);
+    __m128i h = aes_mmo1(ht.prg->ks[0], _mm_xor_si128(node, hk));
+    __m128i left = _mm_xor_si128(h, _mm_and_si128(cwv, mask_of(t)));
+    store_b(left, ys[2 * j]);
+    store_b(_mm_xor_si128(left, node), ys[2 * j + 1]);
+  }
+}
+#endif  // FSS_HAVE_AESNI
+
 void ht_eval(const HtCtx &ht, const Group &grp, int in_bits, int party,
              const Block &s0, const Block *cws, const Block &ocw,
              uint64_t x_lo, uint64_t x_hi, Block &y_out) {
+#if FSS_HAVE_AESNI
+  if (ht.prg->kind == 1) {
+    ht_eval_aesni(ht, grp, in_bits, party, s0, cws, ocw, x_lo, x_hi,
+                  y_out);
+    return;
+  }
+#endif
   Block node = set_lsb(s0, (uint32_t)party);
   for (int i = 0; i < in_bits - 1; ++i) {
     int xb = input_bit(x_lo, x_hi, in_bits, i);
@@ -642,6 +1020,12 @@ void ht_eval_all(const HtCtx &ht, const Group &grp, int in_bits, int party,
   for (int i = 0; i < in_bits - 1; ++i) {
     uint64_t m = 1ull << i;
     const Block &cw = cws[2 * i];
+#if FSS_HAVE_AESNI
+    if (ht.prg->kind == 1) {
+      ht_expand_level_aesni(ht, ys, m, cw);
+      continue;
+    }
+#endif
     for (uint64_t j = m; j-- > 0;) {
       Block node = ys[j];
       uint32_t t = get_lsb(node);
@@ -698,7 +1082,67 @@ inline uint32_t rotr32(uint32_t x, int n) {
   return (x >> n) | (x << (32 - n));
 }
 
+#if defined(__x86_64__)
+// SHA-NI compression (one 64B block). Same FIPS 180-4 math as the scalar
+// path below; the schedule recurrence is expressed in the extension's
+// native 4-word groups: X[g+4] = msg2(msg1(X[g], X[g+1]) +
+// alignr(X[g+3], X[g+2], 4), X[g+3]). Runtime-dispatched so the binary
+// stays portable to pre-SHA hosts.
+__attribute__((target("sha,sse4.1")))
+void sha256_block_shani(uint32_t h[8], const uint8_t *p) {
+  const __m128i kBswap =
+      _mm_set_epi64x(0x0c0d0e0f08090a0bULL, 0x0405060700010203ULL);
+  __m128i tmp =
+      _mm_shuffle_epi32(_mm_loadu_si128((const __m128i *)&h[0]), 0xB1);
+  __m128i st1 =
+      _mm_shuffle_epi32(_mm_loadu_si128((const __m128i *)&h[4]), 0x1B);
+  __m128i st0 = _mm_alignr_epi8(tmp, st1, 8);     // ABEF
+  st1 = _mm_blend_epi16(st1, tmp, 0xF0);          // CDGH
+  const __m128i abef_save = st0;
+  const __m128i cdgh_save = st1;
+
+  __m128i w[4];
+  for (int g = 0; g < 4; ++g)
+    w[g] = _mm_shuffle_epi8(
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(p + 16 * g)),
+        kBswap);
+
+  for (int g = 0; g < 16; ++g) {
+    __m128i msg = _mm_add_epi32(
+        w[g & 3],
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(
+            &kSha256K[4 * g])));
+    st1 = _mm_sha256rnds2_epu32(st1, st0, msg);
+    msg = _mm_shuffle_epi32(msg, 0x0E);
+    st0 = _mm_sha256rnds2_epu32(st0, st1, msg);
+    if (g < 12) {
+      __m128i t = _mm_alignr_epi8(w[(g + 3) & 3], w[(g + 2) & 3], 4);
+      w[g & 3] = _mm_sha256msg2_epu32(
+          _mm_add_epi32(_mm_sha256msg1_epu32(w[g & 3], w[(g + 1) & 3]),
+                        t),
+          w[(g + 3) & 3]);
+    }
+  }
+
+  st0 = _mm_add_epi32(st0, abef_save);
+  st1 = _mm_add_epi32(st1, cdgh_save);
+  tmp = _mm_shuffle_epi32(st0, 0x1B);             // FEBA
+  st1 = _mm_shuffle_epi32(st1, 0xB1);             // DCHG
+  st0 = _mm_blend_epi16(tmp, st1, 0xF0);          // DCBA
+  st1 = _mm_alignr_epi8(st1, tmp, 8);             // HGFE
+  _mm_storeu_si128(reinterpret_cast<__m128i *>(&h[0]), st0);
+  _mm_storeu_si128(reinterpret_cast<__m128i *>(&h[4]), st1);
+}
+#endif  // __x86_64__
+
 void sha256_block(uint32_t h[8], const uint8_t *p) {
+#if defined(__x86_64__)
+  static const bool kShani = __builtin_cpu_supports("sha") != 0;
+  if (kShani) {
+    sha256_block_shani(h, p);
+    return;
+  }
+#endif
   uint32_t w[64];
   for (int i = 0; i < 16; ++i)
     w[i] = ((uint32_t)p[4 * i] << 24) | ((uint32_t)p[4 * i + 1] << 16) |
@@ -915,6 +1359,11 @@ void vdpf_eval(const Prg &prg, const Hash &xh, const Group &grp,
                uint64_t x_hi, Block &y_out, Block pi_tilde[4]) {
   Block s = set_lsb(seed, 0);
   uint32_t t = (uint32_t)party;
+#if FSS_HAVE_AESNI
+  if (prg.kind == 1) {
+    dpf_walk_aesni(prg, in_bits, party, seed, cws, x_lo, x_hi, s, t);
+  } else
+#endif
   for (int i = 0; i < in_bits; ++i) {
     Block o[2];
     prg.gen(s, o);
@@ -966,6 +1415,13 @@ void vdpf_eval_all(const Prg &prg, const Hash &xh, const Hash &hh,
   ys[0] = set_lsb(set_lsb(seed, 0), (uint32_t)party);
   for (int i = 0; i < in_bits; ++i) {
     uint64_t m = 1ull << i;
+#if FSS_HAVE_AESNI
+    if (prg.kind == 1) {
+      dpf_expand_level_aesni(prg, ys, m, cws[2 * i],
+                             cws[2 * i + 1].w[0]);
+      continue;
+    }
+#endif
     Block s_cw = set_lsb(cws[2 * i], 0);
     uint32_t tl_cw = get_lsb(cws[2 * i]);
     uint32_t tr_cw = cws[2 * i + 1].w[0] & 1u;
@@ -1210,7 +1666,33 @@ void fss_dpf_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
   Block seed;
   std::memcpy(seed.w, s0, 16);
   const Block *cws_b = reinterpret_cast<const Block *>(cws);
-  for (int64_t i = 0; i < n_points; ++i) {
+  int64_t i = 0;
+#if FSS_HAVE_AESNI
+  if (prg.kind == 1) {
+    const Block *seeds[4] = {&seed, &seed, &seed, &seed};
+    const Block *cwp[4] = {cws_b, cws_b, cws_b, cws_b};
+    for (; i + 4 <= n_points; i += 4) {
+      uint64_t xlo[4], xhi[4];
+      for (int k = 0; k < 4; ++k) {
+        xlo[k] = xs_lo[i + k];
+        xhi[k] = xs_hi ? xs_hi[i + k] : 0;
+      }
+      Block sf[4];
+      uint32_t tf[4];
+      dpf_walk_aesni_x4(prg, in_bits, party, seeds, cwp, xlo, xhi, sf,
+                        tf);
+      for (int k = 0; k < 4; ++k) {
+        u128 y = grp.from_block(sf[k]);
+        if (tf[k]) y = grp.add(y, grp.from_block(cws_b[2 * in_bits]));
+        if (party) y = grp.neg(y);
+        Block yb;
+        grp.into_block(y, yb);
+        std::memcpy(ys + 4 * (i + k), yb.w, 16);
+      }
+    }
+  }
+#endif
+  for (; i < n_points; ++i) {
     Block y;
     dpf_eval(prg, grp, in_bits, party, seed, cws_b, xs_lo[i],
              xs_hi ? xs_hi[i] : 0, y);
@@ -1228,7 +1710,38 @@ void fss_dpf_eval_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
   Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
   Group grp{group_kind, group_bits};
   size_t key_stride = (size_t)(in_bits + 1) * 8;
-  for (int64_t i = 0; i < n; ++i) {
+  int64_t i = 0;
+#if FSS_HAVE_AESNI
+  if (prg.kind == 1) {
+    for (; i + 4 <= n; i += 4) {
+      Block seeds_s[4];
+      const Block *seedp[4];
+      const Block *cwp[4];
+      uint64_t xlo[4], xhi[4];
+      for (int k = 0; k < 4; ++k) {
+        std::memcpy(seeds_s[k].w, s0s + 4 * (i + k), 16);
+        seedp[k] = &seeds_s[k];
+        cwp[k] = reinterpret_cast<const Block *>(cws_batch +
+                                                 key_stride * (i + k));
+        xlo[k] = xs_lo[i + k];
+        xhi[k] = 0;
+      }
+      Block sf[4];
+      uint32_t tf[4];
+      dpf_walk_aesni_x4(prg, in_bits, party, seedp, cwp, xlo, xhi, sf,
+                        tf);
+      for (int k = 0; k < 4; ++k) {
+        u128 y = grp.from_block(sf[k]);
+        if (tf[k]) y = grp.add(y, grp.from_block(cwp[k][2 * in_bits]));
+        if (party) y = grp.neg(y);
+        Block yb;
+        grp.into_block(y, yb);
+        std::memcpy(ys + 4 * (i + k), yb.w, 16);
+      }
+    }
+  }
+#endif
+  for (; i < n; ++i) {
     Block seed;
     std::memcpy(seed.w, s0s + 4 * i, 16);
     Block y;
@@ -1279,7 +1792,23 @@ void fss_dcf_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
   Block seed;
   std::memcpy(seed.w, s0, 16);
   const Block *cws_b = reinterpret_cast<const Block *>(cws);
-  for (int64_t i = 0; i < n_points; ++i) {
+  int64_t i = 0;
+#if FSS_HAVE_AESNI
+  if (prg.kind == 1) {
+    for (; i + 2 <= n_points; i += 2) {
+      uint64_t xlo[2], xhi[2];
+      for (int k = 0; k < 2; ++k) {
+        xlo[k] = xs_lo[i + k];
+        xhi[k] = xs_hi ? xs_hi[i + k] : 0;
+      }
+      Block yb[2];
+      dcf_eval_aesni_x2(prg, grp, in_bits, party, seed, cws_b, xlo, xhi,
+                        yb);
+      std::memcpy(ys + 4 * i, yb, 32);
+    }
+  }
+#endif
+  for (; i < n_points; ++i) {
     Block y;
     dcf_eval(prg, grp, in_bits, party, seed, cws_b, xs_lo[i],
              xs_hi ? xs_hi[i] : 0, y);
@@ -1336,7 +1865,23 @@ void fss_ht_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
   std::memcpy(seed.w, s0, 16);
   std::memcpy(ocw_b.w, ocw, 16);
   const Block *cws_b = reinterpret_cast<const Block *>(cws);
-  for (int64_t i = 0; i < n_points; ++i) {
+  int64_t i = 0;
+#if FSS_HAVE_AESNI
+  if (prg.kind == 1 && in_bits >= 2) {
+    for (; i + 4 <= n_points; i += 4) {
+      uint64_t xlo[4], xhi[4];
+      for (int k = 0; k < 4; ++k) {
+        xlo[k] = xs_lo[i + k];
+        xhi[k] = xs_hi ? xs_hi[i + k] : 0;
+      }
+      Block yb[4];
+      ht_eval_aesni_x4(ht, grp, in_bits, party, seed, cws_b, ocw_b, xlo,
+                       xhi, yb);
+      std::memcpy(ys + 4 * i, yb, 64);
+    }
+  }
+#endif
+  for (; i < n_points; ++i) {
     Block y;
     ht_eval(ht, grp, in_bits, party, seed, cws_b, ocw_b, xs_lo[i],
             xs_hi ? xs_hi[i] : 0, y);
@@ -1416,11 +1961,42 @@ void fss_vdpf_eval_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
   std::memcpy(seed.w, s0, 16);
   std::memcpy(ocwb.w, ocw, 16);
   std::memcpy(csb, cs, 64);
-  for (int64_t i = 0; i < n; ++i) {
+  const Block *cws_b = reinterpret_cast<const Block *>(cws);
+  int64_t i = 0;
+#if FSS_HAVE_AESNI
+  if (prg.kind == 1) {
+    const Block *seeds[4] = {&seed, &seed, &seed, &seed};
+    const Block *cwp[4] = {cws_b, cws_b, cws_b, cws_b};
+    for (; i + 4 <= n; i += 4) {
+      uint64_t xlo[4], xhi[4];
+      for (int k = 0; k < 4; ++k) {
+        xlo[k] = xs_lo[i + k];
+        xhi[k] = xs_hi ? xs_hi[i + k] : 0;
+      }
+      Block sf[4];
+      uint32_t tf[4];
+      dpf_walk_aesni_x4(prg, in_bits, party, seeds, cwp, xlo, xhi, sf,
+                        tf);
+      for (int k = 0; k < 4; ++k) {
+        u128 y = grp.from_block(sf[k]);
+        if (tf[k]) y = grp.add(y, grp.from_block(ocwb));
+        if (party) y = grp.neg(y);
+        Block yb;
+        grp.into_block(y, yb);
+        std::memcpy(ys + 4 * (i + k), yb.w, 16);
+        Block pt[4];
+        xh.xor_hash(pack_input(xlo[k], xhi[k]), sf[k], pt);
+        if (tf[k])
+          for (int j = 0; j < 4; ++j) pt[j] = bxor(pt[j], csb[j]);
+        std::memcpy(pi_tildes + 16 * (i + k), pt, 64);
+      }
+    }
+  }
+#endif
+  for (; i < n; ++i) {
     Block y, pt[4];
-    vdpf_eval(prg, xh, grp, in_bits, party, seed,
-              reinterpret_cast<const Block *>(cws), csb, ocwb, xs_lo[i],
-              xs_hi ? xs_hi[i] : 0, y, pt);
+    vdpf_eval(prg, xh, grp, in_bits, party, seed, cws_b, csb, ocwb,
+              xs_lo[i], xs_hi ? xs_hi[i] : 0, y, pt);
     std::memcpy(ys + 4 * i, y.w, 16);
     std::memcpy(pi_tildes + 16 * i, pt, 64);
   }
