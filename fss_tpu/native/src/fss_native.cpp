@@ -408,9 +408,81 @@ void dpf_expand_level_aesni(const Prg &prg, Block *ys, uint64_t m,
 }
 #endif  // FSS_HAVE_AESNI
 
+#if FSS_HAVE_AESNI
+// Register-resident Gen: both parties' expansions are four independent
+// AES chains per level, and every (alpha_bit, t) select is a mask blend
+// (alpha bits are uniformly random -> ~50% mispredict as branches).
+// Bit-identical to the scalar path below (dpf.cuh:93-153 semantics).
+void dpf_gen_aesni(const Prg &prg, const Group &grp, int in_bits,
+                   const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
+                   const Block &beta, Block *cws) {
+  __m128i s0 = clear_ctl(load_b(s0s[0]));
+  __m128i s1 = clear_ctl(load_b(s0s[1]));
+  uint32_t t0 = 0, t1 = 1;
+  for (int i = 0; i < in_bits; ++i) {
+    __m128i a0 = _mm_xor_si128(s0, prg.ks[0].rk[0]);
+    __m128i b0 = _mm_xor_si128(s0, prg.ks[1].rk[0]);
+    __m128i a1 = _mm_xor_si128(s1, prg.ks[0].rk[0]);
+    __m128i b1 = _mm_xor_si128(s1, prg.ks[1].rk[0]);
+    for (int rd = 1; rd < 10; ++rd) {
+      a0 = _mm_aesenc_si128(a0, prg.ks[0].rk[rd]);
+      b0 = _mm_aesenc_si128(b0, prg.ks[1].rk[rd]);
+      a1 = _mm_aesenc_si128(a1, prg.ks[0].rk[rd]);
+      b1 = _mm_aesenc_si128(b1, prg.ks[1].rk[rd]);
+    }
+    __m128i o0l = _mm_xor_si128(
+        _mm_aesenclast_si128(a0, prg.ks[0].rk[10]), s0);
+    __m128i o0r = _mm_xor_si128(
+        _mm_aesenclast_si128(b0, prg.ks[1].rk[10]), s0);
+    __m128i o1l = _mm_xor_si128(
+        _mm_aesenclast_si128(a1, prg.ks[0].rk[10]), s1);
+    __m128i o1r = _mm_xor_si128(
+        _mm_aesenclast_si128(b1, prg.ks[1].rk[10]), s1);
+    uint32_t t0l = lsb_of(o0l), t0r = lsb_of(o0r);
+    uint32_t t1l = lsb_of(o1l), t1r = lsb_of(o1r);
+    uint32_t ab = (uint32_t)input_bit(a_lo, a_hi, in_bits, i);
+    __m128i abm = mask_of(ab);
+    __m128i s0l = clear_ctl(o0l), s0r = clear_ctl(o0r);
+    __m128i s1l = clear_ctl(o1l), s1r = clear_ctl(o1r);
+    __m128i s_cw = _mm_blendv_epi8(_mm_xor_si128(s0r, s1r),
+                                   _mm_xor_si128(s0l, s1l), abm);
+    uint32_t tl_cw = t0l ^ t1l ^ ab ^ 1u;
+    uint32_t tr_cw = t0r ^ t1r ^ ab;
+    __m128i keep0 = _mm_blendv_epi8(s0l, s0r, abm);
+    __m128i keep1 = _mm_blendv_epi8(s1l, s1r, abm);
+    uint32_t tk0 = t0l ^ ((t0l ^ t0r) & (0u - ab));
+    uint32_t tk1 = t1l ^ ((t1l ^ t1r) & (0u - ab));
+    uint32_t tcw = tl_cw ^ ((tl_cw ^ tr_cw) & (0u - ab));
+    s0 = _mm_xor_si128(keep0, _mm_and_si128(s_cw, mask_of(t0)));
+    s1 = _mm_xor_si128(keep1, _mm_and_si128(s_cw, mask_of(t1)));
+    t0 = tk0 ^ (t0 & tcw);
+    t1 = tk1 ^ (t1 & tcw);
+    store_b(or_ctl(s_cw, tl_cw), cws[2 * i]);
+    cws[2 * i + 1].w[0] = tr_cw;
+    cws[2 * i + 1].w[1] = cws[2 * i + 1].w[2] = cws[2 * i + 1].w[3] = 0;
+  }
+  Block s0b, s1b;
+  store_b(s0, s0b);
+  store_b(s1, s1b);
+  u128 v = grp.add(grp.add(grp.from_block(set_lsb(beta, 0)),
+                           grp.neg(grp.from_block(s0b))),
+                   grp.from_block(s1b));
+  if (t1 & 1u) v = grp.neg(v);
+  grp.into_block(v, cws[2 * in_bits]);
+  cws[2 * in_bits + 1].w[0] = cws[2 * in_bits + 1].w[1] = 0;
+  cws[2 * in_bits + 1].w[2] = cws[2 * in_bits + 1].w[3] = 0;
+}
+#endif  // FSS_HAVE_AESNI
+
 void dpf_gen(const Prg &prg, const Group &grp, int in_bits,
              const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
              const Block &beta, Block *cws /* (in_bits+1) x 2 blocks */) {
+#if FSS_HAVE_AESNI
+  if (prg.kind == 1) {
+    dpf_gen_aesni(prg, grp, in_bits, s0s, a_lo, a_hi, beta, cws);
+    return;
+  }
+#endif
   Block s0 = set_lsb(s0s[0], 0), s1 = set_lsb(s0s[1], 0);
   uint32_t t0 = 0, t1 = 1;
   Block b_buf = set_lsb(beta, 0);
@@ -548,8 +620,37 @@ void dcf_gen(const Prg &prg, const Group &grp, int in_bits, int pred_lt,
 
   for (int i = 0; i < in_bits; ++i) {
     Block o0[4], o1[4];
+#if FSS_HAVE_AESNI
+    if (prg.kind == 1) {
+      // Both parties' mul=4 expansions: eight independent AES chains.
+      __m128i sv0 = load_b(s0), sv1 = load_b(s1);
+      __m128i e[8];
+      for (int m = 0; m < 4; ++m) {
+        e[m] = _mm_xor_si128(sv0, prg.ks[m].rk[0]);
+        e[4 + m] = _mm_xor_si128(sv1, prg.ks[m].rk[0]);
+      }
+      for (int rd = 1; rd < 10; ++rd)
+        for (int m = 0; m < 4; ++m) {
+          e[m] = _mm_aesenc_si128(e[m], prg.ks[m].rk[rd]);
+          e[4 + m] = _mm_aesenc_si128(e[4 + m], prg.ks[m].rk[rd]);
+        }
+      for (int m = 0; m < 4; ++m) {
+        store_b(_mm_xor_si128(
+                    _mm_aesenclast_si128(e[m], prg.ks[m].rk[10]), sv0),
+                o0[m]);
+        store_b(_mm_xor_si128(
+                    _mm_aesenclast_si128(e[4 + m], prg.ks[m].rk[10]),
+                    sv1),
+                o1[m]);
+      }
+    } else {
+      prg.gen(s0, o0);
+      prg.gen(s1, o1);
+    }
+#else
     prg.gen(s0, o0);
     prg.gen(s1, o1);
+#endif
     uint32_t t0l = get_lsb(o0[0]), t0r = get_lsb(o0[2]);
     uint32_t t1l = get_lsb(o1[0]), t1r = get_lsb(o1[2]);
     Block s0l = set_lsb(o0[0], 0), s0r = set_lsb(o0[2], 0);
@@ -761,6 +862,59 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
     uint32_t tl_cw = get_lsb(cws[2 * i]);
     uint32_t tr_cw = get_lsb(cws[2 * i + 1]);
     u128 v_cw = grp.from_block(set_lsb(cws[2 * i + 1], 0));
+#if FSS_HAVE_AESNI
+    if (prg.kind == 1) {
+      // AES-in-register level body; value math branchless (the t branch
+      // mispredicts ~50% over random control bits).
+      const __m128i scw = clear_ctl(load_b(cws[2 * i]));
+      for (uint64_t j = m; j-- > 0;) {
+        __m128i node = load_b(ys[j]);
+        u128 v = grp.from_block(vs[j]);
+        uint32_t t = lsb_of(node);
+        __m128i sn = clear_ctl(node);
+        __m128i o0 = _mm_xor_si128(sn, prg.ks[0].rk[0]);
+        __m128i o1 = _mm_xor_si128(sn, prg.ks[1].rk[0]);
+        __m128i o2 = _mm_xor_si128(sn, prg.ks[2].rk[0]);
+        __m128i o3 = _mm_xor_si128(sn, prg.ks[3].rk[0]);
+        for (int rd = 1; rd < 10; ++rd) {
+          o0 = _mm_aesenc_si128(o0, prg.ks[0].rk[rd]);
+          o1 = _mm_aesenc_si128(o1, prg.ks[1].rk[rd]);
+          o2 = _mm_aesenc_si128(o2, prg.ks[2].rk[rd]);
+          o3 = _mm_aesenc_si128(o3, prg.ks[3].rk[rd]);
+        }
+        o0 = _mm_xor_si128(_mm_aesenclast_si128(o0, prg.ks[0].rk[10]),
+                           sn);
+        o1 = _mm_xor_si128(_mm_aesenclast_si128(o1, prg.ks[1].rk[10]),
+                           sn);
+        o2 = _mm_xor_si128(_mm_aesenclast_si128(o2, prg.ks[2].rk[10]),
+                           sn);
+        o3 = _mm_xor_si128(_mm_aesenclast_si128(o3, prg.ks[3].rk[10]),
+                           sn);
+        uint32_t tl = lsb_of(o0) ^ (t & tl_cw);
+        uint32_t tr = lsb_of(o2) ^ (t & tr_cw);
+        __m128i corr = _mm_and_si128(scw, mask_of(t));
+        Block vlb, vrb;
+        store_b(clear_ctl(o1), vlb);
+        store_b(clear_ctl(o3), vrb);
+        u128 vl = grp.from_block(vlb);
+        u128 vr = grp.from_block(vrb);
+        u128 addv = t ? v_cw : (u128)0;
+        vl = grp.add(vl, addv);
+        vr = grp.add(vr, addv);
+        if (party) {
+          vl = grp.neg(vl);
+          vr = grp.neg(vr);
+        }
+        store_b(or_ctl(_mm_xor_si128(clear_ctl(o0), corr), tl),
+                ys[2 * j]);
+        store_b(or_ctl(_mm_xor_si128(clear_ctl(o2), corr), tr),
+                ys[2 * j + 1]);
+        grp.into_block(grp.add(v, vl), vs[2 * j]);
+        grp.into_block(grp.add(v, vr), vs[2 * j + 1]);
+      }
+      continue;
+    }
+#endif
     for (uint64_t j = m; j-- > 0;) {
       Block node = ys[j];
       u128 v = grp.from_block(vs[j]);
@@ -825,8 +979,32 @@ void ht_gen(const HtCtx &ht, const Group &grp, int in_bits,
   Block n1 = set_lsb(s0s[1], 1);
 
   for (int i = 0; i < in_bits - 1; ++i) {
-    Block h0 = ht.hash(n0);
-    Block h1 = ht.hash(n1);
+    Block h0, h1;
+#if FSS_HAVE_AESNI
+    if (ht.prg->kind == 1) {
+      // Two CCR hashes per level: interleave the AES chains.
+      const AesKeySchedule &ks = ht.prg->ks[0];
+      __m128i hk = load_b(ht.hash_key);
+      __m128i v0 = _mm_xor_si128(load_b(n0), hk);
+      __m128i v1 = _mm_xor_si128(load_b(n1), hk);
+      __m128i e0 = _mm_xor_si128(v0, ks.rk[0]);
+      __m128i e1 = _mm_xor_si128(v1, ks.rk[0]);
+      for (int rd = 1; rd < 10; ++rd) {
+        e0 = _mm_aesenc_si128(e0, ks.rk[rd]);
+        e1 = _mm_aesenc_si128(e1, ks.rk[rd]);
+      }
+      store_b(_mm_xor_si128(_mm_aesenclast_si128(e0, ks.rk[10]), v0),
+              h0);
+      store_b(_mm_xor_si128(_mm_aesenclast_si128(e1, ks.rk[10]), v1),
+              h1);
+    } else {
+      h0 = ht.hash(n0);
+      h1 = ht.hash(n1);
+    }
+#else
+    h0 = ht.hash(n0);
+    h1 = ht.hash(n1);
+#endif
     Block delta = bxor(n0, n1);
     int ab = input_bit(a_lo, a_hi, in_bits, i);
     Block cw = bxor(h0, h1);
@@ -842,8 +1020,38 @@ void ht_gen(const HtCtx &ht, const Group &grp, int in_bits,
 
   int a_n = input_bit(a_lo, a_hi, in_bits, in_bits - 1);
   uint32_t t0 = get_lsb(n0), t1 = get_lsb(n1);
-  Block h0_0 = ht.hash(set_lsb(n0, 0)), h0_1 = ht.hash(set_lsb(n0, 1));
-  Block h1_0 = ht.hash(set_lsb(n1, 0)), h1_1 = ht.hash(set_lsb(n1, 1));
+  Block h0_0, h0_1, h1_0, h1_1;
+#if FSS_HAVE_AESNI
+  if (ht.prg->kind == 1) {  // 4 sigma-hashes: interleave the chains
+    const AesKeySchedule &ks = ht.prg->ks[0];
+    __m128i hk = load_b(ht.hash_key);
+    Block nb[4] = {set_lsb(n0, 0), set_lsb(n0, 1), set_lsb(n1, 0),
+                   set_lsb(n1, 1)};
+    Block *outp[4] = {&h0_0, &h0_1, &h1_0, &h1_1};
+    __m128i vv[4], ee[4];
+    for (int k = 0; k < 4; ++k) {
+      vv[k] = _mm_xor_si128(load_b(nb[k]), hk);
+      ee[k] = _mm_xor_si128(vv[k], ks.rk[0]);
+    }
+    for (int rd = 1; rd < 10; ++rd)
+      for (int k = 0; k < 4; ++k)
+        ee[k] = _mm_aesenc_si128(ee[k], ks.rk[rd]);
+    for (int k = 0; k < 4; ++k)
+      store_b(_mm_xor_si128(_mm_aesenclast_si128(ee[k], ks.rk[10]),
+                            vv[k]),
+              *outp[k]);
+  } else {
+    h0_0 = ht.hash(set_lsb(n0, 0));
+    h0_1 = ht.hash(set_lsb(n0, 1));
+    h1_0 = ht.hash(set_lsb(n1, 0));
+    h1_1 = ht.hash(set_lsb(n1, 1));
+  }
+#else
+  h0_0 = ht.hash(set_lsb(n0, 0));
+  h0_1 = ht.hash(set_lsb(n0, 1));
+  h1_0 = ht.hash(set_lsb(n1, 0));
+  h1_1 = ht.hash(set_lsb(n1, 1));
+#endif
   Block hcw = a_n ? bxor(set_lsb(h0_0, 0), set_lsb(h1_0, 0))
                   : bxor(set_lsb(h0_1, 0), set_lsb(h1_1, 0));
   uint32_t lcw_0 = get_lsb(h0_0) ^ get_lsb(h1_0) ^ (uint32_t)(!a_n);
@@ -2084,6 +2292,9 @@ void fss_grotto_eval_batch_packed(int in_bits, const uint64_t *packed,
       out[i] = bit(0);
       continue;
     }
+    // The prefix chain is 2 cheap ALU ops/level; deriving each level's
+    // prefix independently from e (an extra shift per level) measures
+    // ~30% SLOWER — the loads were never chained through it anyway.
     uint8_t acc = 0;
     uint64_t prefix = 0;
     for (int lvl = 0; lvl < in_bits; ++lvl) {

@@ -49,18 +49,43 @@ REF_MS = {
 ROWS = []
 
 
+def _ref_here():
+    """Same-silicon reference numbers: the reference's own bench harness
+    compiled and run on THIS machine (scripts/ref_bench; ns per op).
+    These are the honest comparison baseline — the published Xeon 8352V
+    numbers above are kept as a secondary column."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "ref_bench", "results_here.jsonl")
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                row = json.loads(line)
+                out[row["name"]] = row["ns_per_iter"]
+    return out
+
+
+REF_HERE_NS = _ref_here()
+
+
 def row_ns(name, dt_ns):
     ref = REF_NS.get(name)
-    speedup = f"  {ref / dt_ns:5.1f}x" if ref else ""
+    pub = f"pub {ref / dt_ns:5.1f}x" if ref else ""
+    here = REF_HERE_NS.get(name)
+    hs = f"  here {here / dt_ns:5.1f}x" if here else ""
     ROWS.append((name, f"{dt_ns:10.1f} ns/op",
-                 f"(ref {ref} ns){speedup}" if ref else ""))
+                 f"(ref {ref} ns) {pub}{hs}" if ref or here else ""))
 
 
 def row_ms(name, dt_ms):
     ref = REF_MS.get(name)
-    speedup = f"  {ref / dt_ms:5.1f}x" if ref else ""
+    pub = f"pub {ref / dt_ms:5.1f}x" if ref else ""
+    here = REF_HERE_NS.get(name)
+    hs = f"  here {here / 1e6 / dt_ms:5.1f}x" if here else ""
     ROWS.append((name, f"{dt_ms:10.2f} ms",
-                 f"(ref {ref} ms){speedup}" if ref else ""))
+                 f"(ref {ref} ms) {pub}{hs}" if ref or here else ""))
 
 
 def timeit(fn, reps):
