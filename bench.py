@@ -22,6 +22,36 @@ import numpy as np
 BASELINE_EVALS_PER_S = 1e8
 IN_BITS = 16
 LOG2_BATCH = 20
+INNER = 8  # on-device iterations per dispatch (see _loopify)
+
+
+def _loopify(fn, inner: int):
+    """Run ``inner`` iterations of ``fn`` inside ONE jitted dispatch.
+
+    Each executable launch travels the network tunnel to the TPU and does
+    not fully pipeline: measured fixed cost is ~2 ms per dispatch, which
+    at 2^19-2^20 batch is 30-50% of a tree-kernel step. Looping on device
+    amortizes that to <1/inner. ``optimization_barrier`` keeps the inputs
+    loop-carried so XLA cannot hoist the (otherwise loop-invariant) body
+    out of the fori_loop.
+    """
+    import jax
+
+    @jax.jit
+    def run(*args):
+        acc0 = fn(*args)
+
+        def body(_, carry):
+            a, acc = carry
+            a = jax.lax.optimization_barrier(a)
+            return (a, acc + fn(*a))
+
+        _, acc = jax.lax.fori_loop(
+            0, inner - 1, body,
+            (jax.lax.optimization_barrier(tuple(args)), acc0))
+        return acc
+
+    return run
 
 
 def _bench_dpf_eval(in_bits: int, log2_batch: int, iters: int = 16):
@@ -54,12 +84,13 @@ def _bench_dpf_eval(in_bits: int, log2_batch: int, iters: int = 16):
             s0s[:, 0], cws, xs, in_bits=in_bits)
 
     @jax.jit
-    def step(seeds4, cws_t, xs2, ocw):
+    def step1(seeds4, cws_t, xs2, ocw):
         so, t = dpf_pallas.eval_packed(seeds4, cws_t, xs2, in_bits=in_bits,
                                        party=0, nonce=nonce)
         y = dpf_pallas.finalize(g, 0, so, t, ocw, B)
         return jnp.sum(y[:, 0])
 
+    step = _loopify(step1, INNER)
     chk = step(seeds4, cws_t, xs2, ocw)
     _ = int(chk)  # warm-up: compile + one full execution
 
@@ -71,20 +102,26 @@ def _bench_dpf_eval(in_bits: int, log2_batch: int, iters: int = 16):
     for _ in range(iters):
         chk = step(seeds4, cws_t, xs2, ocw)
     _ = int(chk)
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (iters * INNER)
     return B / dt, dt
 
 
-def _timeit(step, args, per_iter_items: int, iters: int = 8):
-    """Throughput of a jitted scalar-checksum step; one end-of-queue fetch."""
+def _timeit(step, args, per_iter_items: int, iters: int = 8,
+            inner: int = INNER):
+    """Throughput of a jitted scalar-checksum step; one end-of-queue fetch.
+
+    ``inner`` on-device iterations per dispatch (see _loopify), ``iters``
+    dispatches enqueued back-to-back with a single trailing fetch."""
     import time as _t
+    if inner > 1:
+        step = _loopify(step, inner)
     chk = step(*args)
     _ = int(chk)
     t0 = _t.perf_counter()
     for _ in range(iters):
         chk = step(*args)
     _ = int(chk)
-    dt = (_t.perf_counter() - t0) / iters
+    dt = (_t.perf_counter() - t0) / (iters * inner)
     return per_iter_items / dt
 
 
@@ -183,6 +220,16 @@ def _bench_registry():
     out.append(("dpf_gen_chacha_uint_16bit",
                 _timeit(fg, (s0sb, jnp.asarray(alphas_u32), betas), B),
                 "keys/s/chip"))
+
+    # DPF gen with the AES-MMO PRG on the fused plane-domain kernel
+    # (ops/aes_pallas.gen_batch). 2^16 batch: the per-level cw planes are
+    # [in_bits, 130, T, 128] — ~0.5 GB at this size.
+    Bg = 1 << 16
+    fga = jax.jit(lambda s, a, b: jnp.sum(_aesk.gen_batch(
+        aes_keys, g, ib, s, a, b)[:, 0, 0]))
+    out.append(("dpf_gen_aes_uint_16bit",
+                _timeit(fga, (s0sb[:Bg], jnp.asarray(alphas_u32[:Bg]),
+                              betas[:Bg]), Bg, inner=4), "keys/s/chip"))
 
     # DPF full-domain EvalAll, one key, 2^20 (no GPU analog in reference;
     # its CPU number is 6.29 M items/s).

@@ -16,7 +16,8 @@ Families covered (each golden config runs both parties where applicable):
   - DPF / DCF / Half-Tree / VDPF fused point-eval kernels (ChaCha)
   - The plane-domain bitsliced AES kernels (DPF/DCF/HT/VDPF eval)
   - Wide-domain (48/128-bit) DPF point eval
-  - Fused Gen kernels (DPF / DCF / Half-Tree / VDPF)
+  - Fused Gen kernels (DPF ChaCha + plane-domain AES / DCF / Half-Tree /
+    VDPF)
   - Hybrid EvalAll kernels (DPF / DCF / Half-Tree / Grotto / VDPF),
     dispatched with force_kernel=True so the 16-bit golden domains take
     the Mosaic path they would at >= 18 bits
@@ -96,6 +97,16 @@ def _hashes(case):
 def _chacha_prg(case, mul):
     from fss_tpu.prg.chacha import ChaCha
     return ChaCha(mul=mul, nonce=(case["nonce_lo"], case["nonce_hi"]))
+
+
+def _case_prg(case, mul):
+    """The case's own PRG (tests/test_golden.py:52-57 semantics)."""
+    if case["prg"] == "chacha":
+        return _chacha_prg(case, mul)
+    assert case["prg"] == "aes"
+    from fss_tpu.prg.aes import Aes128Mmo
+    return Aes128Mmo(mul=mul,
+                     keys=tuple(_h2b(k) for k in case["aes_keys"][:mul]))
 
 
 def _case_xs(case, in_bits, idx):
@@ -281,7 +292,8 @@ def check_vdpf_eval(interpret):
 
 
 # ---------------------------------------------------------------------------
-# Gen kernels (ChaCha only; AES keygen is dealer-side, docs/design.md)
+# Gen kernels (ChaCha fused + plane-domain AES; the native AES-NI engine
+# remains the dealer-side default, docs/design.md)
 # ---------------------------------------------------------------------------
 
 
@@ -315,6 +327,22 @@ def check_gen_kernels(interpret, quick=False):
 
     if quick:
         return n_cfg
+
+    # Plane-domain AES gen kernel (ops/aes_pallas.gen_batch).
+    from fss_tpu.ops import aes_pallas
+    for case in _load("dpf")["cases"]:
+        if case["prg"] != "aes" or case["in_bits"] > 32:
+            continue
+        g = _group(case)
+        keys = tuple(_h2b(k) for k in case["aes_keys"][:2])
+        s0s, alphas, betas = gen_inputs(case)
+        cws = np.asarray(aes_pallas.gen_batch(
+            keys, g, case["in_bits"], jnp.asarray(s0s), alphas, betas,
+            interpret=interpret))
+        exp = _rows(case["cws"])
+        if not np.array_equal(cws, np.broadcast_to(exp, cws.shape)):
+            raise Mismatch(f"dpf_gen_aes[{_cid(case)}]: key bytes differ")
+        n_cfg += 1
 
     for case in _load("dcf")["cases"]:
         g = _group(case)
@@ -457,7 +485,11 @@ def check_eval_all(interpret):
             n_cfg += 1
 
     for case in _load("grotto")["cases"]:
-        if case["in_bits"] < min_bits:
+        # The hybrid expansion kernel is ChaCha-driven (expand_leaves
+        # reads prg2.nonce); the AES-PRG Grotto golden case is covered at
+        # scheme level by tests/test_golden.py and the AES device kernels
+        # by the dpf/dcf/ht/vdpf_eval_aes families above.
+        if case["in_bits"] < min_bits or case["prg"] != "chacha":
             continue
         prg2 = _chacha_prg(case, 2)
         cws = jnp.asarray(_rows(case["cws"]))
@@ -558,7 +590,7 @@ def check_grotto_prefix(interpret):
     from fss_tpu.schemes import grotto_dcf as _gr
     n_cfg = 0
     for case in _load("grotto")["cases"]:
-        if case["in_bits"] < eak.MIN_BITS:
+        if case["in_bits"] < eak.MIN_BITS or case["prg"] != "chacha":
             continue
         prg2 = _chacha_prg(case, 2)
         cws = jnp.asarray(_rows(case["cws"]))
@@ -591,7 +623,7 @@ def check_vdmpf(interpret):
     for case in _load("vdmpf")["cases"]:
         d = Vdmpf(case["in_bits"], max_points=case["max_points"],
                   bucket_bits=case["bucket_bits"], group=_group(case),
-                  prg=_chacha_prg(case, 2), hashes=_hashes(case))
+                  prg=_case_prg(case, 2), hashes=_hashes(case))
         m = case["m"]
         cws = np.stack([_rows(b["cws"]) for b in case["buckets"]])
         cs = np.stack([_h2u32(b["cs"]).reshape(4, 4)
