@@ -660,32 +660,43 @@ void dcf_gen(const Prg &prg, const Group &grp, int in_bits, int pred_lt,
     u128 v1l = grp.from_block(set_lsb(o1[1], 0));
     u128 v1r = grp.from_block(set_lsb(o1[3], 0));
 
-    int ab = input_bit(a_lo, a_hi, in_bits, i);
-    Block s_cw = ab ? bxor(s0l, s1l) : bxor(s0r, s1r);
+    // Branchless level epilogue: ab and the control bits are uniformly
+    // random, so data-dependent branches here mispredict ~50% — selects
+    // are XOR-mask blends / cmov ternaries instead.
+    uint32_t ab = (uint32_t)input_bit(a_lo, a_hi, in_bits, i);
+    uint32_t abm = 0u - ab;
+    Block s_cw, keep0, keep1;
+    for (int w = 0; w < 4; ++w) {
+      uint32_t cl = s0l.w[w] ^ s1l.w[w], cr = s0r.w[w] ^ s1r.w[w];
+      s_cw.w[w] = cr ^ ((cl ^ cr) & abm);
+      keep0.w[w] = s0l.w[w] ^ ((s0l.w[w] ^ s0r.w[w]) & abm);
+      keep1.w[w] = s1l.w[w] ^ ((s1l.w[w] ^ s1r.w[w]) & abm);
+    }
 
     u128 v1_off = ab ? v1l : v1r;
     u128 v0_off = ab ? v0l : v0r;
     u128 v_cw = grp.add(grp.add(grp.neg(v), v1_off), grp.neg(v0_off));
-    int add_b = pred_lt ? ab : !ab;
-    if (add_b) v_cw = grp.add(v_cw, b_val);
-    if (t1) v_cw = grp.neg(v_cw);
+    uint32_t add_b = pred_lt ? ab : (ab ^ 1u);
+    v_cw = grp.add(v_cw, add_b ? b_val : (u128)0);
+    v_cw = t1 ? grp.neg(v_cw) : v_cw;
 
     u128 v1_on = ab ? v1r : v1l;
     u128 v0_on = ab ? v0r : v0l;
     v = grp.add(grp.add(v, grp.neg(v1_on)), v0_on);
     v = grp.add(v, t1 ? grp.neg(v_cw) : v_cw);
 
-    uint32_t tl_cw = t0l ^ t1l ^ (uint32_t)ab ^ 1u;
-    uint32_t tr_cw = t0r ^ t1r ^ (uint32_t)ab;
+    uint32_t tl_cw = t0l ^ t1l ^ ab ^ 1u;
+    uint32_t tr_cw = t0r ^ t1r ^ ab;
 
-    Block keep0 = ab ? s0r : s0l;
-    Block keep1 = ab ? s1r : s1l;
-    uint32_t tk0 = ab ? t0r : t0l;
-    uint32_t tk1 = ab ? t1r : t1l;
-    uint32_t tcw = ab ? tr_cw : tl_cw;
+    uint32_t tk0 = t0l ^ ((t0l ^ t0r) & ab);
+    uint32_t tk1 = t1l ^ ((t1l ^ t1r) & ab);
+    uint32_t tcw = tl_cw ^ ((tl_cw ^ tr_cw) & ab);
 
-    s0 = t0 ? bxor(keep0, s_cw) : keep0;
-    s1 = t1 ? bxor(keep1, s_cw) : keep1;
+    uint32_t t0m = 0u - t0, t1m = 0u - t1;
+    for (int w = 0; w < 4; ++w) {
+      s0.w[w] = keep0.w[w] ^ (s_cw.w[w] & t0m);
+      s1.w[w] = keep1.w[w] ^ (s_cw.w[w] & t1m);
+    }
     t0 = tk0 ^ (t0 & tcw);
     t1 = tk1 ^ (t1 & tcw);
 
