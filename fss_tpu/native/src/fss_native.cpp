@@ -600,7 +600,7 @@ void dpf_eval_all(const Prg &prg, const Group &grp, int in_bits, int party,
   for (uint64_t j = 0; j < n; ++j) {
     uint32_t t = get_lsb(ys[j]);
     u128 y = grp.from_block(set_lsb(ys[j], 0));
-    if (t) y = grp.add(y, ocw);
+    y = grp.add(y, t ? ocw : (u128)0);  // t is random: cmov, not branch
     if (party) y = grp.neg(y);
     grp.into_block(y, ys[j]);
   }
@@ -960,7 +960,7 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
   for (uint64_t j = 0; j < n; ++j) {
     uint32_t t = get_lsb(ys[j]);
     u128 term = grp.from_block(set_lsb(ys[j], 0));
-    if (t) term = grp.add(term, v_last);
+    term = grp.add(term, t ? v_last : (u128)0);
     if (party) term = grp.neg(term);
     grp.into_block(grp.add(grp.from_block(vs[j]), term), ys[j]);
   }
@@ -1259,20 +1259,20 @@ void ht_eval_all(const HtCtx &ht, const Group &grp, int in_bits, int party,
   Block hcw = set_lsb(last, 0);
   uint32_t lcw0 = get_lsb(last);
   uint32_t lcw1 = cws[2 * (in_bits - 1) + 1].w[0] & 1u;
+  u128 ocwv = grp.from_block(ocw);
   uint64_t half = 1ull << (in_bits - 1);
   for (uint64_t j = half; j-- > 0;) {
     Block node = ys[j];
     uint32_t t = get_lsb(node);
     for (int x_n = 1; x_n >= 0; --x_n) {
       Block h = ht.hash(set_lsb(node, (uint32_t)x_n));
-      Block high = set_lsb(h, 0);
-      uint32_t low = get_lsb(h);
-      if (t) {
-        high = bxor(high, hcw);
-        low ^= x_n ? lcw1 : lcw0;
-      }
+      uint32_t tm = 0u - t;
+      Block high;
+      for (int w = 0; w < 4; ++w) high.w[w] = h.w[w] ^ (hcw.w[w] & tm);
+      high.w[3] &= ~1u;
+      uint32_t low = (get_lsb(h) ^ (t & (x_n ? lcw1 : lcw0))) & 1u;
       u128 y = grp.from_block(high);
-      if (low) y = grp.add(y, grp.from_block(ocw));
+      y = grp.add(y, low ? ocwv : (u128)0);
       if (party) y = grp.neg(y);
       grp.into_block(y, ys[2 * j + x_n]);
     }
