@@ -876,11 +876,16 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
 #if FSS_HAVE_AESNI
     if (prg.kind == 1) {
       // AES-in-register level body; value math branchless (the t branch
-      // mispredicts ~50% over random control bits).
+      // mispredicts ~50% over random control bits). Uint groups <= 64
+      // bits keep the running value in one uint64 instead of the
+      // generic u128 Block round trip.
       const __m128i scw = clear_ctl(load_b(cws[2 * i]));
+      const bool u64fast = (grp.kind == 1 && grp.bits <= 64);
+      const uint64_t vmask =
+          grp.bits >= 64 ? ~0ull : ((1ull << grp.bits) - 1);
+      const uint64_t vcw64 = (uint64_t)v_cw;
       for (uint64_t j = m; j-- > 0;) {
         __m128i node = load_b(ys[j]);
-        u128 v = grp.from_block(vs[j]);
         uint32_t t = lsb_of(node);
         __m128i sn = clear_ctl(node);
         __m128i o0 = _mm_xor_si128(sn, prg.ks[0].rk[0]);
@@ -904,24 +909,48 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
         uint32_t tl = lsb_of(o0) ^ (t & tl_cw);
         uint32_t tr = lsb_of(o2) ^ (t & tr_cw);
         __m128i corr = _mm_and_si128(scw, mask_of(t));
-        Block vlb, vrb;
-        store_b(clear_ctl(o1), vlb);
-        store_b(clear_ctl(o3), vrb);
-        u128 vl = grp.from_block(vlb);
-        u128 vr = grp.from_block(vrb);
-        u128 addv = t ? v_cw : (u128)0;
-        vl = grp.add(vl, addv);
-        vr = grp.add(vr, addv);
-        if (party) {
-          vl = grp.neg(vl);
-          vr = grp.neg(vr);
-        }
         store_b(or_ctl(_mm_xor_si128(clear_ctl(o0), corr), tl),
                 ys[2 * j]);
         store_b(or_ctl(_mm_xor_si128(clear_ctl(o2), corr), tr),
                 ys[2 * j + 1]);
-        grp.into_block(grp.add(v, vl), vs[2 * j]);
-        grp.into_block(grp.add(v, vr), vs[2 * j + 1]);
+        if (u64fast) {
+          // set_lsb/clear_ctl only touch w[3]; low 64 bits unaffected.
+          uint64_t v64 = (uint64_t)vs[j].w[0] |
+                         ((uint64_t)vs[j].w[1] << 32);
+          uint64_t vl64 = ((uint64_t)_mm_cvtsi128_si64(o1)) & vmask;
+          uint64_t vr64 = ((uint64_t)_mm_cvtsi128_si64(o3)) & vmask;
+          uint64_t addv = t ? vcw64 : 0ull;
+          vl64 = (vl64 + addv) & vmask;
+          vr64 = (vr64 + addv) & vmask;
+          if (party) {
+            vl64 = (0ull - vl64) & vmask;
+            vr64 = (0ull - vr64) & vmask;
+          }
+          uint64_t nl = (v64 + vl64) & vmask;
+          uint64_t nr = (v64 + vr64) & vmask;
+          vs[2 * j].w[0] = (uint32_t)nl;
+          vs[2 * j].w[1] = (uint32_t)(nl >> 32);
+          vs[2 * j].w[2] = vs[2 * j].w[3] = 0;
+          vs[2 * j + 1].w[0] = (uint32_t)nr;
+          vs[2 * j + 1].w[1] = (uint32_t)(nr >> 32);
+          vs[2 * j + 1].w[2] = vs[2 * j + 1].w[3] = 0;
+        } else {
+          u128 v = grp.from_block(vs[j]);
+          Block vlb, vrb;
+          store_b(clear_ctl(o1), vlb);
+          store_b(clear_ctl(o3), vrb);
+          u128 vl = grp.from_block(vlb);
+          u128 vr = grp.from_block(vrb);
+          u128 addv = t ? v_cw : (u128)0;
+          vl = grp.add(vl, addv);
+          vr = grp.add(vr, addv);
+          if (party) {
+            vl = grp.neg(vl);
+            vr = grp.neg(vr);
+          }
+          grp.into_block(grp.add(v, vl), vs[2 * j]);
+          grp.into_block(grp.add(v, vr), vs[2 * j + 1]);
+        }
       }
       continue;
     }
