@@ -71,8 +71,72 @@ const uint32_t kConst16[4] = {0x61707865u, 0x3120646Eu, 0x79622D36u,
 const uint32_t kConst32[4] = {0x61707865u, 0x3320646Eu, 0x79622D32u,
                               0x6B206574u};
 
+#if FSS_HAVE_AESNI
+// Single-block ChaCha with the state rows in XMM registers: the column
+// round works on whole rows (each lane is one column); the diagonal
+// round shuffles rows 1-3 by 1/2/3 lanes and reuses it. 16/8-bit
+// rotates ride pshufb. Same nonstandard feed-forward as the scalar path.
+inline void chacha_qr_sse(__m128i &a, __m128i &b, __m128i &c, __m128i &d) {
+  const __m128i rot16 = _mm_set_epi8(13, 12, 15, 14, 9, 8, 11, 10, 5, 4,
+                                     7, 6, 1, 0, 3, 2);
+  const __m128i rot8 = _mm_set_epi8(14, 13, 12, 15, 10, 9, 8, 11, 6, 5,
+                                    4, 7, 2, 1, 0, 3);
+  a = _mm_add_epi32(a, b);
+  d = _mm_shuffle_epi8(_mm_xor_si128(d, a), rot16);
+  c = _mm_add_epi32(c, d);
+  b = _mm_xor_si128(b, c);
+  b = _mm_or_si128(_mm_slli_epi32(b, 12), _mm_srli_epi32(b, 20));
+  a = _mm_add_epi32(a, b);
+  d = _mm_shuffle_epi8(_mm_xor_si128(d, a), rot8);
+  c = _mm_add_epi32(c, d);
+  b = _mm_xor_si128(b, c);
+  b = _mm_or_si128(_mm_slli_epi32(b, 7), _mm_srli_epi32(b, 25));
+}
+
+void chacha_prg_sse(const Block &seed, const uint32_t nonce[2], int mul,
+                    int rounds, Block out[]) {
+  const uint32_t *cst = (mul <= 2) ? kConst16 : kConst32;
+  const __m128i r0c = _mm_loadu_si128(
+      reinterpret_cast<const __m128i *>(cst));
+  const __m128i kv = _mm_loadu_si128(
+      reinterpret_cast<const __m128i *>(seed.w));
+  const __m128i r3c = _mm_set_epi32((int)nonce[1], (int)nonce[0], 0, 0);
+  __m128i r0 = r0c, r1 = kv, r2 = kv, r3 = r3c;
+  for (int r = 0; r < rounds / 2; ++r) {
+    chacha_qr_sse(r0, r1, r2, r3);
+    r1 = _mm_shuffle_epi32(r1, 0x39);  // rows 1-3 left by 1/2/3 lanes
+    r2 = _mm_shuffle_epi32(r2, 0x4E);
+    r3 = _mm_shuffle_epi32(r3, 0x93);
+    chacha_qr_sse(r0, r1, r2, r3);
+    r1 = _mm_shuffle_epi32(r1, 0x93);
+    r2 = _mm_shuffle_epi32(r2, 0x4E);
+    r3 = _mm_shuffle_epi32(r3, 0x39);
+  }
+  int idx = 0;
+  if (mul >= 2) {
+    _mm_storeu_si128(reinterpret_cast<__m128i *>(out[idx].w),
+                     _mm_xor_si128(r0, r0c));
+    ++idx;
+  }
+  _mm_storeu_si128(reinterpret_cast<__m128i *>(out[idx].w),
+                   _mm_xor_si128(r1, kv));
+  ++idx;
+  if (mul == 4) {
+    _mm_storeu_si128(reinterpret_cast<__m128i *>(out[idx].w),
+                     _mm_xor_si128(r2, kv));
+    ++idx;
+    _mm_storeu_si128(reinterpret_cast<__m128i *>(out[idx].w),
+                     _mm_xor_si128(r3, r3c));
+  }
+}
+#endif  // FSS_HAVE_AESNI
+
 void chacha_prg(const Block &seed, const uint32_t nonce[2], int mul,
                 int rounds, Block out[/*mul*/]) {
+#if FSS_HAVE_AESNI
+  chacha_prg_sse(seed, nonce, mul, rounds, out);
+  return;
+#endif
   const uint32_t *cst = (mul <= 2) ? kConst16 : kConst32;
   uint32_t s[16];
   for (int i = 0; i < 4; ++i) s[i] = cst[i];
