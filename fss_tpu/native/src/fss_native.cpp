@@ -674,13 +674,116 @@ void dpf_eval_all(const Prg &prg, const Group &grp, int in_bits, int party,
 // DCF (dcf.cuh semantics; value-threaded comparison tree)
 // ---------------------------------------------------------------------------
 
+#if FSS_HAVE_AESNI
+// Fully register-resident DCF Gen for Uint groups <= 64 bits: seeds in
+// XMM, the value chain in one uint64, every random-bit select a blend.
+void dcf_gen_aesni_u64(const Prg &prg, const Group &grp, int in_bits,
+                       int pred_lt, const Block s0s[2], uint64_t a_lo,
+                       uint64_t a_hi, const Block &beta, Block *cws) {
+  __m128i s0 = clear_ctl(load_b(s0s[0]));
+  __m128i s1 = clear_ctl(load_b(s0s[1]));
+  uint32_t t0 = 0, t1 = 1;
+  const uint64_t vmask =
+      grp.bits >= 64 ? ~0ull : ((1ull << grp.bits) - 1);
+  const uint64_t bval64 = (uint64_t)grp.from_block(set_lsb(beta, 0));
+  uint64_t v64 = 0;
+  for (int i = 0; i < in_bits; ++i) {
+    __m128i e[8];
+    for (int m = 0; m < 4; ++m) {
+      e[m] = _mm_xor_si128(s0, prg.ks[m].rk[0]);
+      e[4 + m] = _mm_xor_si128(s1, prg.ks[m].rk[0]);
+    }
+    for (int rd = 1; rd < 10; ++rd)
+      for (int m = 0; m < 4; ++m) {
+        e[m] = _mm_aesenc_si128(e[m], prg.ks[m].rk[rd]);
+        e[4 + m] = _mm_aesenc_si128(e[4 + m], prg.ks[m].rk[rd]);
+      }
+    __m128i o0[4], o1[4];
+    for (int m = 0; m < 4; ++m) {
+      o0[m] = _mm_xor_si128(
+          _mm_aesenclast_si128(e[m], prg.ks[m].rk[10]), s0);
+      o1[m] = _mm_xor_si128(
+          _mm_aesenclast_si128(e[4 + m], prg.ks[m].rk[10]), s1);
+    }
+    uint32_t t0l = lsb_of(o0[0]), t0r = lsb_of(o0[2]);
+    uint32_t t1l = lsb_of(o1[0]), t1r = lsb_of(o1[2]);
+    uint32_t ab = (uint32_t)input_bit(a_lo, a_hi, in_bits, i);
+    __m128i abm = mask_of(ab);
+    __m128i s0l = clear_ctl(o0[0]), s0r = clear_ctl(o0[2]);
+    __m128i s1l = clear_ctl(o1[0]), s1r = clear_ctl(o1[2]);
+    __m128i s_cw = _mm_blendv_epi8(_mm_xor_si128(s0r, s1r),
+                                   _mm_xor_si128(s0l, s1l), abm);
+    __m128i keep0 = _mm_blendv_epi8(s0l, s0r, abm);
+    __m128i keep1 = _mm_blendv_epi8(s1l, s1r, abm);
+
+    uint64_t v0l = ((uint64_t)_mm_cvtsi128_si64(o0[1])) & vmask;
+    uint64_t v0r = ((uint64_t)_mm_cvtsi128_si64(o0[3])) & vmask;
+    uint64_t v1l = ((uint64_t)_mm_cvtsi128_si64(o1[1])) & vmask;
+    uint64_t v1r = ((uint64_t)_mm_cvtsi128_si64(o1[3])) & vmask;
+    uint64_t v1_off = ab ? v1l : v1r;
+    uint64_t v0_off = ab ? v0l : v0r;
+    uint64_t v_cw64 = ((0ull - v64) + v1_off + (0ull - v0_off)) & vmask;
+    uint32_t add_b = pred_lt ? ab : (ab ^ 1u);
+    v_cw64 = (v_cw64 + (add_b ? bval64 : 0ull)) & vmask;
+    v_cw64 = t1 ? ((0ull - v_cw64) & vmask) : v_cw64;
+    uint64_t v1_on = ab ? v1r : v1l;
+    uint64_t v0_on = ab ? v0r : v0l;
+    v64 = (v64 + (0ull - v1_on) + v0_on) & vmask;
+    v64 = (v64 + (t1 ? ((0ull - v_cw64) & vmask) : v_cw64)) & vmask;
+
+    uint32_t tl_cw = t0l ^ t1l ^ ab ^ 1u;
+    uint32_t tr_cw = t0r ^ t1r ^ ab;
+    uint32_t tk0 = t0l ^ ((t0l ^ t0r) & ab);
+    uint32_t tk1 = t1l ^ ((t1l ^ t1r) & ab);
+    uint32_t tcw = tl_cw ^ ((tl_cw ^ tr_cw) & ab);
+    s0 = _mm_xor_si128(keep0, _mm_and_si128(s_cw, mask_of(t0)));
+    s1 = _mm_xor_si128(keep1, _mm_and_si128(s_cw, mask_of(t1)));
+    t0 = tk0 ^ (t0 & tcw);
+    t1 = tk1 ^ (t1 & tcw);
+
+    store_b(or_ctl(s_cw, tl_cw), cws[2 * i]);
+    cws[2 * i + 1].w[0] = (uint32_t)v_cw64;
+    cws[2 * i + 1].w[1] = (uint32_t)(v_cw64 >> 32);
+    cws[2 * i + 1].w[2] = 0;
+    cws[2 * i + 1].w[3] = tr_cw & 1u;
+  }
+  Block s0b, s1b;
+  store_b(s0, s0b);
+  store_b(s1, s1b);
+  uint64_t lo0 = ((uint64_t)s0b.w[0] | ((uint64_t)s0b.w[1] << 32));
+  uint64_t lo1 = ((uint64_t)s1b.w[0] | ((uint64_t)s1b.w[1] << 32));
+  uint64_t v_last = ((lo1 & vmask) + (0ull - (lo0 & vmask)) +
+                     (0ull - v64)) & vmask;
+  if (t1) v_last = (0ull - v_last) & vmask;
+  cws[2 * in_bits].w[0] = cws[2 * in_bits].w[1] = 0;
+  cws[2 * in_bits].w[2] = cws[2 * in_bits].w[3] = 0;
+  cws[2 * in_bits + 1].w[0] = (uint32_t)v_last;
+  cws[2 * in_bits + 1].w[1] = (uint32_t)(v_last >> 32);
+  cws[2 * in_bits + 1].w[2] = cws[2 * in_bits + 1].w[3] = 0;
+}
+#endif  // FSS_HAVE_AESNI
+
 void dcf_gen(const Prg &prg, const Group &grp, int in_bits, int pred_lt,
              const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
              const Block &beta, Block *cws /* (in_bits+1) x 2 blocks */) {
+#if FSS_HAVE_AESNI
+  if (prg.kind == 1 && grp.kind == 1 && grp.bits <= 64) {
+    dcf_gen_aesni_u64(prg, grp, in_bits, pred_lt, s0s, a_lo, a_hi, beta,
+                      cws);
+    return;
+  }
+#endif
   Block s0 = set_lsb(s0s[0], 0), s1 = set_lsb(s0s[1], 0);
   uint32_t t0 = 0, t1 = 1;
   u128 b_val = grp.from_block(set_lsb(beta, 0));
   u128 v = 0;
+  // Uint groups <= 64 bits: run the whole value chain in one uint64
+  // (mod-2^bits sums mask once at the end of each chain).
+  const bool u64fast = (grp.kind == 1 && grp.bits <= 64);
+  const uint64_t vmask =
+      grp.bits >= 64 ? ~0ull : ((1ull << grp.bits) - 1);
+  const uint64_t bval64 = (uint64_t)b_val;
+  uint64_t v64 = 0;
 
   for (int i = 0; i < in_bits; ++i) {
     Block o0[4], o1[4];
@@ -719,11 +822,6 @@ void dcf_gen(const Prg &prg, const Group &grp, int in_bits, int pred_lt,
     uint32_t t1l = get_lsb(o1[0]), t1r = get_lsb(o1[2]);
     Block s0l = set_lsb(o0[0], 0), s0r = set_lsb(o0[2], 0);
     Block s1l = set_lsb(o1[0], 0), s1r = set_lsb(o1[2], 0);
-    u128 v0l = grp.from_block(set_lsb(o0[1], 0));
-    u128 v0r = grp.from_block(set_lsb(o0[3], 0));
-    u128 v1l = grp.from_block(set_lsb(o1[1], 0));
-    u128 v1r = grp.from_block(set_lsb(o1[3], 0));
-
     // Branchless level epilogue: ab and the control bits are uniformly
     // random, so data-dependent branches here mispredict ~50% — selects
     // are XOR-mask blends / cmov ternaries instead.
@@ -737,17 +835,43 @@ void dcf_gen(const Prg &prg, const Group &grp, int in_bits, int pred_lt,
       keep1.w[w] = s1l.w[w] ^ ((s1l.w[w] ^ s1r.w[w]) & abm);
     }
 
-    u128 v1_off = ab ? v1l : v1r;
-    u128 v0_off = ab ? v0l : v0r;
-    u128 v_cw = grp.add(grp.add(grp.neg(v), v1_off), grp.neg(v0_off));
     uint32_t add_b = pred_lt ? ab : (ab ^ 1u);
-    v_cw = grp.add(v_cw, add_b ? b_val : (u128)0);
-    v_cw = t1 ? grp.neg(v_cw) : v_cw;
-
-    u128 v1_on = ab ? v1r : v1l;
-    u128 v0_on = ab ? v0r : v0l;
-    v = grp.add(grp.add(v, grp.neg(v1_on)), v0_on);
-    v = grp.add(v, t1 ? grp.neg(v_cw) : v_cw);
+    Block v_row;
+    if (u64fast) {
+      auto lo64 = [](const Block &b) {
+        return (uint64_t)b.w[0] | ((uint64_t)b.w[1] << 32);
+      };
+      uint64_t v0l = lo64(o0[1]) & vmask, v0r = lo64(o0[3]) & vmask;
+      uint64_t v1l = lo64(o1[1]) & vmask, v1r = lo64(o1[3]) & vmask;
+      uint64_t v1_off = ab ? v1l : v1r;
+      uint64_t v0_off = ab ? v0l : v0r;
+      uint64_t v_cw64 =
+          ((0ull - v64) + v1_off + (0ull - v0_off)) & vmask;
+      v_cw64 = (v_cw64 + (add_b ? bval64 : 0ull)) & vmask;
+      v_cw64 = t1 ? ((0ull - v_cw64) & vmask) : v_cw64;
+      uint64_t v1_on = ab ? v1r : v1l;
+      uint64_t v0_on = ab ? v0r : v0l;
+      v64 = (v64 + (0ull - v1_on) + v0_on) & vmask;
+      v64 = (v64 + (t1 ? ((0ull - v_cw64) & vmask) : v_cw64)) & vmask;
+      v_row.w[0] = (uint32_t)v_cw64;
+      v_row.w[1] = (uint32_t)(v_cw64 >> 32);
+      v_row.w[2] = v_row.w[3] = 0;
+    } else {
+      u128 v0l = grp.from_block(set_lsb(o0[1], 0));
+      u128 v0r = grp.from_block(set_lsb(o0[3], 0));
+      u128 v1l = grp.from_block(set_lsb(o1[1], 0));
+      u128 v1r = grp.from_block(set_lsb(o1[3], 0));
+      u128 v1_off = ab ? v1l : v1r;
+      u128 v0_off = ab ? v0l : v0r;
+      u128 v_cw = grp.add(grp.add(grp.neg(v), v1_off), grp.neg(v0_off));
+      v_cw = grp.add(v_cw, add_b ? b_val : (u128)0);
+      v_cw = t1 ? grp.neg(v_cw) : v_cw;
+      u128 v1_on = ab ? v1r : v1l;
+      u128 v0_on = ab ? v0r : v0l;
+      v = grp.add(grp.add(v, grp.neg(v1_on)), v0_on);
+      v = grp.add(v, t1 ? grp.neg(v_cw) : v_cw);
+      grp.into_block(v_cw, v_row);
+    }
 
     uint32_t tl_cw = t0l ^ t1l ^ ab ^ 1u;
     uint32_t tr_cw = t0r ^ t1r ^ ab;
@@ -765,10 +889,9 @@ void dcf_gen(const Prg &prg, const Group &grp, int in_bits, int pred_lt,
     t1 = tk1 ^ (t1 & tcw);
 
     cws[2 * i] = set_lsb(s_cw, tl_cw);
-    Block v_row;
-    grp.into_block(v_cw, v_row);
     cws[2 * i + 1] = set_lsb(v_row, tr_cw);
   }
+  if (u64fast) v = (u128)v64;
 
   u128 v_last = grp.add(grp.add(grp.from_block(s1),
                                 grp.neg(grp.from_block(s0))),
@@ -1109,17 +1232,24 @@ void ht_gen(const HtCtx &ht, const Group &grp, int in_bits,
     h0 = ht.hash(n0);
     h1 = ht.hash(n1);
 #endif
-    Block delta = bxor(n0, n1);
-    int ab = input_bit(a_lo, a_hi, in_bits, i);
-    Block cw = bxor(h0, h1);
-    if (!ab) cw = bxor(cw, delta);
+    // Branchless epilogue (alpha/control bits are random; branches here
+    // mispredict ~50%).
+    uint32_t ab = (uint32_t)input_bit(a_lo, a_hi, in_bits, i);
+    uint32_t nabm = 0u - (ab ^ 1u);
+    uint32_t t0 = get_lsb(n0), t1 = get_lsb(n1);
+    uint32_t abm = 0u - ab, t0m = 0u - t0, t1m = 0u - t1;
+    Block cw;
+    for (int w = 0; w < 4; ++w)
+      cw.w[w] = h0.w[w] ^ h1.w[w] ^ ((n0.w[w] ^ n1.w[w]) & nabm);
     cws[2 * i] = cw;
     std::memset(cws[2 * i + 1].w, 0, 16);
-    uint32_t t0 = get_lsb(n0), t1 = get_lsb(n1);
-    Block m0 = ab ? bxor(h0, n0) : h0;
-    Block m1 = ab ? bxor(h1, n1) : h1;
-    n0 = t0 ? bxor(m0, cw) : m0;
-    n1 = t1 ? bxor(m1, cw) : m1;
+    Block nn0, nn1;
+    for (int w = 0; w < 4; ++w) {
+      nn0.w[w] = h0.w[w] ^ (n0.w[w] & abm) ^ (cw.w[w] & t0m);
+      nn1.w[w] = h1.w[w] ^ (n1.w[w] & abm) ^ (cw.w[w] & t1m);
+    }
+    n0 = nn0;
+    n1 = nn1;
   }
 
   int a_n = input_bit(a_lo, a_hi, in_bits, in_bits - 1);
