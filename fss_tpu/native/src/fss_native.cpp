@@ -1197,10 +1197,99 @@ struct HtCtx {
   }
 };
 
+#if FSS_HAVE_AESNI
+// Register-resident Half-Tree Gen: both CCR chains in XMM, selects as
+// mask blends (half_tree_dpf.cuh:68-169 semantics, bit-exact with the
+// scalar path below).
+void ht_gen_aesni(const HtCtx &ht, const Group &grp, int in_bits,
+                  const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
+                  const Block &beta, Block *cws, Block &ocw) {
+  const AesKeySchedule &ks = ht.prg->ks[0];
+  const __m128i hk = load_b(ht.hash_key);
+  __m128i n0 = clear_ctl(load_b(s0s[0]));
+  __m128i n1 = or_ctl(clear_ctl(load_b(s0s[1])), 1);
+  for (int i = 0; i < in_bits - 1; ++i) {
+    __m128i v0 = _mm_xor_si128(n0, hk);
+    __m128i v1 = _mm_xor_si128(n1, hk);
+    __m128i e0 = _mm_xor_si128(v0, ks.rk[0]);
+    __m128i e1 = _mm_xor_si128(v1, ks.rk[0]);
+    for (int rd = 1; rd < 10; ++rd) {
+      e0 = _mm_aesenc_si128(e0, ks.rk[rd]);
+      e1 = _mm_aesenc_si128(e1, ks.rk[rd]);
+    }
+    __m128i h0 = _mm_xor_si128(_mm_aesenclast_si128(e0, ks.rk[10]), v0);
+    __m128i h1 = _mm_xor_si128(_mm_aesenclast_si128(e1, ks.rk[10]), v1);
+    uint32_t ab = (uint32_t)input_bit(a_lo, a_hi, in_bits, i);
+    uint32_t t0 = lsb_of(n0), t1 = lsb_of(n1);
+    __m128i cw = _mm_xor_si128(
+        _mm_xor_si128(h0, h1),
+        _mm_and_si128(_mm_xor_si128(n0, n1), mask_of(ab ^ 1u)));
+    store_b(cw, cws[2 * i]);
+    std::memset(cws[2 * i + 1].w, 0, 16);
+    __m128i abm = mask_of(ab);
+    n0 = _mm_xor_si128(h0, _mm_xor_si128(_mm_and_si128(n0, abm),
+                                         _mm_and_si128(cw, mask_of(t0))));
+    n1 = _mm_xor_si128(h1, _mm_xor_si128(_mm_and_si128(n1, abm),
+                                         _mm_and_si128(cw, mask_of(t1))));
+  }
+
+  uint32_t a_n = (uint32_t)input_bit(a_lo, a_hi, in_bits, in_bits - 1);
+  uint32_t t0 = lsb_of(n0), t1 = lsb_of(n1);
+  __m128i nb[4] = {clear_ctl(n0), or_ctl(clear_ctl(n0), 1),
+                   clear_ctl(n1), or_ctl(clear_ctl(n1), 1)};
+  __m128i hh[4];
+  {
+    __m128i vv[4], ee[4];
+    for (int k = 0; k < 4; ++k) {
+      vv[k] = _mm_xor_si128(nb[k], hk);
+      ee[k] = _mm_xor_si128(vv[k], ks.rk[0]);
+    }
+    for (int rd = 1; rd < 10; ++rd)
+      for (int k = 0; k < 4; ++k)
+        ee[k] = _mm_aesenc_si128(ee[k], ks.rk[rd]);
+    for (int k = 0; k < 4; ++k)
+      hh[k] = _mm_xor_si128(_mm_aesenclast_si128(ee[k], ks.rk[10]),
+                            vv[k]);
+  }
+  const __m128i h0_0 = hh[0], h0_1 = hh[1], h1_0 = hh[2], h1_1 = hh[3];
+  __m128i anm = mask_of(a_n);
+  __m128i hcw = _mm_blendv_epi8(
+      clear_ctl(_mm_xor_si128(h0_1, h1_1)),
+      clear_ctl(_mm_xor_si128(h0_0, h1_0)), anm);
+  uint32_t lcw_0 = lsb_of(h0_0) ^ lsb_of(h1_0) ^ (a_n ^ 1u);
+  uint32_t lcw_1 = lsb_of(h0_1) ^ lsb_of(h1_1) ^ a_n;
+  store_b(or_ctl(hcw, lcw_0), cws[2 * (in_bits - 1)]);
+  std::memset(cws[2 * (in_bits - 1) + 1].w, 0, 16);
+  cws[2 * (in_bits - 1) + 1].w[0] = lcw_1;
+
+  __m128i leaf0 = _mm_blendv_epi8(h0_0, h0_1, anm);
+  __m128i leaf1 = _mm_blendv_epi8(h1_0, h1_1, anm);
+  uint32_t lcw_an = a_n ? lcw_1 : lcw_0;
+  __m128i leaf_cw = or_ctl(hcw, lcw_an);
+  leaf0 = _mm_xor_si128(leaf0, _mm_and_si128(leaf_cw, mask_of(t0)));
+  leaf1 = _mm_xor_si128(leaf1, _mm_and_si128(leaf_cw, mask_of(t1)));
+  Block l0b, l1b;
+  store_b(leaf0, l0b);
+  store_b(leaf1, l1b);
+  Block b_buf = set_lsb(beta, 0);
+  u128 v = grp.add(grp.add(grp.from_block(b_buf),
+                           grp.neg(grp.from_block(set_lsb(l0b, 0)))),
+                   grp.from_block(set_lsb(l1b, 0)));
+  if (get_lsb(l1b)) v = grp.neg(v);
+  grp.into_block(v, ocw);
+}
+#endif  // FSS_HAVE_AESNI
+
 void ht_gen(const HtCtx &ht, const Group &grp, int in_bits,
             const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
             const Block &beta, Block *cws /* in_bits x 2 blocks */,
             Block &ocw) {
+#if FSS_HAVE_AESNI
+  if (ht.prg->kind == 1) {
+    ht_gen_aesni(ht, grp, in_bits, s0s, a_lo, a_hi, beta, cws, ocw);
+    return;
+  }
+#endif
   Block b_buf = set_lsb(beta, 0);
   Block n0 = set_lsb(s0s[0], 0);
   Block n1 = set_lsb(s0s[1], 1);
