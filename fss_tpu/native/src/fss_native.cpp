@@ -1743,24 +1743,37 @@ inline void blake3_g(uint32_t *v, int a, int b, int c, int d, uint32_t x,
   v[b] = rotr32(v[b] ^ v[c], 7);
 }
 
+// Per-round message index schedule (kSched[r][i] = which input word
+// feeds slot i in round r) — replaces physically permuting the 64B
+// message block every round (2 copies/round in the hot Prove chain).
+struct Blake3Sched {
+  uint8_t s[7][16];
+  Blake3Sched() {
+    for (int i = 0; i < 16; ++i) s[0][i] = (uint8_t)i;
+    for (int r = 1; r < 7; ++r)
+      for (int i = 0; i < 16; ++i)
+        s[r][i] = s[r - 1][kBlake3Perm[i]];
+  }
+};
+
 void blake3_compress(const uint32_t iv[8], const uint32_t m_in[16],
                      uint32_t block_len, uint32_t out[16]) {
-  uint32_t v[16], m[16], mp[16];
+  static const Blake3Sched kSched;
+  uint32_t v[16], m[16];
   for (int i = 0; i < 8; ++i) v[i] = iv[i];
   for (int i = 0; i < 4; ++i) v[8 + i] = kBlake3Iv0[i];
   v[12] = 0; v[13] = 0; v[14] = block_len; v[15] = 0x1B;
   std::memcpy(m, m_in, sizeof(m));
   for (int r = 0; r < 7; ++r) {
-    blake3_g(v, 0, 4, 8, 12, m[0], m[1]);
-    blake3_g(v, 1, 5, 9, 13, m[2], m[3]);
-    blake3_g(v, 2, 6, 10, 14, m[4], m[5]);
-    blake3_g(v, 3, 7, 11, 15, m[6], m[7]);
-    blake3_g(v, 0, 5, 10, 15, m[8], m[9]);
-    blake3_g(v, 1, 6, 11, 12, m[10], m[11]);
-    blake3_g(v, 2, 7, 8, 13, m[12], m[13]);
-    blake3_g(v, 3, 4, 9, 14, m[14], m[15]);
-    for (int i = 0; i < 16; ++i) mp[i] = m[kBlake3Perm[i]];
-    std::memcpy(m, mp, sizeof(m));
+    const uint8_t *sc = kSched.s[r];
+    blake3_g(v, 0, 4, 8, 12, m[sc[0]], m[sc[1]]);
+    blake3_g(v, 1, 5, 9, 13, m[sc[2]], m[sc[3]]);
+    blake3_g(v, 2, 6, 10, 14, m[sc[4]], m[sc[5]]);
+    blake3_g(v, 3, 7, 11, 15, m[sc[6]], m[sc[7]]);
+    blake3_g(v, 0, 5, 10, 15, m[sc[8]], m[sc[9]]);
+    blake3_g(v, 1, 6, 11, 12, m[sc[10]], m[sc[11]]);
+    blake3_g(v, 2, 7, 8, 13, m[sc[12]], m[sc[13]]);
+    blake3_g(v, 3, 4, 9, 14, m[sc[14]], m[sc[15]]);
   }
   for (int i = 0; i < 8; ++i) out[i] = v[i] ^ v[i + 8];
   for (int i = 0; i < 8; ++i) out[8 + i] = v[8 + i] ^ iv[i];
