@@ -17,7 +17,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fss_tpu.ops._chacha_core import FULL, NOTONE, ONE, chacha_block
+from fss_tpu.ops._chacha_core import NOTONE, ONE, chacha_block
 
 LANES = 128
 DEFAULT_BLOCK_ROWS = 32
@@ -46,8 +46,9 @@ def _make_kernel(in_bits: int, party: int, nonce, rounds: int, hash_key):
                       >> (pos & np.uint32(31))) & ONE
             else:
                 xb = (x >> pos) & ONE
-            xm = jnp.where(xb.astype(jnp.bool_), FULL, np.uint32(0))
-            tm = jnp.where(t.astype(jnp.bool_), FULL, np.uint32(0))
+            # 0/1 -> all-zeros/all-ones arithmetic masks (no vselect).
+            xm = np.uint32(0) - xb
+            tm = np.uint32(0) - t
             cw0 = c_ref[i, 0]
             cw1 = c_ref[i, 1]
             cw2 = c_ref[i, 2]
@@ -73,8 +74,8 @@ def _make_kernel(in_bits: int, party: int, nonce, rounds: int, hash_key):
         last2 = c_ref[in_bits - 1, 2]
         last3 = c_ref[in_bits - 1, 3]
         last4 = c_ref[in_bits - 1, 4]
-        lcw_xn = jnp.where(x_n.astype(jnp.bool_), last4 & ONE, last3 & ONE)
-        tm = jnp.where(t.astype(jnp.bool_), FULL, np.uint32(0))
+        lcw_xn = (last3 & ONE) ^ (x_n & ((last3 ^ last4) & ONE))
+        tm = np.uint32(0) - t
         low = (h3 & ONE) ^ (t & lcw_xn)
         ho_ref[0] = h0 ^ (last0 & tm)
         ho_ref[1] = h1 ^ (last1 & tm)
