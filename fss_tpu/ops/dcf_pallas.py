@@ -71,7 +71,7 @@ def _make_kernel(in_bits: int, party: int, nonce, rounds: int,
             s_cw = (cw[0], cw[1], cw[2], cw[3] & NOTONE)
             v_cw = (cw[4], cw[5], cw[6], cw[7] & NOTONE)
 
-            tm = jnp.where(t.astype(jnp.bool_), FULL, np.uint32(0))
+            tm = np.uint32(0) - t  # 0/1 -> arithmetic mask, no vselect
             l0 ^= s_cw[0] & tm
             l1 ^= s_cw[1] & tm
             l2 ^= s_cw[2] & tm

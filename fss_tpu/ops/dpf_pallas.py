@@ -34,7 +34,6 @@ from fss_tpu import block as blk
 
 _ONE = np.uint32(1)
 _NOTONE = np.uint32(0xFFFFFFFE)
-_FULL = np.uint32(0xFFFFFFFF)
 _C16 = (np.uint32(0x61707865), np.uint32(0x3120646E),
         np.uint32(0x79622D36), np.uint32(0x6B206574))
 _COLS = ((0, 4, 8, 12), (1, 5, 9, 13), (2, 6, 10, 14), (3, 7, 11, 15))
@@ -203,8 +202,8 @@ def _make_gen_kernel(in_bits: int, nonce, rounds: int):
             c_ref[i, 4] = tr_cw
 
             tcw = jnp.where(abb, tr_cw, tl_cw)
-            tm0 = jnp.where(t0.astype(jnp.bool_), _FULL, np.uint32(0))
-            tm1 = jnp.where(t1.astype(jnp.bool_), _FULL, np.uint32(0))
+            tm0 = np.uint32(0) - t0
+            tm1 = np.uint32(0) - t1
             n00 = jnp.where(abb, r00, l00) ^ (cw0 & tm0)
             n01 = jnp.where(abb, r01, l01) ^ (cw1 & tm0)
             n02 = jnp.where(abb, r02, l02) ^ (cw2 & tm0)

@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fss_tpu import block as blk
-from fss_tpu.ops._chacha_core import FULL, NOTONE, ONE, chacha_block
+from fss_tpu.ops._chacha_core import NOTONE, ONE, chacha_block
 from fss_tpu.schemes import _tree
 
 LANES = 128
@@ -71,7 +71,7 @@ def _make_kernel(nonce, rounds: int, unroll: bool = True):
             tl_cw = cw3r & ONE
             cw3 = cw3r & NOTONE
             tr_cw = cw4 & ONE
-            tm = jnp.where(t.astype(jnp.bool_), FULL, np.uint32(0))
+            tm = np.uint32(0) - t
             # Children keep their t in the clamped bit (packed node form).
             ltv = (l3 & ONE) ^ (t & tl_cw)
             rtv = (q3 & ONE) ^ (t & tr_cw)
@@ -164,7 +164,7 @@ def _make_dcf_kernel(nonce, rounds: int, group_is_xor: bool,
             tr_cw = cw[7] & ONE
             s_cw = (cw[0], cw[1], cw[2], cw[3] & NOTONE)
             v_cw = (cw[4], cw[5], cw[6], cw[7] & NOTONE)
-            tm = jnp.where(t.astype(jnp.bool_), FULL, np.uint32(0))
+            tm = np.uint32(0) - t
 
             ltv = (l3 & ONE) ^ (t & tl_cw)
             rtv = (q3 & ONE) ^ (t & tr_cw)
@@ -321,7 +321,7 @@ def _make_ht_kernel(nonce, rounds: int, hash_key, unroll: bool = True):
             (h0, h1, h2, h3), = chacha_block(
                 n0 ^ hk[0], n1 ^ hk[1], n2 ^ hk[2], n3 ^ hk[3],
                 nonce, 1, rounds, unroll=unroll)
-            tm = jnp.where(t.astype(jnp.bool_), FULL, np.uint32(0))
+            tm = np.uint32(0) - t
             l0 = h0 ^ (c_ref[lvl, 0] & tm)
             l1 = h1 ^ (c_ref[lvl, 1] & tm)
             l2 = h2 ^ (c_ref[lvl, 2] & tm)
@@ -338,7 +338,7 @@ def _make_ht_kernel(nonce, rounds: int, hash_key, unroll: bool = True):
 
         # Conversion level (half_tree_dpf.cuh:320-349).
         t = n3 & ONE
-        tm = jnp.where(t.astype(jnp.bool_), FULL, np.uint32(0))
+        tm = np.uint32(0) - t
         hcw0 = c_ref[KERNEL_LEVELS - 1, 0]
         hcw1 = c_ref[KERNEL_LEVELS - 1, 1]
         hcw2 = c_ref[KERNEL_LEVELS - 1, 2]
