@@ -457,7 +457,35 @@ def _verify_gate() -> bool:
     return True
 
 
+def _wait_for_device(budget_s: float) -> None:
+    """The tunneled TPU pool intermittently returns UNAVAILABLE (a claim
+    can also queue for minutes). Retry backend init for up to
+    ``budget_s`` so a transient outage doesn't void a bench run; give up
+    and proceed (CPU fallback will fail loudly) once exhausted."""
+    import subprocess
+    deadline = time.time() + budget_s
+    while True:
+        # Probe in a subprocess: jax caches a failed backend init for the
+        # life of the process, so the probe must not be this process.
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=max(60.0, budget_s / 2))
+            ok, err = r.returncode == 0, r.stderr.decode()[-200:]
+        except subprocess.TimeoutExpired:
+            ok, err = False, "probe timed out (claim queued?)"
+        if ok:
+            return
+        if time.time() >= deadline:
+            print(f"bench: device wait exhausted: {err}", file=sys.stderr)
+            return
+        print("bench: TPU unavailable, retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    import os
+    _wait_for_device(float(os.environ.get("FSS_TPU_BENCH_WAIT_S", 1200)))
     if not _verify_gate():
         sys.exit(1)
     # Best of 3 measurement passes: throughput over the tunneled chip has
