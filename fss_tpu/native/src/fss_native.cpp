@@ -473,68 +473,94 @@ void dpf_expand_level_aesni(const Prg &prg, Block *ys, uint64_t m,
 #endif  // FSS_HAVE_AESNI
 
 #if FSS_HAVE_AESNI
-// Register-resident Gen: both parties' expansions are four independent
-// AES chains per level, and every (alpha_bit, t) select is a mask blend
-// (alpha bits are uniformly random -> ~50% mispredict as branches).
-// Bit-identical to the scalar path below (dpf.cuh:93-153 semantics).
+// Register-resident Gen, K keys interleaved: each key's two party
+// expansions are four independent AES chains per level (4K chains in
+// flight — K=2 saturates the AES unit), and every (alpha_bit, t) select
+// is a mask blend (alpha bits are uniformly random -> ~50% mispredict
+// as branches). Bit-identical to the scalar path (dpf.cuh:93-153).
+template <int K>
+void dpf_gen_aesni_k(const Prg &prg, const Group &grp, int in_bits,
+                     const Block *s0s /* K x 2 seeds */,
+                     const uint64_t *a_lo, const uint64_t *a_hi,
+                     const Block *betas /* K */,
+                     Block *const cwsk[K]) {
+  __m128i s0[K], s1[K];
+  uint32_t t0[K], t1[K];
+  for (int k = 0; k < K; ++k) {
+    s0[k] = clear_ctl(load_b(s0s[2 * k]));
+    s1[k] = clear_ctl(load_b(s0s[2 * k + 1]));
+    t0[k] = 0;
+    t1[k] = 1;
+  }
+  for (int i = 0; i < in_bits; ++i) {
+    __m128i a0[K], b0[K], a1[K], b1[K];
+    for (int k = 0; k < K; ++k) {
+      a0[k] = _mm_xor_si128(s0[k], prg.ks[0].rk[0]);
+      b0[k] = _mm_xor_si128(s0[k], prg.ks[1].rk[0]);
+      a1[k] = _mm_xor_si128(s1[k], prg.ks[0].rk[0]);
+      b1[k] = _mm_xor_si128(s1[k], prg.ks[1].rk[0]);
+    }
+    for (int rd = 1; rd < 10; ++rd)
+      for (int k = 0; k < K; ++k) {
+        a0[k] = _mm_aesenc_si128(a0[k], prg.ks[0].rk[rd]);
+        b0[k] = _mm_aesenc_si128(b0[k], prg.ks[1].rk[rd]);
+        a1[k] = _mm_aesenc_si128(a1[k], prg.ks[0].rk[rd]);
+        b1[k] = _mm_aesenc_si128(b1[k], prg.ks[1].rk[rd]);
+      }
+    for (int k = 0; k < K; ++k) {
+      __m128i o0l = _mm_xor_si128(
+          _mm_aesenclast_si128(a0[k], prg.ks[0].rk[10]), s0[k]);
+      __m128i o0r = _mm_xor_si128(
+          _mm_aesenclast_si128(b0[k], prg.ks[1].rk[10]), s0[k]);
+      __m128i o1l = _mm_xor_si128(
+          _mm_aesenclast_si128(a1[k], prg.ks[0].rk[10]), s1[k]);
+      __m128i o1r = _mm_xor_si128(
+          _mm_aesenclast_si128(b1[k], prg.ks[1].rk[10]), s1[k]);
+      uint32_t t0l = lsb_of(o0l), t0r = lsb_of(o0r);
+      uint32_t t1l = lsb_of(o1l), t1r = lsb_of(o1r);
+      uint32_t ab =
+          (uint32_t)input_bit(a_lo[k], a_hi ? a_hi[k] : 0, in_bits, i);
+      __m128i abm = mask_of(ab);
+      __m128i s0l = clear_ctl(o0l), s0r = clear_ctl(o0r);
+      __m128i s1l = clear_ctl(o1l), s1r = clear_ctl(o1r);
+      __m128i s_cw = _mm_blendv_epi8(_mm_xor_si128(s0r, s1r),
+                                     _mm_xor_si128(s0l, s1l), abm);
+      uint32_t tl_cw = t0l ^ t1l ^ ab ^ 1u;
+      uint32_t tr_cw = t0r ^ t1r ^ ab;
+      __m128i keep0 = _mm_blendv_epi8(s0l, s0r, abm);
+      __m128i keep1 = _mm_blendv_epi8(s1l, s1r, abm);
+      uint32_t tk0 = t0l ^ ((t0l ^ t0r) & (0u - ab));
+      uint32_t tk1 = t1l ^ ((t1l ^ t1r) & (0u - ab));
+      uint32_t tcw = tl_cw ^ ((tl_cw ^ tr_cw) & (0u - ab));
+      s0[k] = _mm_xor_si128(keep0, _mm_and_si128(s_cw, mask_of(t0[k])));
+      s1[k] = _mm_xor_si128(keep1, _mm_and_si128(s_cw, mask_of(t1[k])));
+      t0[k] = tk0 ^ (t0[k] & tcw);
+      t1[k] = tk1 ^ (t1[k] & tcw);
+      store_b(or_ctl(s_cw, tl_cw), cwsk[k][2 * i]);
+      cwsk[k][2 * i + 1].w[0] = tr_cw;
+      cwsk[k][2 * i + 1].w[1] = cwsk[k][2 * i + 1].w[2] =
+          cwsk[k][2 * i + 1].w[3] = 0;
+    }
+  }
+  for (int k = 0; k < K; ++k) {
+    Block s0b, s1b;
+    store_b(s0[k], s0b);
+    store_b(s1[k], s1b);
+    u128 v = grp.add(grp.add(grp.from_block(set_lsb(betas[k], 0)),
+                             grp.neg(grp.from_block(s0b))),
+                     grp.from_block(s1b));
+    if (t1[k] & 1u) v = grp.neg(v);
+    grp.into_block(v, cwsk[k][2 * in_bits]);
+    cwsk[k][2 * in_bits + 1].w[0] = cwsk[k][2 * in_bits + 1].w[1] = 0;
+    cwsk[k][2 * in_bits + 1].w[2] = cwsk[k][2 * in_bits + 1].w[3] = 0;
+  }
+}
+
 void dpf_gen_aesni(const Prg &prg, const Group &grp, int in_bits,
                    const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
                    const Block &beta, Block *cws) {
-  __m128i s0 = clear_ctl(load_b(s0s[0]));
-  __m128i s1 = clear_ctl(load_b(s0s[1]));
-  uint32_t t0 = 0, t1 = 1;
-  for (int i = 0; i < in_bits; ++i) {
-    __m128i a0 = _mm_xor_si128(s0, prg.ks[0].rk[0]);
-    __m128i b0 = _mm_xor_si128(s0, prg.ks[1].rk[0]);
-    __m128i a1 = _mm_xor_si128(s1, prg.ks[0].rk[0]);
-    __m128i b1 = _mm_xor_si128(s1, prg.ks[1].rk[0]);
-    for (int rd = 1; rd < 10; ++rd) {
-      a0 = _mm_aesenc_si128(a0, prg.ks[0].rk[rd]);
-      b0 = _mm_aesenc_si128(b0, prg.ks[1].rk[rd]);
-      a1 = _mm_aesenc_si128(a1, prg.ks[0].rk[rd]);
-      b1 = _mm_aesenc_si128(b1, prg.ks[1].rk[rd]);
-    }
-    __m128i o0l = _mm_xor_si128(
-        _mm_aesenclast_si128(a0, prg.ks[0].rk[10]), s0);
-    __m128i o0r = _mm_xor_si128(
-        _mm_aesenclast_si128(b0, prg.ks[1].rk[10]), s0);
-    __m128i o1l = _mm_xor_si128(
-        _mm_aesenclast_si128(a1, prg.ks[0].rk[10]), s1);
-    __m128i o1r = _mm_xor_si128(
-        _mm_aesenclast_si128(b1, prg.ks[1].rk[10]), s1);
-    uint32_t t0l = lsb_of(o0l), t0r = lsb_of(o0r);
-    uint32_t t1l = lsb_of(o1l), t1r = lsb_of(o1r);
-    uint32_t ab = (uint32_t)input_bit(a_lo, a_hi, in_bits, i);
-    __m128i abm = mask_of(ab);
-    __m128i s0l = clear_ctl(o0l), s0r = clear_ctl(o0r);
-    __m128i s1l = clear_ctl(o1l), s1r = clear_ctl(o1r);
-    __m128i s_cw = _mm_blendv_epi8(_mm_xor_si128(s0r, s1r),
-                                   _mm_xor_si128(s0l, s1l), abm);
-    uint32_t tl_cw = t0l ^ t1l ^ ab ^ 1u;
-    uint32_t tr_cw = t0r ^ t1r ^ ab;
-    __m128i keep0 = _mm_blendv_epi8(s0l, s0r, abm);
-    __m128i keep1 = _mm_blendv_epi8(s1l, s1r, abm);
-    uint32_t tk0 = t0l ^ ((t0l ^ t0r) & (0u - ab));
-    uint32_t tk1 = t1l ^ ((t1l ^ t1r) & (0u - ab));
-    uint32_t tcw = tl_cw ^ ((tl_cw ^ tr_cw) & (0u - ab));
-    s0 = _mm_xor_si128(keep0, _mm_and_si128(s_cw, mask_of(t0)));
-    s1 = _mm_xor_si128(keep1, _mm_and_si128(s_cw, mask_of(t1)));
-    t0 = tk0 ^ (t0 & tcw);
-    t1 = tk1 ^ (t1 & tcw);
-    store_b(or_ctl(s_cw, tl_cw), cws[2 * i]);
-    cws[2 * i + 1].w[0] = tr_cw;
-    cws[2 * i + 1].w[1] = cws[2 * i + 1].w[2] = cws[2 * i + 1].w[3] = 0;
-  }
-  Block s0b, s1b;
-  store_b(s0, s0b);
-  store_b(s1, s1b);
-  u128 v = grp.add(grp.add(grp.from_block(set_lsb(beta, 0)),
-                           grp.neg(grp.from_block(s0b))),
-                   grp.from_block(s1b));
-  if (t1 & 1u) v = grp.neg(v);
-  grp.into_block(v, cws[2 * in_bits]);
-  cws[2 * in_bits + 1].w[0] = cws[2 * in_bits + 1].w[1] = 0;
-  cws[2 * in_bits + 1].w[2] = cws[2 * in_bits + 1].w[3] = 0;
+  Block *const cwsk[1] = {cws};
+  dpf_gen_aesni_k<1>(prg, grp, in_bits, s0s, &a_lo, &a_hi, &beta, cwsk);
 }
 #endif  // FSS_HAVE_AESNI
 
@@ -2189,7 +2215,25 @@ void fss_dpf_gen_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
   Prg prg = make_prg(prg_kind, 2, nonce, aes_keys, rounds);
   Group grp{group_kind, group_bits};
   size_t key_stride = (size_t)(in_bits + 1) * 8;
-  for (int64_t i = 0; i < n; ++i) {
+  int64_t i = 0;
+#if FSS_HAVE_AESNI
+  if (prg.kind == 1) {
+    for (; i + 2 <= n; i += 2) {
+      Block s0s_b[4], beta_b[2];
+      std::memcpy(s0s_b, s0s_batch + 8 * i, 64);
+      std::memcpy(beta_b, betas + 4 * i, 32);
+      uint64_t alo[2] = {alphas_lo[i], alphas_lo[i + 1]};
+      uint64_t ahi[2] = {alphas_hi ? alphas_hi[i] : 0,
+                         alphas_hi ? alphas_hi[i + 1] : 0};
+      Block *const cwsk[2] = {
+          reinterpret_cast<Block *>(cws_out + key_stride * i),
+          reinterpret_cast<Block *>(cws_out + key_stride * (i + 1))};
+      dpf_gen_aesni_k<2>(prg, grp, in_bits, s0s_b, alo, ahi, beta_b,
+                         cwsk);
+    }
+  }
+#endif
+  for (; i < n; ++i) {
     Block s0s_b[2], beta_b;
     std::memcpy(s0s_b, s0s_batch + 8 * i, 32);
     std::memcpy(beta_b.w, betas + 4 * i, 16);
