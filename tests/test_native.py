@@ -140,6 +140,19 @@ def test_dpf_gen_batch_matches_single(eng, rng):
                           nonce=NONCE)
         assert np.array_equal(one, cwsb[i]), f"row {i}"
 
+    # AES path: the batch loop interleaves two keys per step; every row
+    # (both interleave slots + the odd tail) must equal the single-key gen.
+    keys = tuple(bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+                 for _ in range(2))
+    cwsa = eng.dpf_gen_batch(in_bits, native.PRG_AES128_MMO,
+                             native.GROUP_UINT, 32, s0sb, alphas, betas,
+                             aes_keys=keys)
+    for i in range(n):
+        one = eng.dpf_gen(in_bits, native.PRG_AES128_MMO,
+                          native.GROUP_UINT, 32, s0sb[i], int(alphas[i]),
+                          betas[i], aes_keys=keys)
+        assert np.array_equal(one, cwsa[i]), f"aes row {i}"
+
 
 @pytest.mark.parametrize("gk,gb,g", GROUPS,
                          ids=["bytes", "u32", "u64", "u127"])
