@@ -213,6 +213,69 @@ def _bench_registry():
     out.append(("half_tree_eval_aes_uint_16bit",
                 _timeit(fha, (hsp, hcwp, hxp, hocw_a), Ba),
                 "evals/s/chip"))
+
+    # DCF eval with the AES-MMO PRG (4-lane plane-domain kernel with
+    # in-kernel bitsliced value accumulation; staged keys).
+    aes_keys4 = tuple(bytes(range(16 * i, 16 * (i + 1))) for i in range(4))
+    from fss_tpu.schemes import dcf as _dcfs
+    prgd4 = Aes128Mmo(mul=4, keys=aes_keys4)
+    cwsda = jax.jit(jax.vmap(
+        lambda s, a, b: _dcfs.gen(prgd4, g, ib, "lt", s, a, b)))(
+            s0sb[:Ba], a_l[:Ba], betas[:Ba])
+    dasp, dacwp, daxp, davl, _ = jax.jit(
+        _aesk.dcf_pack_eval, static_argnames=("in_bits", "block_rows"))(
+            s0sb[:Ba, 0], cwsda, xsa, in_bits=ib)
+
+    @jax.jit
+    def fdca(sp, cwp, xp, vl):
+        vo, so, to = _aesk.dcf_eval_packed(
+            sp, cwp, xp, in_bits=ib, party=0, keys=aes_keys4,
+            group_is_xor=False, group_bits=32)
+        v_raw, _ = _aesk.unpack_out(vo, to, Ba)
+        s, tb = _aesk.unpack_out(so, to, Ba)
+        vlb = vl if vl.shape[0] == 1 else vl[:Ba]
+        term = g.from_block(s)
+        term = jnp.where(tb.astype(jnp.bool_)[:, None],
+                         g.add(term, g.from_block(vlb)), term)
+        y = g.add(g.from_block(v_raw), term)
+        return jnp.sum(g.into_block(y)[:, 0])
+
+    out.append(("dcf_eval_aes_uint_16bit",
+                _timeit(fdca, (dasp, dacwp, daxp, davl), Ba),
+                "evals/s/chip"))
+
+    # VDPF eval with the AES-MMO PRG + SHA-256 (staged keys; the hash and
+    # finalize run per point outside the kernel, as in the reference's
+    # Eval -> pi-tilde shape, vdpf.cuh:189-242).
+    from fss_tpu.hash.sha256 import Sha256
+    from fss_tpu.schemes import vdpf as _vdpfs
+    sh = Sha256((0xA1B2C3D4, 0x11223344, 0x55667788, 0x99AABBCC))
+    vcwa, vcsa, vocwa, _vf = jax.jit(jax.vmap(
+        lambda s, a, b: _vdpfs.gen(prga, sh.xor_hash, g, ib, s, a, b)))(
+            s0sb[:Ba], a_l[:Ba], betas[:Ba])
+    zrow = jnp.zeros((Ba, 1, 8), dtype=jnp.uint32)
+    vasp, vacwp, vaxp, _, _ = jax.jit(
+        _aesk.pack_eval, static_argnames=("in_bits", "block_rows"))(
+            s0sb[:Ba, 0], jnp.concatenate([vcwa, zrow], axis=1), xsa,
+            in_bits=ib)
+
+    @jax.jit
+    def fvaes(sp, cwp, xp, cs, ocw, xs):
+        so, to = _aesk.eval_packed(sp, cwp, xp, in_bits=ib, party=0,
+                                   keys=aes_keys)
+        s, t = _aesk.unpack_out(so, to, Ba)
+        y = g.from_block(s)
+        y = jnp.where(t.astype(jnp.bool_)[:, None],
+                      g.add(y, g.from_block(ocw)), y)
+        x_lanes = blk.pack_inputs(xs, ib)
+        pi = sh.xor_hash(x_lanes, s)
+        pi = jnp.where(t.astype(jnp.bool_)[:, None, None],
+                       jnp.bitwise_xor(pi, cs), pi)
+        return jnp.sum(g.into_block(y)[:, 0]) + jnp.sum(pi[:, 0, 0])
+
+    out.append(("vdpf_eval_aes_sha256_uint_16bit",
+                _timeit(fvaes, (vasp, vacwp, vaxp, vcsa, vocwa, xsa), Ba),
+                "evals/s/chip"))
     from fss_tpu.ops import dpf_pallas as _dpfk
     alphas_u32 = rng.integers(0, 2**ib, size=B, dtype=np.uint32)
     fg = jax.jit(lambda s, a, b: jnp.sum(_dpfk.gen_batch(
