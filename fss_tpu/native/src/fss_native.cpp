@@ -1224,85 +1224,119 @@ struct HtCtx {
 };
 
 #if FSS_HAVE_AESNI
-// Register-resident Half-Tree Gen: both CCR chains in XMM, selects as
+// Register-resident Half-Tree Gen, K keys interleaved: each key's two
+// CCR chains stay in XMM (2K AES chains in flight per level — K=1 is
+// latency-bound at 2 chains, K>=2 hides the aesenc latency), selects as
 // mask blends (half_tree_dpf.cuh:68-169 semantics, bit-exact with the
 // scalar path below).
+template <int K>
+void ht_gen_aesni_k(const HtCtx &ht, const Group &grp, int in_bits,
+                    const Block *s0s /* K x 2 seeds */,
+                    const uint64_t *a_lo, const uint64_t *a_hi,
+                    const Block *betas /* K */, Block *const cwsk[K],
+                    Block *ocws /* K */) {
+  const AesKeySchedule &ks = ht.prg->ks[0];
+  const __m128i hk = load_b(ht.hash_key);
+  __m128i n0[K], n1[K];
+  for (int k = 0; k < K; ++k) {
+    n0[k] = clear_ctl(load_b(s0s[2 * k]));
+    n1[k] = or_ctl(clear_ctl(load_b(s0s[2 * k + 1])), 1);
+  }
+  for (int i = 0; i < in_bits - 1; ++i) {
+    __m128i v0[K], v1[K], e0[K], e1[K];
+    for (int k = 0; k < K; ++k) {
+      v0[k] = _mm_xor_si128(n0[k], hk);
+      v1[k] = _mm_xor_si128(n1[k], hk);
+      e0[k] = _mm_xor_si128(v0[k], ks.rk[0]);
+      e1[k] = _mm_xor_si128(v1[k], ks.rk[0]);
+    }
+    for (int rd = 1; rd < 10; ++rd)
+      for (int k = 0; k < K; ++k) {
+        e0[k] = _mm_aesenc_si128(e0[k], ks.rk[rd]);
+        e1[k] = _mm_aesenc_si128(e1[k], ks.rk[rd]);
+      }
+    for (int k = 0; k < K; ++k) {
+      __m128i h0 =
+          _mm_xor_si128(_mm_aesenclast_si128(e0[k], ks.rk[10]), v0[k]);
+      __m128i h1 =
+          _mm_xor_si128(_mm_aesenclast_si128(e1[k], ks.rk[10]), v1[k]);
+      uint32_t ab =
+          (uint32_t)input_bit(a_lo[k], a_hi ? a_hi[k] : 0, in_bits, i);
+      uint32_t t0 = lsb_of(n0[k]), t1 = lsb_of(n1[k]);
+      __m128i cw = _mm_xor_si128(
+          _mm_xor_si128(h0, h1),
+          _mm_and_si128(_mm_xor_si128(n0[k], n1[k]), mask_of(ab ^ 1u)));
+      store_b(cw, cwsk[k][2 * i]);
+      std::memset(cwsk[k][2 * i + 1].w, 0, 16);
+      __m128i abm = mask_of(ab);
+      n0[k] = _mm_xor_si128(
+          h0, _mm_xor_si128(_mm_and_si128(n0[k], abm),
+                            _mm_and_si128(cw, mask_of(t0))));
+      n1[k] = _mm_xor_si128(
+          h1, _mm_xor_si128(_mm_and_si128(n1[k], abm),
+                            _mm_and_si128(cw, mask_of(t1))));
+    }
+  }
+
+  __m128i hh[4 * K];
+  {
+    __m128i vv[4 * K], ee[4 * K];
+    for (int k = 0; k < K; ++k) {
+      __m128i nb[4] = {clear_ctl(n0[k]), or_ctl(clear_ctl(n0[k]), 1),
+                       clear_ctl(n1[k]), or_ctl(clear_ctl(n1[k]), 1)};
+      for (int j = 0; j < 4; ++j) {
+        vv[4 * k + j] = _mm_xor_si128(nb[j], hk);
+        ee[4 * k + j] = _mm_xor_si128(vv[4 * k + j], ks.rk[0]);
+      }
+    }
+    for (int rd = 1; rd < 10; ++rd)
+      for (int j = 0; j < 4 * K; ++j)
+        ee[j] = _mm_aesenc_si128(ee[j], ks.rk[rd]);
+    for (int j = 0; j < 4 * K; ++j)
+      hh[j] = _mm_xor_si128(_mm_aesenclast_si128(ee[j], ks.rk[10]),
+                            vv[j]);
+  }
+  for (int k = 0; k < K; ++k) {
+    uint32_t a_n =
+        (uint32_t)input_bit(a_lo[k], a_hi ? a_hi[k] : 0, in_bits,
+                            in_bits - 1);
+    uint32_t t0 = lsb_of(n0[k]), t1 = lsb_of(n1[k]);
+    const __m128i h0_0 = hh[4 * k], h0_1 = hh[4 * k + 1];
+    const __m128i h1_0 = hh[4 * k + 2], h1_1 = hh[4 * k + 3];
+    __m128i anm = mask_of(a_n);
+    __m128i hcw = _mm_blendv_epi8(
+        clear_ctl(_mm_xor_si128(h0_1, h1_1)),
+        clear_ctl(_mm_xor_si128(h0_0, h1_0)), anm);
+    uint32_t lcw_0 = lsb_of(h0_0) ^ lsb_of(h1_0) ^ (a_n ^ 1u);
+    uint32_t lcw_1 = lsb_of(h0_1) ^ lsb_of(h1_1) ^ a_n;
+    store_b(or_ctl(hcw, lcw_0), cwsk[k][2 * (in_bits - 1)]);
+    std::memset(cwsk[k][2 * (in_bits - 1) + 1].w, 0, 16);
+    cwsk[k][2 * (in_bits - 1) + 1].w[0] = lcw_1;
+
+    __m128i leaf0 = _mm_blendv_epi8(h0_0, h0_1, anm);
+    __m128i leaf1 = _mm_blendv_epi8(h1_0, h1_1, anm);
+    uint32_t lcw_an = a_n ? lcw_1 : lcw_0;
+    __m128i leaf_cw = or_ctl(hcw, lcw_an);
+    leaf0 = _mm_xor_si128(leaf0, _mm_and_si128(leaf_cw, mask_of(t0)));
+    leaf1 = _mm_xor_si128(leaf1, _mm_and_si128(leaf_cw, mask_of(t1)));
+    Block l0b, l1b;
+    store_b(leaf0, l0b);
+    store_b(leaf1, l1b);
+    Block b_buf = set_lsb(betas[k], 0);
+    u128 v = grp.add(grp.add(grp.from_block(b_buf),
+                             grp.neg(grp.from_block(set_lsb(l0b, 0)))),
+                     grp.from_block(set_lsb(l1b, 0)));
+    if (get_lsb(l1b)) v = grp.neg(v);
+    grp.into_block(v, ocws[k]);
+  }
+}
+
 void ht_gen_aesni(const HtCtx &ht, const Group &grp, int in_bits,
                   const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
                   const Block &beta, Block *cws, Block &ocw) {
-  const AesKeySchedule &ks = ht.prg->ks[0];
-  const __m128i hk = load_b(ht.hash_key);
-  __m128i n0 = clear_ctl(load_b(s0s[0]));
-  __m128i n1 = or_ctl(clear_ctl(load_b(s0s[1])), 1);
-  for (int i = 0; i < in_bits - 1; ++i) {
-    __m128i v0 = _mm_xor_si128(n0, hk);
-    __m128i v1 = _mm_xor_si128(n1, hk);
-    __m128i e0 = _mm_xor_si128(v0, ks.rk[0]);
-    __m128i e1 = _mm_xor_si128(v1, ks.rk[0]);
-    for (int rd = 1; rd < 10; ++rd) {
-      e0 = _mm_aesenc_si128(e0, ks.rk[rd]);
-      e1 = _mm_aesenc_si128(e1, ks.rk[rd]);
-    }
-    __m128i h0 = _mm_xor_si128(_mm_aesenclast_si128(e0, ks.rk[10]), v0);
-    __m128i h1 = _mm_xor_si128(_mm_aesenclast_si128(e1, ks.rk[10]), v1);
-    uint32_t ab = (uint32_t)input_bit(a_lo, a_hi, in_bits, i);
-    uint32_t t0 = lsb_of(n0), t1 = lsb_of(n1);
-    __m128i cw = _mm_xor_si128(
-        _mm_xor_si128(h0, h1),
-        _mm_and_si128(_mm_xor_si128(n0, n1), mask_of(ab ^ 1u)));
-    store_b(cw, cws[2 * i]);
-    std::memset(cws[2 * i + 1].w, 0, 16);
-    __m128i abm = mask_of(ab);
-    n0 = _mm_xor_si128(h0, _mm_xor_si128(_mm_and_si128(n0, abm),
-                                         _mm_and_si128(cw, mask_of(t0))));
-    n1 = _mm_xor_si128(h1, _mm_xor_si128(_mm_and_si128(n1, abm),
-                                         _mm_and_si128(cw, mask_of(t1))));
-  }
-
-  uint32_t a_n = (uint32_t)input_bit(a_lo, a_hi, in_bits, in_bits - 1);
-  uint32_t t0 = lsb_of(n0), t1 = lsb_of(n1);
-  __m128i nb[4] = {clear_ctl(n0), or_ctl(clear_ctl(n0), 1),
-                   clear_ctl(n1), or_ctl(clear_ctl(n1), 1)};
-  __m128i hh[4];
-  {
-    __m128i vv[4], ee[4];
-    for (int k = 0; k < 4; ++k) {
-      vv[k] = _mm_xor_si128(nb[k], hk);
-      ee[k] = _mm_xor_si128(vv[k], ks.rk[0]);
-    }
-    for (int rd = 1; rd < 10; ++rd)
-      for (int k = 0; k < 4; ++k)
-        ee[k] = _mm_aesenc_si128(ee[k], ks.rk[rd]);
-    for (int k = 0; k < 4; ++k)
-      hh[k] = _mm_xor_si128(_mm_aesenclast_si128(ee[k], ks.rk[10]),
-                            vv[k]);
-  }
-  const __m128i h0_0 = hh[0], h0_1 = hh[1], h1_0 = hh[2], h1_1 = hh[3];
-  __m128i anm = mask_of(a_n);
-  __m128i hcw = _mm_blendv_epi8(
-      clear_ctl(_mm_xor_si128(h0_1, h1_1)),
-      clear_ctl(_mm_xor_si128(h0_0, h1_0)), anm);
-  uint32_t lcw_0 = lsb_of(h0_0) ^ lsb_of(h1_0) ^ (a_n ^ 1u);
-  uint32_t lcw_1 = lsb_of(h0_1) ^ lsb_of(h1_1) ^ a_n;
-  store_b(or_ctl(hcw, lcw_0), cws[2 * (in_bits - 1)]);
-  std::memset(cws[2 * (in_bits - 1) + 1].w, 0, 16);
-  cws[2 * (in_bits - 1) + 1].w[0] = lcw_1;
-
-  __m128i leaf0 = _mm_blendv_epi8(h0_0, h0_1, anm);
-  __m128i leaf1 = _mm_blendv_epi8(h1_0, h1_1, anm);
-  uint32_t lcw_an = a_n ? lcw_1 : lcw_0;
-  __m128i leaf_cw = or_ctl(hcw, lcw_an);
-  leaf0 = _mm_xor_si128(leaf0, _mm_and_si128(leaf_cw, mask_of(t0)));
-  leaf1 = _mm_xor_si128(leaf1, _mm_and_si128(leaf_cw, mask_of(t1)));
-  Block l0b, l1b;
-  store_b(leaf0, l0b);
-  store_b(leaf1, l1b);
-  Block b_buf = set_lsb(beta, 0);
-  u128 v = grp.add(grp.add(grp.from_block(b_buf),
-                           grp.neg(grp.from_block(set_lsb(l0b, 0)))),
-                   grp.from_block(set_lsb(l1b, 0)));
-  if (get_lsb(l1b)) v = grp.neg(v);
-  grp.into_block(v, ocw);
+  Block *const cwsk[1] = {cws};
+  ht_gen_aesni_k<1>(ht, grp, in_bits, s0s, &a_lo, &a_hi, &beta, cwsk,
+                    &ocw);
 }
 #endif  // FSS_HAVE_AESNI
 
@@ -2738,7 +2772,25 @@ void fss_ht_gen_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
   HtCtx ht{&prg, Block()};
   std::memcpy(ht.hash_key.w, hash_key, 16);
   int64_t stride = 8 * in_bits;
-  for (int64_t i = 0; i < n; ++i) {
+  int64_t i = 0;
+#if FSS_HAVE_AESNI
+  if (prg.kind == 1 && in_bits >= 1) {
+    for (; i + 4 <= n; i += 4) {
+      Block s0s_b[8], beta_b[4], ocw_b[4];
+      std::memcpy(s0s_b, s0s + 8 * i, 128);
+      std::memcpy(beta_b, betas + 4 * i, 64);
+      Block *const cwsk[4] = {
+          reinterpret_cast<Block *>(cws + stride * i),
+          reinterpret_cast<Block *>(cws + stride * (i + 1)),
+          reinterpret_cast<Block *>(cws + stride * (i + 2)),
+          reinterpret_cast<Block *>(cws + stride * (i + 3))};
+      ht_gen_aesni_k<4>(ht, grp, in_bits, s0s_b, alphas + i, nullptr,
+                        beta_b, cwsk, ocw_b);
+      std::memcpy(ocws + 4 * i, ocw_b, 64);
+    }
+  }
+#endif
+  for (; i < n; ++i) {
     Block s0s_b[2], beta_b, ocw_b;
     std::memcpy(s0s_b, s0s + 8 * i, 32);
     std::memcpy(beta_b.w, betas + 4 * i, 16);

@@ -230,3 +230,24 @@ def test_ht_gen_eval_matches_jax(eng, rng):
                           64, party, hash_key, s0s[party], cws_n, ocw_n,
                           xs, nonce=NONCE)
         assert np.array_equal(got, ref), f"party {party}"
+
+
+def test_ht_gen_batch_matches_single(eng, rng):
+    """AES batch gen interleaves 4 keys per step (ht_gen_aesni_k<4>);
+    every row (all interleave slots + the tail) must equal single-key gen."""
+    in_bits = 9
+    n = 7  # one x4 step + a 3-key tail
+    keys = (bytes(rng.integers(0, 256, 16, dtype=np.uint8)),)
+    hash_key = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    s0sb = rng.integers(0, 2**32, size=(n, 2, 4), dtype=np.uint32)
+    alphas = rng.integers(0, 2**in_bits, size=n, dtype=np.uint64)
+    betas = rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32)
+    cwsb, ocwb = eng.ht_gen_batch(in_bits, native.PRG_AES128_MMO,
+                                  native.GROUP_UINT, 32, hash_key, s0sb,
+                                  alphas, betas, aes_keys=keys)
+    for i in range(n):
+        one, ocw1 = eng.ht_gen(in_bits, native.PRG_AES128_MMO,
+                               native.GROUP_UINT, 32, hash_key, s0sb[i],
+                               int(alphas[i]), betas[i], aes_keys=keys)
+        assert np.array_equal(one, cwsb[i]), f"row {i}"
+        assert np.array_equal(ocw1, ocwb[i]), f"ocw {i}"
