@@ -2253,17 +2253,16 @@ void fss_dpf_gen_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
 #if FSS_HAVE_AESNI
   if (prg.kind == 1) {
     for (; i + 2 <= n; i += 2) {
-      Block s0s_b[4], beta_b[2];
-      std::memcpy(s0s_b, s0s_batch + 8 * i, 64);
-      std::memcpy(beta_b, betas + 4 * i, 32);
-      uint64_t alo[2] = {alphas_lo[i], alphas_lo[i + 1]};
-      uint64_t ahi[2] = {alphas_hi ? alphas_hi[i] : 0,
-                         alphas_hi ? alphas_hi[i + 1] : 0};
+      // Alias the caller arrays directly (load_b/store_b are unaligned);
+      // no per-key staging copies.
       Block *const cwsk[2] = {
           reinterpret_cast<Block *>(cws_out + key_stride * i),
           reinterpret_cast<Block *>(cws_out + key_stride * (i + 1))};
-      dpf_gen_aesni_k<2>(prg, grp, in_bits, s0s_b, alo, ahi, beta_b,
-                         cwsk);
+      dpf_gen_aesni_k<2>(
+          prg, grp, in_bits,
+          reinterpret_cast<const Block *>(s0s_batch + 8 * i),
+          alphas_lo + i, alphas_hi ? alphas_hi + i : nullptr,
+          reinterpret_cast<const Block *>(betas + 4 * i), cwsk);
     }
   }
 #endif
@@ -2776,17 +2775,17 @@ void fss_ht_gen_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
 #if FSS_HAVE_AESNI
   if (prg.kind == 1 && in_bits >= 1) {
     for (; i + 4 <= n; i += 4) {
-      Block s0s_b[8], beta_b[4], ocw_b[4];
-      std::memcpy(s0s_b, s0s + 8 * i, 128);
-      std::memcpy(beta_b, betas + 4 * i, 64);
+      // Alias the caller arrays directly (unaligned loads/stores).
       Block *const cwsk[4] = {
           reinterpret_cast<Block *>(cws + stride * i),
           reinterpret_cast<Block *>(cws + stride * (i + 1)),
           reinterpret_cast<Block *>(cws + stride * (i + 2)),
           reinterpret_cast<Block *>(cws + stride * (i + 3))};
-      ht_gen_aesni_k<4>(ht, grp, in_bits, s0s_b, alphas + i, nullptr,
-                        beta_b, cwsk, ocw_b);
-      std::memcpy(ocws + 4 * i, ocw_b, 64);
+      ht_gen_aesni_k<4>(ht, grp, in_bits,
+                        reinterpret_cast<const Block *>(s0s + 8 * i),
+                        alphas + i, nullptr,
+                        reinterpret_cast<const Block *>(betas + 4 * i),
+                        cwsk, reinterpret_cast<Block *>(ocws + 4 * i));
     }
   }
 #endif

@@ -8,11 +8,18 @@ scripts/bench_native.py for ``--rounds`` rounds and keeps the best (=
 least-interference) time per row on each side — both sides sampled from
 the same set of windows.
 
-Outputs: updates scripts/ref_bench/results_here.jsonl with the best
-reference times and prints the merged table (also saved to
-scripts/ref_bench/compare.md for docs/benchmarks.md).
+Outputs: updates scripts/ref_bench/results_here.jsonl (reference bests)
+and results_ours.jsonl (our bests) and prints the merged table (also
+saved to scripts/ref_bench/compare.md for docs/benchmarks.md).
 
-Run: python scripts/bench_compare.py [--rounds N]  (~8 min/round)
+Unless --fresh is given, the saved bests from previous runs seed this
+run's table, so repeated invocations accumulate the per-row best over
+ever more time windows — symmetrically for both sides (each run always
+interleaves both harnesses), which tightens the noise floor without
+favoring either harness.
+
+Run: python scripts/bench_compare.py [--rounds N] [--fresh]
+(~8 min/round)
 """
 
 from __future__ import annotations
@@ -66,10 +73,19 @@ def run_ours() -> dict[str, float]:
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore bests saved by previous runs")
     args = ap.parse_args()
 
     best_ref: dict[str, float] = {}
     best_ours: dict[str, float] = {}
+    if not args.fresh:
+        for path, dst in ((REF_DIR / "results_here.jsonl", best_ref),
+                          (REF_DIR / "results_ours.jsonl", best_ours)):
+            if path.exists():
+                for line in path.read_text().splitlines():
+                    row = json.loads(line)
+                    dst[row["name"]] = float(row["ns_per_iter"])
     for r in range(args.rounds):
         for name, ns in run_ref().items():
             best_ref[name] = min(best_ref.get(name, 1e30), ns)
@@ -79,6 +95,9 @@ def main():
 
     with open(REF_DIR / "results_here.jsonl", "w") as f:
         for name, ns in best_ref.items():
+            f.write(json.dumps({"name": name, "ns_per_iter": ns}) + "\n")
+    with open(REF_DIR / "results_ours.jsonl", "w") as f:
+        for name, ns in best_ours.items():
             f.write(json.dumps({"name": name, "ns_per_iter": ns}) + "\n")
 
     lines = ["| Bench (20-bit) | fss_tpu native | reference (same host) "
