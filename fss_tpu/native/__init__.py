@@ -38,13 +38,27 @@ def _build() -> str:
     os.makedirs(cache_root, exist_ok=True)
     with open(_SRC, "rb") as f:
         src = f.read()
-    key = hashlib.sha256(src).hexdigest()[:16]
+    # VAES-512 paths (4 AES blocks per instruction) are compiled in only
+    # when THIS host has the features — the flags join the cache key so a
+    # cache dir moved across hosts cannot serve a mismatched binary.
+    extra: list[str] = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = f.read()
+        if " vaes" in flags and " avx512f" in flags and \
+                " avx512bw" in flags and " avx512vl" in flags:
+            extra = ["-mvaes", "-mavx512f", "-mavx512bw", "-mavx512vl",
+                     "-mavx512dq", "-DFSS_BUILD_VAES512=1"]
+    except OSError:
+        pass
+    key = hashlib.sha256(src + b"|" + " ".join(extra).encode()
+                         ).hexdigest()[:16]
     so_path = os.path.join(cache_root, f"fss_native_{key}.so")
     if os.path.exists(so_path):
         return so_path
     tmp = so_path + ".tmp"
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-maes",
-           "-msse4.2", "-o", tmp, _SRC]
+           "-msse4.2", *extra, "-o", tmp, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, so_path)
     return so_path

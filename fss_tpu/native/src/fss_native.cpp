@@ -29,6 +29,17 @@
 #define FSS_HAVE_AESNI 0
 #endif
 
+// VAES-512: one vaesenc on a zmm advances FOUR AES blocks. Only compiled
+// when the build host has vaes+avx512 (native/__init__.py probes
+// /proc/cpuinfo and passes -DFSS_BUILD_VAES512); the engine is built
+// per-host, so no runtime dispatch is needed beyond this.
+#if defined(FSS_BUILD_VAES512) && defined(__VAES__) && \
+    defined(__AVX512F__)
+#define FSS_HAVE_VAES512 1
+#else
+#define FSS_HAVE_VAES512 0
+#endif
+
 namespace {
 
 struct Block {
@@ -563,6 +574,141 @@ void dpf_gen_aesni(const Prg &prg, const Group &grp, int in_bits,
   dpf_gen_aesni_k<1>(prg, grp, in_bits, s0s, &a_lo, &a_hi, &beta, cwsk);
 }
 #endif  // FSS_HAVE_AESNI
+
+#if FSS_HAVE_VAES512
+// Key-sliced VAES-512 Gen: four keys ride the four 128-bit lanes of a
+// zmm, so each of the four MMO expansions per level is ONE vaesenc
+// chain (40 aesenc-equivalents per level for 4 keys vs 160 on xmm), and
+// the entire CW epilogue runs 4-keys-wide under AVX-512 lane masks.
+// Bit-identical to dpf_gen_aesni_k (dpf.cuh:93-153 semantics).
+inline __m512i bcast_b512(__m128i x) { return _mm512_broadcast_i32x4(x); }
+
+// Per-key 0/1 bits -> a 16-bit dword mask covering each key's lane.
+inline __mmask16 lane_mask4(uint32_t b0, uint32_t b1, uint32_t b2,
+                            uint32_t b3) {
+  return (__mmask16)((b0 * 0xFu) | (b1 * 0xF0u) | (b2 * 0xF00u) |
+                     (b3 * 0xF000u));
+}
+
+void dpf_gen_vaes4(const Prg &prg, const Group &grp, int in_bits,
+                   const Block *s0s /* 4 x 2 seeds */,
+                   const uint64_t *a_lo, const uint64_t *a_hi,
+                   const Block *betas /* 4 */, Block *const cwsk[4]) {
+  const __m512i ctl512 = bcast_b512(_mm_set_epi32(1, 0, 0, 0));
+  __m512i rk0z[11], rk1z[11];
+  for (int r = 0; r < 11; ++r) {
+    rk0z[r] = bcast_b512(prg.ks[0].rk[r]);
+    rk1z[r] = bcast_b512(prg.ks[1].rk[r]);
+  }
+  __m512i S0 = _mm512_castsi128_si512(clear_ctl(load_b(s0s[0])));
+  S0 = _mm512_inserti32x4(S0, clear_ctl(load_b(s0s[2])), 1);
+  S0 = _mm512_inserti32x4(S0, clear_ctl(load_b(s0s[4])), 2);
+  S0 = _mm512_inserti32x4(S0, clear_ctl(load_b(s0s[6])), 3);
+  __m512i S1 = _mm512_castsi128_si512(clear_ctl(load_b(s0s[1])));
+  S1 = _mm512_inserti32x4(S1, clear_ctl(load_b(s0s[3])), 1);
+  S1 = _mm512_inserti32x4(S1, clear_ctl(load_b(s0s[5])), 2);
+  S1 = _mm512_inserti32x4(S1, clear_ctl(load_b(s0s[7])), 3);
+  uint32_t t0b[4] = {0, 0, 0, 0}, t1b[4] = {1, 1, 1, 1};
+
+  for (int i = 0; i < in_bits; ++i) {
+    __m512i e0l = _mm512_xor_si512(S0, rk0z[0]);
+    __m512i e0r = _mm512_xor_si512(S0, rk1z[0]);
+    __m512i e1l = _mm512_xor_si512(S1, rk0z[0]);
+    __m512i e1r = _mm512_xor_si512(S1, rk1z[0]);
+    for (int rd = 1; rd < 10; ++rd) {
+      e0l = _mm512_aesenc_epi128(e0l, rk0z[rd]);
+      e0r = _mm512_aesenc_epi128(e0r, rk1z[rd]);
+      e1l = _mm512_aesenc_epi128(e1l, rk0z[rd]);
+      e1r = _mm512_aesenc_epi128(e1r, rk1z[rd]);
+    }
+    const __m512i o0l =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e0l, rk0z[10]), S0);
+    const __m512i o0r =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e0r, rk1z[10]), S0);
+    const __m512i o1l =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e1l, rk0z[10]), S1);
+    const __m512i o1r =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e1r, rk1z[10]), S1);
+
+    // Control bits live in dword 4k+3 of each lane.
+    const __m512i one512 = _mm512_set1_epi32(1);
+    uint32_t m0l = _mm512_test_epi32_mask(o0l, one512);
+    uint32_t m0r = _mm512_test_epi32_mask(o0r, one512);
+    uint32_t m1l = _mm512_test_epi32_mask(o1l, one512);
+    uint32_t m1r = _mm512_test_epi32_mask(o1r, one512);
+
+    uint32_t ab[4], tlcw[4], trcw[4];
+    for (int k = 0; k < 4; ++k)
+      ab[k] = (uint32_t)input_bit(a_lo[k], a_hi ? a_hi[k] : 0, in_bits,
+                                  i);
+    const __mmask16 abm = lane_mask4(ab[0], ab[1], ab[2], ab[3]);
+
+    const __m512i s0l = _mm512_andnot_si512(ctl512, o0l);
+    const __m512i s0r = _mm512_andnot_si512(ctl512, o0r);
+    const __m512i s1l = _mm512_andnot_si512(ctl512, o1l);
+    const __m512i s1r = _mm512_andnot_si512(ctl512, o1r);
+    // mask set -> second operand: ab=1 picks the L xor / the R child.
+    const __m512i s_cw = _mm512_mask_blend_epi32(
+        abm, _mm512_xor_si512(s0r, s1r), _mm512_xor_si512(s0l, s1l));
+    const __m512i keep0 = _mm512_mask_blend_epi32(abm, s0l, s0r);
+    const __m512i keep1 = _mm512_mask_blend_epi32(abm, s1l, s1r);
+
+    // Seed correction uses the PRE-update t bits.
+    const __mmask16 t0m_old =
+        lane_mask4(t0b[0], t0b[1], t0b[2], t0b[3]);
+    const __mmask16 t1m_old =
+        lane_mask4(t1b[0], t1b[1], t1b[2], t1b[3]);
+    S0 = _mm512_mask_xor_epi32(keep0, t0m_old, keep0, s_cw);
+    S1 = _mm512_mask_xor_epi32(keep1, t1m_old, keep1, s_cw);
+
+    for (int k = 0; k < 4; ++k) {
+      const int p = 4 * k + 3;
+      const uint32_t t0l = (m0l >> p) & 1u, t0r = (m0r >> p) & 1u;
+      const uint32_t t1l = (m1l >> p) & 1u, t1r = (m1r >> p) & 1u;
+      tlcw[k] = t0l ^ t1l ^ ab[k] ^ 1u;
+      trcw[k] = t0r ^ t1r ^ ab[k];
+      const uint32_t tk0 = ab[k] ? t0r : t0l;
+      const uint32_t tk1 = ab[k] ? t1r : t1l;
+      const uint32_t tcw = ab[k] ? trcw[k] : tlcw[k];
+      t0b[k] = tk0 ^ (t0b[k] & tcw);
+      t1b[k] = tk1 ^ (t1b[k] & tcw);
+    }
+
+    // Row 0 = s_cw with tl_cw in the control bit; row 1 = {tr_cw,0,0,0}.
+    const __mmask16 tlm =
+        lane_mask4(tlcw[0], tlcw[1], tlcw[2], tlcw[3]) &
+        (__mmask16)0x8888;
+    const __m512i row0 = _mm512_mask_or_epi32(s_cw, tlm, s_cw, one512);
+    store_b(_mm512_castsi512_si128(row0), cwsk[0][2 * i]);
+    store_b(_mm512_extracti32x4_epi32(row0, 1), cwsk[1][2 * i]);
+    store_b(_mm512_extracti32x4_epi32(row0, 2), cwsk[2][2 * i]);
+    store_b(_mm512_extracti32x4_epi32(row0, 3), cwsk[3][2 * i]);
+    for (int k = 0; k < 4; ++k)
+      store_b(_mm_cvtsi32_si128((int)trcw[k]), cwsk[k][2 * i + 1]);
+  }
+
+  // Leaf conversion, per key (dpf.cuh:140-152 semantics), identical to
+  // the xmm path's epilogue.
+  Block s0f[4], s1f[4];
+  store_b(_mm512_castsi512_si128(S0), s0f[0]);
+  store_b(_mm512_extracti32x4_epi32(S0, 1), s0f[1]);
+  store_b(_mm512_extracti32x4_epi32(S0, 2), s0f[2]);
+  store_b(_mm512_extracti32x4_epi32(S0, 3), s0f[3]);
+  store_b(_mm512_castsi512_si128(S1), s1f[0]);
+  store_b(_mm512_extracti32x4_epi32(S1, 1), s1f[1]);
+  store_b(_mm512_extracti32x4_epi32(S1, 2), s1f[2]);
+  store_b(_mm512_extracti32x4_epi32(S1, 3), s1f[3]);
+  for (int k = 0; k < 4; ++k) {
+    u128 v = grp.add(grp.add(grp.from_block(set_lsb(betas[k], 0)),
+                             grp.neg(grp.from_block(s0f[k]))),
+                     grp.from_block(s1f[k]));
+    if (t1b[k] & 1u) v = grp.neg(v);
+    grp.into_block(v, cwsk[k][2 * in_bits]);
+    cwsk[k][2 * in_bits + 1].w[0] = cwsk[k][2 * in_bits + 1].w[1] = 0;
+    cwsk[k][2 * in_bits + 1].w[2] = cwsk[k][2 * in_bits + 1].w[3] = 0;
+  }
+}
+#endif  // FSS_HAVE_VAES512
 
 void dpf_gen(const Prg &prg, const Group &grp, int in_bits,
              const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
@@ -2250,6 +2396,22 @@ void fss_dpf_gen_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
   Group grp{group_kind, group_bits};
   size_t key_stride = (size_t)(in_bits + 1) * 8;
   int64_t i = 0;
+#if FSS_HAVE_VAES512
+  if (prg.kind == 1) {
+    for (; i + 4 <= n; i += 4) {
+      Block *const cwsk[4] = {
+          reinterpret_cast<Block *>(cws_out + key_stride * i),
+          reinterpret_cast<Block *>(cws_out + key_stride * (i + 1)),
+          reinterpret_cast<Block *>(cws_out + key_stride * (i + 2)),
+          reinterpret_cast<Block *>(cws_out + key_stride * (i + 3))};
+      dpf_gen_vaes4(
+          prg, grp, in_bits,
+          reinterpret_cast<const Block *>(s0s_batch + 8 * i),
+          alphas_lo + i, alphas_hi ? alphas_hi + i : nullptr,
+          reinterpret_cast<const Block *>(betas + 4 * i), cwsk);
+    }
+  }
+#endif
 #if FSS_HAVE_AESNI
   if (prg.kind == 1) {
     for (; i + 2 <= n; i += 2) {
