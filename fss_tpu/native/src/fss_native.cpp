@@ -935,6 +935,184 @@ void dcf_gen_aesni_u64(const Prg &prg, const Group &grp, int in_bits,
 }
 #endif  // FSS_HAVE_AESNI
 
+#if FSS_HAVE_VAES512
+// Key-sliced VAES-512 DCF Gen (Uint groups <= 64 bits): four keys per
+// zmm lane; the eight AES chains per level (4 schedules x 2 parties)
+// become eight vaesenc chains over 4 keys, the seed/CW epilogue runs
+// lane-masked, and the value lane runs 4-wide in 64-bit AVX-512 lanes.
+// Bit-identical to dcf_gen_aesni_u64 (dcf.cuh gen semantics).
+void dcf_gen_vaes4(const Prg &prg, const Group &grp, int in_bits,
+                   int pred_lt, const Block *s0s /* 4 x 2 */,
+                   const uint64_t *a_lo, const uint64_t *a_hi,
+                   const Block *betas /* 4 */, Block *const cwsk[4]) {
+  const __m512i ctl512 = bcast_b512(_mm_set_epi32(1, 0, 0, 0));
+  const __m512i one512 = _mm512_set1_epi32(1);
+  alignas(64) __m512i rkz[4][11];
+  for (int m = 0; m < 4; ++m)
+    for (int r = 0; r < 11; ++r) rkz[m][r] = bcast_b512(prg.ks[m].rk[r]);
+
+  __m512i S0 = _mm512_castsi128_si512(clear_ctl(load_b(s0s[0])));
+  S0 = _mm512_inserti32x4(S0, clear_ctl(load_b(s0s[2])), 1);
+  S0 = _mm512_inserti32x4(S0, clear_ctl(load_b(s0s[4])), 2);
+  S0 = _mm512_inserti32x4(S0, clear_ctl(load_b(s0s[6])), 3);
+  __m512i S1 = _mm512_castsi128_si512(clear_ctl(load_b(s0s[1])));
+  S1 = _mm512_inserti32x4(S1, clear_ctl(load_b(s0s[3])), 1);
+  S1 = _mm512_inserti32x4(S1, clear_ctl(load_b(s0s[5])), 2);
+  S1 = _mm512_inserti32x4(S1, clear_ctl(load_b(s0s[7])), 3);
+  uint32_t t0b[4] = {0, 0, 0, 0}, t1b[4] = {1, 1, 1, 1};
+
+  const uint64_t vmask_s =
+      grp.bits >= 64 ? ~0ull : ((1ull << grp.bits) - 1);
+  const __m256i vmaskv = _mm256_set1_epi64x((long long)vmask_s);
+  const __m256i zero256 = _mm256_setzero_si256();
+  __m256i bvalv = _mm256_set_epi64x(
+      (long long)(uint64_t)grp.from_block(set_lsb(betas[3], 0)),
+      (long long)(uint64_t)grp.from_block(set_lsb(betas[2], 0)),
+      (long long)(uint64_t)grp.from_block(set_lsb(betas[1], 0)),
+      (long long)(uint64_t)grp.from_block(set_lsb(betas[0], 0)));
+  __m256i v64v = zero256;
+  // Compress each 128-bit lane's low qword into a 4 x u64 ymm.
+  const __m512i loq_idx = _mm512_set_epi64(0, 0, 0, 0, 6, 4, 2, 0);
+
+  for (int i = 0; i < in_bits; ++i) {
+    __m512i e[8];
+    for (int m = 0; m < 4; ++m) {
+      e[m] = _mm512_xor_si512(S0, rkz[m][0]);
+      e[4 + m] = _mm512_xor_si512(S1, rkz[m][0]);
+    }
+    for (int rd = 1; rd < 10; ++rd)
+      for (int m = 0; m < 4; ++m) {
+        e[m] = _mm512_aesenc_epi128(e[m], rkz[m][rd]);
+        e[4 + m] = _mm512_aesenc_epi128(e[4 + m], rkz[m][rd]);
+      }
+    __m512i o0[4], o1[4];
+    for (int m = 0; m < 4; ++m) {
+      o0[m] = _mm512_xor_si512(
+          _mm512_aesenclast_epi128(e[m], rkz[m][10]), S0);
+      o1[m] = _mm512_xor_si512(
+          _mm512_aesenclast_epi128(e[4 + m], rkz[m][10]), S1);
+    }
+
+    const uint32_t m0l = _mm512_test_epi32_mask(o0[0], one512);
+    const uint32_t m0r = _mm512_test_epi32_mask(o0[2], one512);
+    const uint32_t m1l = _mm512_test_epi32_mask(o1[0], one512);
+    const uint32_t m1r = _mm512_test_epi32_mask(o1[2], one512);
+    uint32_t ab[4];
+    for (int k = 0; k < 4; ++k)
+      ab[k] = (uint32_t)input_bit(a_lo[k], a_hi ? a_hi[k] : 0, in_bits,
+                                  i);
+    const __mmask16 abm = lane_mask4(ab[0], ab[1], ab[2], ab[3]);
+    const __mmask8 ab8 = (__mmask8)((ab[0]) | (ab[1] << 1) |
+                                    (ab[2] << 2) | (ab[3] << 3));
+    const __mmask8 t18 = (__mmask8)((t1b[0] & 1u) | ((t1b[1] & 1u) << 1) |
+                                    ((t1b[2] & 1u) << 2) |
+                                    ((t1b[3] & 1u) << 3));
+
+    const __m512i s0l = _mm512_andnot_si512(ctl512, o0[0]);
+    const __m512i s0r = _mm512_andnot_si512(ctl512, o0[2]);
+    const __m512i s1l = _mm512_andnot_si512(ctl512, o1[0]);
+    const __m512i s1r = _mm512_andnot_si512(ctl512, o1[2]);
+    const __m512i s_cw = _mm512_mask_blend_epi32(
+        abm, _mm512_xor_si512(s0r, s1r), _mm512_xor_si512(s0l, s1l));
+    const __m512i keep0 = _mm512_mask_blend_epi32(abm, s0l, s0r);
+    const __m512i keep1 = _mm512_mask_blend_epi32(abm, s1l, s1r);
+    const __mmask16 t0m_old =
+        lane_mask4(t0b[0], t0b[1], t0b[2], t0b[3]);
+    const __mmask16 t1m_old =
+        lane_mask4(t1b[0], t1b[1], t1b[2], t1b[3]);
+    S0 = _mm512_mask_xor_epi32(keep0, t0m_old, keep0, s_cw);
+    S1 = _mm512_mask_xor_epi32(keep1, t1m_old, keep1, s_cw);
+
+    // Value lane, 4 keys wide (low qword of the mul-4 outputs 1 and 3).
+    const __m256i v0l = _mm256_and_si256(
+        _mm512_castsi512_si256(_mm512_permutexvar_epi64(loq_idx, o0[1])),
+        vmaskv);
+    const __m256i v0r = _mm256_and_si256(
+        _mm512_castsi512_si256(_mm512_permutexvar_epi64(loq_idx, o0[3])),
+        vmaskv);
+    const __m256i v1l = _mm256_and_si256(
+        _mm512_castsi512_si256(_mm512_permutexvar_epi64(loq_idx, o1[1])),
+        vmaskv);
+    const __m256i v1r = _mm256_and_si256(
+        _mm512_castsi512_si256(_mm512_permutexvar_epi64(loq_idx, o1[3])),
+        vmaskv);
+    const __m256i v1_off = _mm256_mask_blend_epi64(ab8, v1r, v1l);
+    const __m256i v0_off = _mm256_mask_blend_epi64(ab8, v0r, v0l);
+    __m256i v_cw = _mm256_add_epi64(
+        _mm256_sub_epi64(v1_off, v0_off),
+        _mm256_sub_epi64(zero256, v64v));
+    const __mmask8 addb8 =
+        pred_lt ? ab8 : (__mmask8)(ab8 ^ (__mmask8)0xF);
+    v_cw = _mm256_mask_add_epi64(v_cw, addb8, v_cw, bvalv);
+    v_cw = _mm256_mask_sub_epi64(v_cw, t18, zero256, v_cw);
+    v_cw = _mm256_and_si256(v_cw, vmaskv);
+    const __m256i v1_on = _mm256_mask_blend_epi64(ab8, v1l, v1r);
+    const __m256i v0_on = _mm256_mask_blend_epi64(ab8, v0l, v0r);
+    v64v = _mm256_add_epi64(v64v, _mm256_sub_epi64(v0_on, v1_on));
+    const __m256i v_cw_t = _mm256_mask_sub_epi64(v_cw, t18, zero256,
+                                                 v_cw);
+    v64v = _mm256_and_si256(_mm256_add_epi64(v64v, v_cw_t), vmaskv);
+
+    uint32_t tlcw[4], trcw[4];
+    for (int k = 0; k < 4; ++k) {
+      const int p = 4 * k + 3;
+      const uint32_t t0l = (m0l >> p) & 1u, t0r = (m0r >> p) & 1u;
+      const uint32_t t1l = (m1l >> p) & 1u, t1r = (m1r >> p) & 1u;
+      tlcw[k] = t0l ^ t1l ^ ab[k] ^ 1u;
+      trcw[k] = t0r ^ t1r ^ ab[k];
+      const uint32_t tk0 = ab[k] ? t0r : t0l;
+      const uint32_t tk1 = ab[k] ? t1r : t1l;
+      const uint32_t tcw = ab[k] ? trcw[k] : tlcw[k];
+      t0b[k] = tk0 ^ (t0b[k] & tcw);
+      t1b[k] = tk1 ^ (t1b[k] & tcw);
+    }
+
+    const __mmask16 tlm =
+        lane_mask4(tlcw[0], tlcw[1], tlcw[2], tlcw[3]) &
+        (__mmask16)0x8888;
+    const __m512i row0 = _mm512_mask_or_epi32(s_cw, tlm, s_cw, one512);
+    store_b(_mm512_castsi512_si128(row0), cwsk[0][2 * i]);
+    store_b(_mm512_extracti32x4_epi32(row0, 1), cwsk[1][2 * i]);
+    store_b(_mm512_extracti32x4_epi32(row0, 2), cwsk[2][2 * i]);
+    store_b(_mm512_extracti32x4_epi32(row0, 3), cwsk[3][2 * i]);
+    alignas(32) uint64_t vcw_s[4];
+    _mm256_store_si256(reinterpret_cast<__m256i *>(vcw_s), v_cw);
+    for (int k = 0; k < 4; ++k) {
+      cwsk[k][2 * i + 1].w[0] = (uint32_t)vcw_s[k];
+      cwsk[k][2 * i + 1].w[1] = (uint32_t)(vcw_s[k] >> 32);
+      cwsk[k][2 * i + 1].w[2] = 0;
+      cwsk[k][2 * i + 1].w[3] = trcw[k] & 1u;
+    }
+  }
+
+  Block s0f[4], s1f[4];
+  store_b(_mm512_castsi512_si128(S0), s0f[0]);
+  store_b(_mm512_extracti32x4_epi32(S0, 1), s0f[1]);
+  store_b(_mm512_extracti32x4_epi32(S0, 2), s0f[2]);
+  store_b(_mm512_extracti32x4_epi32(S0, 3), s0f[3]);
+  store_b(_mm512_castsi512_si128(S1), s1f[0]);
+  store_b(_mm512_extracti32x4_epi32(S1, 1), s1f[1]);
+  store_b(_mm512_extracti32x4_epi32(S1, 2), s1f[2]);
+  store_b(_mm512_extracti32x4_epi32(S1, 3), s1f[3]);
+  alignas(32) uint64_t v64_s[4];
+  _mm256_store_si256(reinterpret_cast<__m256i *>(v64_s), v64v);
+  for (int k = 0; k < 4; ++k) {
+    const uint64_t lo0 =
+        ((uint64_t)s0f[k].w[0] | ((uint64_t)s0f[k].w[1] << 32));
+    const uint64_t lo1 =
+        ((uint64_t)s1f[k].w[0] | ((uint64_t)s1f[k].w[1] << 32));
+    uint64_t v_last = ((lo1 & vmask_s) + (0ull - (lo0 & vmask_s)) +
+                       (0ull - v64_s[k])) & vmask_s;
+    if (t1b[k]) v_last = (0ull - v_last) & vmask_s;
+    cwsk[k][2 * in_bits].w[0] = cwsk[k][2 * in_bits].w[1] = 0;
+    cwsk[k][2 * in_bits].w[2] = cwsk[k][2 * in_bits].w[3] = 0;
+    cwsk[k][2 * in_bits + 1].w[0] = (uint32_t)v_last;
+    cwsk[k][2 * in_bits + 1].w[1] = (uint32_t)(v_last >> 32);
+    cwsk[k][2 * in_bits + 1].w[2] = cwsk[k][2 * in_bits + 1].w[3] = 0;
+  }
+}
+#endif  // FSS_HAVE_VAES512
+
 void dcf_gen(const Prg &prg, const Group &grp, int in_bits, int pred_lt,
              const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
              const Block &beta, Block *cws /* (in_bits+1) x 2 blocks */) {
@@ -1484,6 +1662,148 @@ void ht_gen_aesni(const HtCtx &ht, const Group &grp, int in_bits,
   ht_gen_aesni_k<1>(ht, grp, in_bits, s0s, &a_lo, &a_hi, &beta, cwsk,
                     &ocw);
 }
+
+#if FSS_HAVE_VAES512
+// Key-sliced VAES-512 Half-Tree Gen: four keys in the four lanes of a
+// zmm; the two CCR chains per level become two vaesenc chains and the
+// node/CW updates run 4-keys-wide. Bit-identical to ht_gen_aesni_k.
+void ht_gen_vaes4(const HtCtx &ht, const Group &grp, int in_bits,
+                  const Block *s0s /* 4 x 2 seeds */,
+                  const uint64_t *a_lo, const Block *betas /* 4 */,
+                  Block *const cwsk[4], Block *ocws /* 4 */) {
+  const AesKeySchedule &ks = ht.prg->ks[0];
+  const __m512i ctl512 = bcast_b512(_mm_set_epi32(1, 0, 0, 0));
+  const __m512i one512 = _mm512_set1_epi32(1);
+  const __m512i hkz = bcast_b512(load_b(ht.hash_key));
+  __m512i rkz[11];
+  for (int r = 0; r < 11; ++r) rkz[r] = bcast_b512(ks.rk[r]);
+
+  __m512i N0 = _mm512_castsi128_si512(clear_ctl(load_b(s0s[0])));
+  N0 = _mm512_inserti32x4(N0, clear_ctl(load_b(s0s[2])), 1);
+  N0 = _mm512_inserti32x4(N0, clear_ctl(load_b(s0s[4])), 2);
+  N0 = _mm512_inserti32x4(N0, clear_ctl(load_b(s0s[6])), 3);
+  __m512i N1 = _mm512_castsi128_si512(clear_ctl(load_b(s0s[1])));
+  N1 = _mm512_inserti32x4(N1, clear_ctl(load_b(s0s[3])), 1);
+  N1 = _mm512_inserti32x4(N1, clear_ctl(load_b(s0s[5])), 2);
+  N1 = _mm512_inserti32x4(N1, clear_ctl(load_b(s0s[7])), 3);
+  N1 = _mm512_or_si512(N1, ctl512);  // party-1 seed carries t=1
+
+  for (int i = 0; i < in_bits - 1; ++i) {
+    const __m512i v0 = _mm512_xor_si512(N0, hkz);
+    const __m512i v1 = _mm512_xor_si512(N1, hkz);
+    __m512i e0 = _mm512_xor_si512(v0, rkz[0]);
+    __m512i e1 = _mm512_xor_si512(v1, rkz[0]);
+    for (int rd = 1; rd < 10; ++rd) {
+      e0 = _mm512_aesenc_epi128(e0, rkz[rd]);
+      e1 = _mm512_aesenc_epi128(e1, rkz[rd]);
+    }
+    const __m512i h0 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e0, rkz[10]), v0);
+    const __m512i h1 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e1, rkz[10]), v1);
+
+    const uint32_t m0 = _mm512_test_epi32_mask(N0, one512);
+    const uint32_t m1 = _mm512_test_epi32_mask(N1, one512);
+    uint32_t ab[4];
+    for (int k = 0; k < 4; ++k)
+      ab[k] = (uint32_t)input_bit(a_lo[k], 0, in_bits, i);
+    const __mmask16 abm = lane_mask4(ab[0], ab[1], ab[2], ab[3]);
+    const __mmask16 nabm = abm ^ (__mmask16)0xFFFF;
+    const __mmask16 t0m = lane_mask4((m0 >> 3) & 1u, (m0 >> 7) & 1u,
+                                     (m0 >> 11) & 1u, (m0 >> 15) & 1u);
+    const __mmask16 t1m = lane_mask4((m1 >> 3) & 1u, (m1 >> 7) & 1u,
+                                     (m1 >> 11) & 1u, (m1 >> 15) & 1u);
+
+    const __m512i cwz = _mm512_xor_si512(
+        _mm512_xor_si512(h0, h1),
+        _mm512_maskz_mov_epi32(nabm, _mm512_xor_si512(N0, N1)));
+    store_b(_mm512_castsi512_si128(cwz), cwsk[0][2 * i]);
+    store_b(_mm512_extracti32x4_epi32(cwz, 1), cwsk[1][2 * i]);
+    store_b(_mm512_extracti32x4_epi32(cwz, 2), cwsk[2][2 * i]);
+    store_b(_mm512_extracti32x4_epi32(cwz, 3), cwsk[3][2 * i]);
+    for (int k = 0; k < 4; ++k)
+      std::memset(cwsk[k][2 * i + 1].w, 0, 16);
+
+    const __m512i keep0 = _mm512_maskz_mov_epi32(abm, N0);
+    const __m512i keep1 = _mm512_maskz_mov_epi32(abm, N1);
+    __m512i n0n = _mm512_xor_si512(h0, keep0);
+    __m512i n1n = _mm512_xor_si512(h1, keep1);
+    N0 = _mm512_mask_xor_epi32(n0n, t0m, n0n, cwz);
+    N1 = _mm512_mask_xor_epi32(n1n, t1m, n1n, cwz);
+  }
+
+  // Last level: 4 hashes per key = 4 key-sliced chains, then the scalar
+  // tail per key (identical to ht_gen_aesni_k's).
+  __m512i nb[4], vv[4], ee[4], hhz[4];
+  nb[0] = _mm512_andnot_si512(ctl512, N0);
+  nb[1] = _mm512_or_si512(nb[0], ctl512);
+  nb[2] = _mm512_andnot_si512(ctl512, N1);
+  nb[3] = _mm512_or_si512(nb[2], ctl512);
+  for (int j = 0; j < 4; ++j) {
+    vv[j] = _mm512_xor_si512(nb[j], hkz);
+    ee[j] = _mm512_xor_si512(vv[j], rkz[0]);
+  }
+  for (int rd = 1; rd < 10; ++rd)
+    for (int j = 0; j < 4; ++j)
+      ee[j] = _mm512_aesenc_epi128(ee[j], rkz[rd]);
+  for (int j = 0; j < 4; ++j)
+    hhz[j] = _mm512_xor_si512(_mm512_aesenclast_epi128(ee[j], rkz[10]),
+                              vv[j]);
+
+  const uint32_t m0f = _mm512_test_epi32_mask(N0, one512);
+  const uint32_t m1f = _mm512_test_epi32_mask(N1, one512);
+  for (int k = 0; k < 4; ++k) {
+    __m128i hh[4];
+    switch (k) {
+      case 0:
+        for (int j = 0; j < 4; ++j)
+          hh[j] = _mm512_castsi512_si128(hhz[j]);
+        break;
+      case 1:
+        for (int j = 0; j < 4; ++j)
+          hh[j] = _mm512_extracti32x4_epi32(hhz[j], 1);
+        break;
+      case 2:
+        for (int j = 0; j < 4; ++j)
+          hh[j] = _mm512_extracti32x4_epi32(hhz[j], 2);
+        break;
+      default:
+        for (int j = 0; j < 4; ++j)
+          hh[j] = _mm512_extracti32x4_epi32(hhz[j], 3);
+    }
+    const uint32_t a_n =
+        (uint32_t)input_bit(a_lo[k], 0, in_bits, in_bits - 1);
+    const uint32_t t0 = (m0f >> (4 * k + 3)) & 1u;
+    const uint32_t t1 = (m1f >> (4 * k + 3)) & 1u;
+    const __m128i h0_0 = hh[0], h0_1 = hh[1], h1_0 = hh[2], h1_1 = hh[3];
+    __m128i anm = mask_of(a_n);
+    __m128i hcw = _mm_blendv_epi8(
+        clear_ctl(_mm_xor_si128(h0_1, h1_1)),
+        clear_ctl(_mm_xor_si128(h0_0, h1_0)), anm);
+    uint32_t lcw_0 = lsb_of(h0_0) ^ lsb_of(h1_0) ^ (a_n ^ 1u);
+    uint32_t lcw_1 = lsb_of(h0_1) ^ lsb_of(h1_1) ^ a_n;
+    store_b(or_ctl(hcw, lcw_0), cwsk[k][2 * (in_bits - 1)]);
+    std::memset(cwsk[k][2 * (in_bits - 1) + 1].w, 0, 16);
+    cwsk[k][2 * (in_bits - 1) + 1].w[0] = lcw_1;
+
+    __m128i leaf0 = _mm_blendv_epi8(h0_0, h0_1, anm);
+    __m128i leaf1 = _mm_blendv_epi8(h1_0, h1_1, anm);
+    uint32_t lcw_an = a_n ? lcw_1 : lcw_0;
+    __m128i leaf_cw = or_ctl(hcw, lcw_an);
+    leaf0 = _mm_xor_si128(leaf0, _mm_and_si128(leaf_cw, mask_of(t0)));
+    leaf1 = _mm_xor_si128(leaf1, _mm_and_si128(leaf_cw, mask_of(t1)));
+    Block l0b, l1b;
+    store_b(leaf0, l0b);
+    store_b(leaf1, l1b);
+    Block b_buf = set_lsb(betas[k], 0);
+    u128 v = grp.add(grp.add(grp.from_block(b_buf),
+                             grp.neg(grp.from_block(set_lsb(l0b, 0)))),
+                     grp.from_block(set_lsb(l1b, 0)));
+    if (get_lsb(l1b)) v = grp.neg(v);
+    grp.into_block(v, ocws[k]);
+  }
+}
+#endif  // FSS_HAVE_VAES512
 #endif  // FSS_HAVE_AESNI
 
 void ht_gen(const HtCtx &ht, const Group &grp, int in_bits,
@@ -2913,7 +3233,24 @@ void fss_dcf_gen_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
   Prg prg = make_prg(prg_kind, 4, nonce, aes_keys, rounds);
   Group grp{group_kind, group_bits};
   int64_t stride = 8 * (in_bits + 1);
-  for (int64_t i = 0; i < n; ++i) {
+  int64_t i = 0;
+#if FSS_HAVE_VAES512
+  if (prg.kind == 1 && grp.kind == 1 && grp.bits <= 64) {
+    for (; i + 4 <= n; i += 4) {
+      Block *const cwsk[4] = {
+          reinterpret_cast<Block *>(cws + stride * i),
+          reinterpret_cast<Block *>(cws + stride * (i + 1)),
+          reinterpret_cast<Block *>(cws + stride * (i + 2)),
+          reinterpret_cast<Block *>(cws + stride * (i + 3))};
+      dcf_gen_vaes4(prg, grp, in_bits, pred_lt,
+                    reinterpret_cast<const Block *>(s0s + 8 * i),
+                    alphas + i, nullptr,
+                    reinterpret_cast<const Block *>(betas + 4 * i),
+                    cwsk);
+    }
+  }
+#endif
+  for (; i < n; ++i) {
     Block s0s_b[2], beta_b;
     std::memcpy(s0s_b, s0s + 8 * i, 32);
     std::memcpy(beta_b.w, betas + 4 * i, 16);
@@ -2943,11 +3280,19 @@ void fss_ht_gen_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
           reinterpret_cast<Block *>(cws + stride * (i + 1)),
           reinterpret_cast<Block *>(cws + stride * (i + 2)),
           reinterpret_cast<Block *>(cws + stride * (i + 3))};
+#if FSS_HAVE_VAES512
+      ht_gen_vaes4(ht, grp, in_bits,
+                   reinterpret_cast<const Block *>(s0s + 8 * i),
+                   alphas + i,
+                   reinterpret_cast<const Block *>(betas + 4 * i),
+                   cwsk, reinterpret_cast<Block *>(ocws + 4 * i));
+#else
       ht_gen_aesni_k<4>(ht, grp, in_bits,
                         reinterpret_cast<const Block *>(s0s + 8 * i),
                         alphas + i, nullptr,
                         reinterpret_cast<const Block *>(betas + 4 * i),
                         cwsk, reinterpret_cast<Block *>(ocws + 4 * i));
+#endif
     }
   }
 #endif

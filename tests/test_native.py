@@ -251,3 +251,26 @@ def test_ht_gen_batch_matches_single(eng, rng):
                                int(alphas[i]), betas[i], aes_keys=keys)
         assert np.array_equal(one, cwsb[i]), f"row {i}"
         assert np.array_equal(ocw1, ocwb[i]), f"ocw {i}"
+
+
+def test_dcf_gen_batch_matches_single(eng, rng):
+    """AES batch gen takes the key-sliced VAES path where the host has it;
+    every row (all slots + tails, both predicates) must equal single-key
+    gen."""
+    in_bits = 9
+    n = 7
+    keys = tuple(bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+                 for _ in range(4))
+    s0sb = rng.integers(0, 2**32, size=(n, 2, 4), dtype=np.uint32)
+    alphas = rng.integers(0, 2**in_bits, size=n, dtype=np.uint64)
+    betas = rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32)
+    for pred_s, pred_i in (("lt", 1), ("gt", 0)):
+        cwsb = eng.dcf_gen_batch(in_bits, native.PRG_AES128_MMO,
+                                 native.GROUP_UINT, 32, pred_i, s0sb,
+                                 alphas, betas, aes_keys=keys)
+        for i in range(n):
+            one = eng.dcf_gen(in_bits, native.PRG_AES128_MMO,
+                              native.GROUP_UINT, 32, pred_s, s0sb[i],
+                              int(alphas[i]), betas[i], aes_keys=keys)
+            assert np.array_equal(one, np.asarray(cwsb)[i]), \
+                f"{pred_s} row {i}"
