@@ -376,6 +376,17 @@ inline __m128i mask_of(uint32_t bit) {  // 0/1 -> all-zeros / all-ones
   return _mm_set1_epi32(-(int)bit);
 }
 
+#if FSS_HAVE_VAES512
+inline __m512i bcast_b512(__m128i x) { return _mm512_broadcast_i32x4(x); }
+
+// Per-key 0/1 bits -> a 16-bit dword mask covering each key's lane.
+inline __mmask16 lane_mask4(uint32_t b0, uint32_t b1, uint32_t b2,
+                            uint32_t b3) {
+  return (__mmask16)((b0 * 0xFu) | (b1 * 0xF0u) | (b2 * 0xF00u) |
+                     (b3 * 0xF000u));
+}
+#endif  // FSS_HAVE_VAES512
+
 inline __m128i aes_mmo1(const AesKeySchedule &ks, __m128i x) {
   return _mm_xor_si128(aes128_encrypt(ks, x), x);
 }
@@ -461,8 +472,8 @@ void dpf_walk_aesni_x4(const Prg &prg, int in_bits, int party,
 
 // One breadth-first DPF level over ys[0..m) in place (the level body of
 // dpf.cuh:294-341), shared by dpf_eval_all / vdpf_eval_all / grotto.
-void dpf_expand_level_aesni(const Prg &prg, Block *ys, uint64_t m,
-                            const Block &cw_row0, uint32_t tr_cw_bit) {
+void dpf_expand_level_aesni_x1(const Prg &prg, Block *ys, uint64_t m,
+                               const Block &cw_row0, uint32_t tr_cw_bit) {
   __m128i cwa = load_b(cw_row0);
   __m128i scw = clear_ctl(cwa);
   uint32_t tl_cw = lsb_of(cwa);
@@ -480,6 +491,130 @@ void dpf_expand_level_aesni(const Prg &prg, Block *ys, uint64_t m,
     store_b(or_ctl(_mm_xor_si128(clear_ctl(r), corr), tr),
             ys[2 * j + 1]);
   }
+}
+#endif  // FSS_HAVE_AESNI
+
+#if FSS_HAVE_VAES512
+// Node-sliced VAES-512 level body: 8 nodes per iteration ride four
+// vaesenc chains (two schedules x two node quads); children are
+// re-interleaved with two cross-register qword permutes per quad.
+// Bit-identical to the x1 loop above.
+void dpf_expand_level_vaes(const Prg &prg, Block *ys, uint64_t m,
+                           const Block &cw_row0, uint32_t tr_cw_bit) {
+  const __m512i ctl512 = _mm512_broadcast_i32x4(_mm_set_epi32(1, 0, 0,
+                                                              0));
+  const __m512i one512 = _mm512_set1_epi32(1);
+  __m512i rk0z[11], rk1z[11];
+  for (int r = 0; r < 11; ++r) {
+    rk0z[r] = _mm512_broadcast_i32x4(prg.ks[0].rk[r]);
+    rk1z[r] = _mm512_broadcast_i32x4(prg.ks[1].rk[r]);
+  }
+  const __m128i cwa = load_b(cw_row0);
+  const __m512i scwz = _mm512_broadcast_i32x4(clear_ctl(cwa));
+  const uint32_t tl_cw = lsb_of(cwa);
+  const uint32_t tr_cw = tr_cw_bit & 1u;
+  const __m512i idxA =
+      _mm512_set_epi64(11, 10, 3, 2, 9, 8, 1, 0);
+  const __m512i idxB =
+      _mm512_set_epi64(15, 14, 7, 6, 13, 12, 5, 4);
+
+  uint64_t j = m;
+  while (j >= 8) {
+    j -= 8;
+    const __m512i n0 = _mm512_loadu_si512(ys + j);
+    const __m512i n1 = _mm512_loadu_si512(ys + j + 4);
+    const uint32_t tm0 = _mm512_test_epi32_mask(n0, one512);
+    const uint32_t tm1 = _mm512_test_epi32_mask(n1, one512);
+    const __m512i s0 = _mm512_andnot_si512(ctl512, n0);
+    const __m512i s1 = _mm512_andnot_si512(ctl512, n1);
+
+    __m512i eL0 = _mm512_xor_si512(s0, rk0z[0]);
+    __m512i eR0 = _mm512_xor_si512(s0, rk1z[0]);
+    __m512i eL1 = _mm512_xor_si512(s1, rk0z[0]);
+    __m512i eR1 = _mm512_xor_si512(s1, rk1z[0]);
+    for (int rd = 1; rd < 10; ++rd) {
+      eL0 = _mm512_aesenc_epi128(eL0, rk0z[rd]);
+      eR0 = _mm512_aesenc_epi128(eR0, rk1z[rd]);
+      eL1 = _mm512_aesenc_epi128(eL1, rk0z[rd]);
+      eR1 = _mm512_aesenc_epi128(eR1, rk1z[rd]);
+    }
+    const __m512i L0 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(eL0, rk0z[10]), s0);
+    const __m512i R0 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(eR0, rk1z[10]), s0);
+    const __m512i L1 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(eL1, rk0z[10]), s1);
+    const __m512i R1 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(eR1, rk1z[10]), s1);
+
+    const uint32_t mL0 = _mm512_test_epi32_mask(L0, one512);
+    const uint32_t mR0 = _mm512_test_epi32_mask(R0, one512);
+    const uint32_t mL1 = _mm512_test_epi32_mask(L1, one512);
+    const uint32_t mR1 = _mm512_test_epi32_mask(R1, one512);
+
+    // Per-node t bits / correction masks and output control bits.
+    uint32_t t_b[8], tlb[8], trb[8];
+    for (int k = 0; k < 4; ++k) {
+      const int p = 4 * k + 3;
+      t_b[k] = (tm0 >> p) & 1u;
+      t_b[4 + k] = (tm1 >> p) & 1u;
+      tlb[k] = ((mL0 >> p) & 1u) ^ (t_b[k] & tl_cw);
+      trb[k] = ((mR0 >> p) & 1u) ^ (t_b[k] & tr_cw);
+      tlb[4 + k] = ((mL1 >> p) & 1u) ^ (t_b[4 + k] & tl_cw);
+      trb[4 + k] = ((mR1 >> p) & 1u) ^ (t_b[4 + k] & tr_cw);
+    }
+    const __mmask16 t0l_lanes =
+        lane_mask4(t_b[0], t_b[1], t_b[2], t_b[3]);
+    const __mmask16 t1l_lanes =
+        lane_mask4(t_b[4], t_b[5], t_b[6], t_b[7]);
+    const __m512i corr0 = _mm512_maskz_mov_epi32(t0l_lanes, scwz);
+    const __m512i corr1 = _mm512_maskz_mov_epi32(t1l_lanes, scwz);
+
+    const __mmask16 ctl_pos = (__mmask16)0x8888;
+    const __mmask16 tl0m =
+        lane_mask4(tlb[0], tlb[1], tlb[2], tlb[3]) & ctl_pos;
+    const __mmask16 tr0m =
+        lane_mask4(trb[0], trb[1], trb[2], trb[3]) & ctl_pos;
+    const __mmask16 tl1m =
+        lane_mask4(tlb[4], tlb[5], tlb[6], tlb[7]) & ctl_pos;
+    const __mmask16 tr1m =
+        lane_mask4(trb[4], trb[5], trb[6], trb[7]) & ctl_pos;
+
+    __m512i l0 = _mm512_xor_si512(_mm512_andnot_si512(ctl512, L0),
+                                  corr0);
+    __m512i r0 = _mm512_xor_si512(_mm512_andnot_si512(ctl512, R0),
+                                  corr0);
+    __m512i l1 = _mm512_xor_si512(_mm512_andnot_si512(ctl512, L1),
+                                  corr1);
+    __m512i r1 = _mm512_xor_si512(_mm512_andnot_si512(ctl512, R1),
+                                  corr1);
+    l0 = _mm512_mask_or_epi32(l0, tl0m, l0, one512);
+    r0 = _mm512_mask_or_epi32(r0, tr0m, r0, one512);
+    l1 = _mm512_mask_or_epi32(l1, tl1m, l1, one512);
+    r1 = _mm512_mask_or_epi32(r1, tr1m, r1, one512);
+
+    _mm512_storeu_si512(ys + 2 * j,
+                        _mm512_permutex2var_epi64(l0, idxA, r0));
+    _mm512_storeu_si512(ys + 2 * j + 4,
+                        _mm512_permutex2var_epi64(l0, idxB, r0));
+    _mm512_storeu_si512(ys + 2 * j + 8,
+                        _mm512_permutex2var_epi64(l1, idxA, r1));
+    _mm512_storeu_si512(ys + 2 * j + 12,
+                        _mm512_permutex2var_epi64(l1, idxB, r1));
+  }
+  if (j) dpf_expand_level_aesni_x1(prg, ys, j, cw_row0, tr_cw_bit);
+}
+#endif  // FSS_HAVE_VAES512
+
+#if FSS_HAVE_AESNI
+inline void dpf_expand_level_aesni(const Prg &prg, Block *ys, uint64_t m,
+                                   const Block &cw_row0,
+                                   uint32_t tr_cw_bit) {
+#if FSS_HAVE_VAES512
+  dpf_expand_level_vaes(prg, ys, m, cw_row0, tr_cw_bit);
+#else
+  dpf_expand_level_aesni_x1(prg, ys, m, cw_row0, tr_cw_bit);
+#endif
 }
 #endif  // FSS_HAVE_AESNI
 
@@ -581,15 +716,6 @@ void dpf_gen_aesni(const Prg &prg, const Group &grp, int in_bits,
 // chain (40 aesenc-equivalents per level for 4 keys vs 160 on xmm), and
 // the entire CW epilogue runs 4-keys-wide under AVX-512 lane masks.
 // Bit-identical to dpf_gen_aesni_k (dpf.cuh:93-153 semantics).
-inline __m512i bcast_b512(__m128i x) { return _mm512_broadcast_i32x4(x); }
-
-// Per-key 0/1 bits -> a 16-bit dword mask covering each key's lane.
-inline __mmask16 lane_mask4(uint32_t b0, uint32_t b1, uint32_t b2,
-                            uint32_t b3) {
-  return (__mmask16)((b0 * 0xFu) | (b1 * 0xF0u) | (b2 * 0xF00u) |
-                     (b3 * 0xF000u));
-}
-
 void dpf_gen_vaes4(const Prg &prg, const Group &grp, int in_bits,
                    const Block *s0s /* 4 x 2 seeds */,
                    const uint64_t *a_lo, const uint64_t *a_hi,
@@ -1421,7 +1547,124 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
       const uint64_t vmask =
           grp.bits >= 64 ? ~0ull : ((1ull << grp.bits) - 1);
       const uint64_t vcw64 = (uint64_t)v_cw;
-      for (uint64_t j = m; j-- > 0;) {
+      uint64_t j_start = m;
+#if FSS_HAVE_VAES512
+      if (u64fast && m >= 4) {
+        // Node-sliced VAES-512 level: 4 nodes ride the four chains (one
+        // per schedule); seed children re-interleave with qword
+        // permutes, the value lane runs 4-wide in 64-bit AVX-512 lanes.
+        const __m512i ctl512 = bcast_b512(_mm_set_epi32(1, 0, 0, 0));
+        const __m512i one512 = _mm512_set1_epi32(1);
+        __m512i rkz[4][11];
+        for (int mm = 0; mm < 4; ++mm)
+          for (int r = 0; r < 11; ++r)
+            rkz[mm][r] = bcast_b512(prg.ks[mm].rk[r]);
+        const __m512i scwz = bcast_b512(scw);
+        const __m256i vmaskv = _mm256_set1_epi64x((long long)vmask);
+        const __m256i vcwv = _mm256_set1_epi64x((long long)vcw64);
+        const __m256i zero256 = _mm256_setzero_si256();
+        const __m512i loq_idx = _mm512_set_epi64(0, 0, 0, 0, 6, 4, 2, 0);
+        const __m256i ilA = _mm256_set_epi64x(5, 1, 4, 0);
+        const __m256i ilB = _mm256_set_epi64x(7, 3, 6, 2);
+        const __m512i spread_idx = _mm512_set_epi64(0, 3, 0, 2, 0, 1, 0,
+                                                    0);
+        const __m512i idxA = _mm512_set_epi64(11, 10, 3, 2, 9, 8, 1, 0);
+        const __m512i idxB = _mm512_set_epi64(15, 14, 7, 6, 13, 12, 5,
+                                              4);
+        uint64_t j = m;
+        while (j >= 4) {
+          j -= 4;
+          const __m512i node = _mm512_loadu_si512(ys + j);
+          const uint32_t tm = _mm512_test_epi32_mask(node, one512);
+          const __m512i sn = _mm512_andnot_si512(ctl512, node);
+          __m512i e0 = _mm512_xor_si512(sn, rkz[0][0]);
+          __m512i e1 = _mm512_xor_si512(sn, rkz[1][0]);
+          __m512i e2 = _mm512_xor_si512(sn, rkz[2][0]);
+          __m512i e3 = _mm512_xor_si512(sn, rkz[3][0]);
+          for (int rd = 1; rd < 10; ++rd) {
+            e0 = _mm512_aesenc_epi128(e0, rkz[0][rd]);
+            e1 = _mm512_aesenc_epi128(e1, rkz[1][rd]);
+            e2 = _mm512_aesenc_epi128(e2, rkz[2][rd]);
+            e3 = _mm512_aesenc_epi128(e3, rkz[3][rd]);
+          }
+          const __m512i o0 = _mm512_xor_si512(
+              _mm512_aesenclast_epi128(e0, rkz[0][10]), sn);
+          const __m512i o1 = _mm512_xor_si512(
+              _mm512_aesenclast_epi128(e1, rkz[1][10]), sn);
+          const __m512i o2 = _mm512_xor_si512(
+              _mm512_aesenclast_epi128(e2, rkz[2][10]), sn);
+          const __m512i o3 = _mm512_xor_si512(
+              _mm512_aesenclast_epi128(e3, rkz[3][10]), sn);
+
+          const uint32_t ml = _mm512_test_epi32_mask(o0, one512);
+          const uint32_t mr = _mm512_test_epi32_mask(o2, one512);
+          uint32_t t_k[4], tl_k[4], tr_k[4];
+          for (int k = 0; k < 4; ++k) {
+            const int p = 4 * k + 3;
+            t_k[k] = (tm >> p) & 1u;
+            tl_k[k] = ((ml >> p) & 1u) ^ (t_k[k] & tl_cw);
+            tr_k[k] = ((mr >> p) & 1u) ^ (t_k[k] & tr_cw);
+          }
+          const __mmask16 t_lanes =
+              lane_mask4(t_k[0], t_k[1], t_k[2], t_k[3]);
+          const __mmask8 t8 =
+              (__mmask8)(t_k[0] | (t_k[1] << 1) | (t_k[2] << 2) |
+                         (t_k[3] << 3));
+          const __m512i corr = _mm512_maskz_mov_epi32(t_lanes, scwz);
+          const __mmask16 ctl_pos = (__mmask16)0x8888;
+          const __mmask16 tlm =
+              lane_mask4(tl_k[0], tl_k[1], tl_k[2], tl_k[3]) & ctl_pos;
+          const __mmask16 trm =
+              lane_mask4(tr_k[0], tr_k[1], tr_k[2], tr_k[3]) & ctl_pos;
+          __m512i l = _mm512_xor_si512(_mm512_andnot_si512(ctl512, o0),
+                                       corr);
+          __m512i r = _mm512_xor_si512(_mm512_andnot_si512(ctl512, o2),
+                                       corr);
+          l = _mm512_mask_or_epi32(l, tlm, l, one512);
+          r = _mm512_mask_or_epi32(r, trm, r, one512);
+          _mm512_storeu_si512(ys + 2 * j,
+                              _mm512_permutex2var_epi64(l, idxA, r));
+          _mm512_storeu_si512(ys + 2 * j + 4,
+                              _mm512_permutex2var_epi64(l, idxB, r));
+
+          const __m512i vsz = _mm512_loadu_si512(vs + j);
+          const __m256i v64v = _mm512_castsi512_si256(
+              _mm512_permutexvar_epi64(loq_idx, vsz));
+          __m256i vl = _mm256_and_si256(
+              _mm512_castsi512_si256(
+                  _mm512_permutexvar_epi64(loq_idx, o1)),
+              vmaskv);
+          __m256i vr = _mm256_and_si256(
+              _mm512_castsi512_si256(
+                  _mm512_permutexvar_epi64(loq_idx, o3)),
+              vmaskv);
+          vl = _mm256_mask_add_epi64(vl, t8, vl, vcwv);
+          vr = _mm256_mask_add_epi64(vr, t8, vr, vcwv);
+          if (party) {
+            vl = _mm256_sub_epi64(zero256, vl);
+            vr = _mm256_sub_epi64(zero256, vr);
+          }
+          const __m256i nl = _mm256_and_si256(_mm256_add_epi64(v64v, vl),
+                                              vmaskv);
+          const __m256i nr = _mm256_and_si256(_mm256_add_epi64(v64v, vr),
+                                              vmaskv);
+          const __m256i il0 = _mm256_permutex2var_epi64(nl, ilA, nr);
+          const __m256i il1 = _mm256_permutex2var_epi64(nl, ilB, nr);
+          _mm512_storeu_si512(
+              vs + 2 * j,
+              _mm512_maskz_permutexvar_epi64(
+                  (__mmask8)0x55, spread_idx,
+                  _mm512_castsi256_si512(il0)));
+          _mm512_storeu_si512(
+              vs + 2 * j + 4,
+              _mm512_maskz_permutexvar_epi64(
+                  (__mmask8)0x55, spread_idx,
+                  _mm512_castsi256_si512(il1)));
+        }
+        j_start = j;
+      }
+#endif
+      for (uint64_t j = j_start; j-- > 0;) {
         __m128i node = load_b(ys[j]);
         uint32_t t = lsb_of(node);
         __m128i sn = clear_ctl(node);
