@@ -470,6 +470,128 @@ void dpf_walk_aesni_x4(const Prg &prg, int in_bits, int party,
   }
 }
 
+#if FSS_HAVE_VAES512
+// Eight instance-sliced BGI walks: dpf_walk_aesni_x4's eight xmm AES
+// chains collapse onto four vaesenc chains over two zmm seed groups
+// (~5.5 aesenc-equivalents per instance-level vs 20 on xmm), with the
+// correction/select epilogue running lane-masked. Bit-identical to the
+// x4/x1 walkers.
+void dpf_walk_vaes8(const Prg &prg, int in_bits, int party,
+                    const Block *const seeds[8],
+                    const Block *const cwp[8], const uint64_t xlo[8],
+                    const uint64_t xhi[8], Block s_out[8],
+                    uint32_t t_out[8]) {
+  const __m512i ctl512 = bcast_b512(_mm_set_epi32(1, 0, 0, 0));
+  const __m512i one512 = _mm512_set1_epi32(1);
+  __m512i rk0z[11], rk1z[11];
+  for (int r = 0; r < 11; ++r) {
+    rk0z[r] = bcast_b512(prg.ks[0].rk[r]);
+    rk1z[r] = bcast_b512(prg.ks[1].rk[r]);
+  }
+  __m512i S0 = _mm512_castsi128_si512(clear_ctl(load_b(*seeds[0])));
+  S0 = _mm512_inserti32x4(S0, clear_ctl(load_b(*seeds[1])), 1);
+  S0 = _mm512_inserti32x4(S0, clear_ctl(load_b(*seeds[2])), 2);
+  S0 = _mm512_inserti32x4(S0, clear_ctl(load_b(*seeds[3])), 3);
+  __m512i S1 = _mm512_castsi128_si512(clear_ctl(load_b(*seeds[4])));
+  S1 = _mm512_inserti32x4(S1, clear_ctl(load_b(*seeds[5])), 1);
+  S1 = _mm512_inserti32x4(S1, clear_ctl(load_b(*seeds[6])), 2);
+  S1 = _mm512_inserti32x4(S1, clear_ctl(load_b(*seeds[7])), 3);
+  uint32_t t[8];
+  for (int k = 0; k < 8; ++k) t[k] = (uint32_t)party;
+  const bool same_cw =
+      cwp[1] == cwp[0] && cwp[2] == cwp[0] && cwp[3] == cwp[0] &&
+      cwp[4] == cwp[0] && cwp[5] == cwp[0] && cwp[6] == cwp[0] &&
+      cwp[7] == cwp[0];
+
+  for (int i = 0; i < in_bits; ++i) {
+    __m512i eL0 = _mm512_xor_si512(S0, rk0z[0]);
+    __m512i eR0 = _mm512_xor_si512(S0, rk1z[0]);
+    __m512i eL1 = _mm512_xor_si512(S1, rk0z[0]);
+    __m512i eR1 = _mm512_xor_si512(S1, rk1z[0]);
+    for (int rd = 1; rd < 10; ++rd) {
+      eL0 = _mm512_aesenc_epi128(eL0, rk0z[rd]);
+      eR0 = _mm512_aesenc_epi128(eR0, rk1z[rd]);
+      eL1 = _mm512_aesenc_epi128(eL1, rk0z[rd]);
+      eR1 = _mm512_aesenc_epi128(eR1, rk1z[rd]);
+    }
+    const __m512i L0 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(eL0, rk0z[10]), S0);
+    const __m512i R0 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(eR0, rk1z[10]), S0);
+    const __m512i L1 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(eL1, rk0z[10]), S1);
+    const __m512i R1 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(eR1, rk1z[10]), S1);
+
+    __m512i cw0, cw1;
+    uint32_t trcw[8];
+    if (same_cw) {
+      cw0 = bcast_b512(load_b(cwp[0][2 * i]));
+      cw1 = cw0;
+      const uint32_t tb = cwp[0][2 * i + 1].w[0] & 1u;
+      for (int k = 0; k < 8; ++k) trcw[k] = tb;
+    } else {
+      cw0 = _mm512_castsi128_si512(load_b(cwp[0][2 * i]));
+      cw0 = _mm512_inserti32x4(cw0, load_b(cwp[1][2 * i]), 1);
+      cw0 = _mm512_inserti32x4(cw0, load_b(cwp[2][2 * i]), 2);
+      cw0 = _mm512_inserti32x4(cw0, load_b(cwp[3][2 * i]), 3);
+      cw1 = _mm512_castsi128_si512(load_b(cwp[4][2 * i]));
+      cw1 = _mm512_inserti32x4(cw1, load_b(cwp[5][2 * i]), 1);
+      cw1 = _mm512_inserti32x4(cw1, load_b(cwp[6][2 * i]), 2);
+      cw1 = _mm512_inserti32x4(cw1, load_b(cwp[7][2 * i]), 3);
+      for (int k = 0; k < 8; ++k)
+        trcw[k] = cwp[k][2 * i + 1].w[0] & 1u;
+    }
+    const uint32_t mcw0 = _mm512_test_epi32_mask(cw0, one512);
+    const uint32_t mcw1 = _mm512_test_epi32_mask(cw1, one512);
+    const uint32_t mL0 = _mm512_test_epi32_mask(L0, one512);
+    const uint32_t mR0 = _mm512_test_epi32_mask(R0, one512);
+    const uint32_t mL1 = _mm512_test_epi32_mask(L1, one512);
+    const uint32_t mR1 = _mm512_test_epi32_mask(R1, one512);
+
+    const __mmask16 t0m = lane_mask4(t[0], t[1], t[2], t[3]);
+    const __mmask16 t1m = lane_mask4(t[4], t[5], t[6], t[7]);
+    const __m512i corr0 =
+        _mm512_maskz_mov_epi32(t0m, _mm512_andnot_si512(ctl512, cw0));
+    const __m512i corr1 =
+        _mm512_maskz_mov_epi32(t1m, _mm512_andnot_si512(ctl512, cw1));
+    const __m512i Lc0 =
+        _mm512_xor_si512(_mm512_andnot_si512(ctl512, L0), corr0);
+    const __m512i Rc0 =
+        _mm512_xor_si512(_mm512_andnot_si512(ctl512, R0), corr0);
+    const __m512i Lc1 =
+        _mm512_xor_si512(_mm512_andnot_si512(ctl512, L1), corr1);
+    const __m512i Rc1 =
+        _mm512_xor_si512(_mm512_andnot_si512(ctl512, R1), corr1);
+
+    uint32_t xb[8];
+    for (int k = 0; k < 8; ++k) {
+      xb[k] = (uint32_t)input_bit(xlo[k], xhi[k], in_bits, i);
+      const int p = 4 * (k & 3) + 3;
+      const uint32_t mL = k < 4 ? mL0 : mL1;
+      const uint32_t mR = k < 4 ? mR0 : mR1;
+      const uint32_t mc = k < 4 ? mcw0 : mcw1;
+      const uint32_t tl = ((mL >> p) & 1u) ^ (t[k] & ((mc >> p) & 1u));
+      const uint32_t tr = ((mR >> p) & 1u) ^ (t[k] & trcw[k]);
+      t[k] = tl ^ ((tl ^ tr) & (0u - xb[k]));
+    }
+    const __mmask16 xb0m = lane_mask4(xb[0], xb[1], xb[2], xb[3]);
+    const __mmask16 xb1m = lane_mask4(xb[4], xb[5], xb[6], xb[7]);
+    S0 = _mm512_mask_blend_epi32(xb0m, Lc0, Rc0);
+    S1 = _mm512_mask_blend_epi32(xb1m, Lc1, Rc1);
+  }
+  store_b(_mm512_castsi512_si128(S0), s_out[0]);
+  store_b(_mm512_extracti32x4_epi32(S0, 1), s_out[1]);
+  store_b(_mm512_extracti32x4_epi32(S0, 2), s_out[2]);
+  store_b(_mm512_extracti32x4_epi32(S0, 3), s_out[3]);
+  store_b(_mm512_castsi512_si128(S1), s_out[4]);
+  store_b(_mm512_extracti32x4_epi32(S1, 1), s_out[5]);
+  store_b(_mm512_extracti32x4_epi32(S1, 2), s_out[6]);
+  store_b(_mm512_extracti32x4_epi32(S1, 3), s_out[7]);
+  for (int k = 0; k < 8; ++k) t_out[k] = t[k];
+}
+#endif  // FSS_HAVE_VAES512
+
 // One breadth-first DPF level over ys[0..m) in place (the level body of
 // dpf.cuh:294-341), shared by dpf_eval_all / vdpf_eval_all / grotto.
 void dpf_expand_level_aesni_x1(const Prg &prg, Block *ys, uint64_t m,
@@ -3015,6 +3137,31 @@ void fss_dpf_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
   int64_t i = 0;
 #if FSS_HAVE_AESNI
   if (prg.kind == 1) {
+#if FSS_HAVE_VAES512
+    const Block *seeds8[8] = {&seed, &seed, &seed, &seed,
+                              &seed, &seed, &seed, &seed};
+    const Block *cwp8[8] = {cws_b, cws_b, cws_b, cws_b,
+                            cws_b, cws_b, cws_b, cws_b};
+    for (; i + 8 <= n_points; i += 8) {
+      uint64_t xlo[8], xhi[8];
+      for (int k = 0; k < 8; ++k) {
+        xlo[k] = xs_lo[i + k];
+        xhi[k] = xs_hi ? xs_hi[i + k] : 0;
+      }
+      Block sf[8];
+      uint32_t tf[8];
+      dpf_walk_vaes8(prg, in_bits, party, seeds8, cwp8, xlo, xhi, sf,
+                     tf);
+      for (int k = 0; k < 8; ++k) {
+        u128 y = grp.from_block(sf[k]);
+        if (tf[k]) y = grp.add(y, grp.from_block(cws_b[2 * in_bits]));
+        if (party) y = grp.neg(y);
+        Block yb;
+        grp.into_block(y, yb);
+        std::memcpy(ys + 4 * (i + k), yb.w, 16);
+      }
+    }
+#endif
     const Block *seeds[4] = {&seed, &seed, &seed, &seed};
     const Block *cwp[4] = {cws_b, cws_b, cws_b, cws_b};
     for (; i + 4 <= n_points; i += 4) {
@@ -3059,6 +3206,32 @@ void fss_dpf_eval_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
   int64_t i = 0;
 #if FSS_HAVE_AESNI
   if (prg.kind == 1) {
+#if FSS_HAVE_VAES512
+    for (; i + 8 <= n; i += 8) {
+      const Block *seedp[8];
+      const Block *cwp[8];
+      uint64_t xlo[8], xhi[8];
+      for (int k = 0; k < 8; ++k) {
+        seedp[k] =
+            reinterpret_cast<const Block *>(s0s + 4 * (i + k));
+        cwp[k] = reinterpret_cast<const Block *>(cws_batch +
+                                                 key_stride * (i + k));
+        xlo[k] = xs_lo[i + k];
+        xhi[k] = 0;
+      }
+      Block sf[8];
+      uint32_t tf[8];
+      dpf_walk_vaes8(prg, in_bits, party, seedp, cwp, xlo, xhi, sf, tf);
+      for (int k = 0; k < 8; ++k) {
+        u128 y = grp.from_block(sf[k]);
+        if (tf[k]) y = grp.add(y, grp.from_block(cwp[k][2 * in_bits]));
+        if (party) y = grp.neg(y);
+        Block yb;
+        grp.into_block(y, yb);
+        std::memcpy(ys + 4 * (i + k), yb.w, 16);
+      }
+    }
+#endif
     for (; i + 4 <= n; i += 4) {
       Block seeds_s[4];
       const Block *seedp[4];
@@ -3311,6 +3484,36 @@ void fss_vdpf_eval_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
   int64_t i = 0;
 #if FSS_HAVE_AESNI
   if (prg.kind == 1) {
+#if FSS_HAVE_VAES512
+    const Block *seeds8[8] = {&seed, &seed, &seed, &seed,
+                              &seed, &seed, &seed, &seed};
+    const Block *cwp8[8] = {cws_b, cws_b, cws_b, cws_b,
+                            cws_b, cws_b, cws_b, cws_b};
+    for (; i + 8 <= n; i += 8) {
+      uint64_t xlo[8], xhi[8];
+      for (int k = 0; k < 8; ++k) {
+        xlo[k] = xs_lo[i + k];
+        xhi[k] = xs_hi ? xs_hi[i + k] : 0;
+      }
+      Block sf[8];
+      uint32_t tf[8];
+      dpf_walk_vaes8(prg, in_bits, party, seeds8, cwp8, xlo, xhi, sf,
+                     tf);
+      for (int k = 0; k < 8; ++k) {
+        u128 y = grp.from_block(sf[k]);
+        if (tf[k]) y = grp.add(y, grp.from_block(ocwb));
+        if (party) y = grp.neg(y);
+        Block yb;
+        grp.into_block(y, yb);
+        std::memcpy(ys + 4 * (i + k), yb.w, 16);
+        Block pt[4];
+        xh.xor_hash(pack_input(xlo[k], xhi[k]), sf[k], pt);
+        if (tf[k])
+          for (int j = 0; j < 4; ++j) pt[j] = bxor(pt[j], csb[j]);
+        std::memcpy(pi_tildes + 16 * (i + k), pt, 64);
+      }
+    }
+#endif
     const Block *seeds[4] = {&seed, &seed, &seed, &seed};
     const Block *cwp[4] = {cws_b, cws_b, cws_b, cws_b};
     for (; i + 4 <= n; i += 4) {
