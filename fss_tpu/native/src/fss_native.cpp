@@ -1598,6 +1598,107 @@ void dcf_eval_aesni_x2(const Prg &prg, const Group &grp, int in_bits,
     grp.into_block(grp.add(v[k], term), y_out[k]);
   }
 }
+#if FSS_HAVE_VAES512
+// Four instance-sliced DCF walks (Uint groups <= 64 bits): the four
+// schedule chains become four vaesenc chains over 4 instances, the
+// value lane runs 4-wide in 64-bit AVX-512 lanes. Bit-identical to
+// dcf_eval_aesni_x2.
+void dcf_eval_vaes4(const Prg &prg, const Group &grp, int in_bits,
+                    int party, const Block &seed, const Block *cws,
+                    const uint64_t xlo[4], const uint64_t xhi[4],
+                    Block y_out[4]) {
+  const __m512i ctl512 = bcast_b512(_mm_set_epi32(1, 0, 0, 0));
+  const __m512i one512 = _mm512_set1_epi32(1);
+  __m512i rkz[4][11];
+  for (int m = 0; m < 4; ++m)
+    for (int r = 0; r < 11; ++r) rkz[m][r] = bcast_b512(prg.ks[m].rk[r]);
+  const uint64_t vmask =
+      grp.bits >= 64 ? ~0ull : ((1ull << grp.bits) - 1);
+  const __m256i vmaskv = _mm256_set1_epi64x((long long)vmask);
+  const __m256i zero256 = _mm256_setzero_si256();
+  const __m512i loq_idx = _mm512_set_epi64(0, 0, 0, 0, 6, 4, 2, 0);
+  __m512i S = bcast_b512(clear_ctl(load_b(seed)));
+  uint32_t t[4];
+  for (int k = 0; k < 4; ++k) t[k] = (uint32_t)party;
+  __m256i v256 = zero256;
+
+  for (int i = 0; i < in_bits; ++i) {
+    __m512i e0 = _mm512_xor_si512(S, rkz[0][0]);
+    __m512i e1 = _mm512_xor_si512(S, rkz[1][0]);
+    __m512i e2 = _mm512_xor_si512(S, rkz[2][0]);
+    __m512i e3 = _mm512_xor_si512(S, rkz[3][0]);
+    for (int rd = 1; rd < 10; ++rd) {
+      e0 = _mm512_aesenc_epi128(e0, rkz[0][rd]);
+      e1 = _mm512_aesenc_epi128(e1, rkz[1][rd]);
+      e2 = _mm512_aesenc_epi128(e2, rkz[2][rd]);
+      e3 = _mm512_aesenc_epi128(e3, rkz[3][rd]);
+    }
+    const __m512i o0 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e0, rkz[0][10]), S);
+    const __m512i o1 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e1, rkz[1][10]), S);
+    const __m512i o2 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e2, rkz[2][10]), S);
+    const __m512i o3 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e3, rkz[3][10]), S);
+
+    const __m128i cwa = load_b(cws[2 * i]);
+    const Block &cwb = cws[2 * i + 1];
+    const uint32_t tlcw = lsb_of(cwa);
+    const uint32_t trcw = cwb.w[3] & 1u;
+    const uint64_t vcw64 =
+        ((uint64_t)cwb.w[0] | ((uint64_t)cwb.w[1] << 32)) & vmask;
+    const __m256i vcwv = _mm256_set1_epi64x((long long)vcw64);
+    const __m512i cwz = bcast_b512(cwa);
+
+    const uint32_t ml = _mm512_test_epi32_mask(o0, one512);
+    const uint32_t mr = _mm512_test_epi32_mask(o2, one512);
+    uint32_t xb[4];
+    for (int k = 0; k < 4; ++k)
+      xb[k] = (uint32_t)input_bit(xlo[k], xhi[k], in_bits, i);
+    const __mmask16 tm = lane_mask4(t[0], t[1], t[2], t[3]);
+    const __mmask16 xbm = lane_mask4(xb[0], xb[1], xb[2], xb[3]);
+    const __mmask8 t8 = (__mmask8)(t[0] | (t[1] << 1) | (t[2] << 2) |
+                                   (t[3] << 3));
+    const __m512i corr =
+        _mm512_maskz_mov_epi32(tm, _mm512_andnot_si512(ctl512, cwz));
+    const __m512i sl =
+        _mm512_xor_si512(_mm512_andnot_si512(ctl512, o0), corr);
+    const __m512i sr =
+        _mm512_xor_si512(_mm512_andnot_si512(ctl512, o2), corr);
+
+    const __m512i vsel = _mm512_mask_blend_epi32(xbm, o1, o3);
+    __m256i vq = _mm256_and_si256(
+        _mm512_castsi512_si256(_mm512_permutexvar_epi64(loq_idx, vsel)),
+        vmaskv);
+    vq = _mm256_mask_add_epi64(vq, t8, vq, vcwv);
+    if (party) vq = _mm256_sub_epi64(zero256, vq);
+    v256 = _mm256_add_epi64(v256, vq);
+
+    S = _mm512_mask_blend_epi32(xbm, sl, sr);
+    for (int k = 0; k < 4; ++k) {
+      const int p = 4 * k + 3;
+      const uint32_t tl = ((ml >> p) & 1u) ^ (t[k] & tlcw);
+      const uint32_t tr = ((mr >> p) & 1u) ^ (t[k] & trcw);
+      t[k] = tl ^ ((tl ^ tr) & (0u - xb[k]));
+    }
+  }
+
+  Block sf[4];
+  store_b(_mm512_castsi512_si128(S), sf[0]);
+  store_b(_mm512_extracti32x4_epi32(S, 1), sf[1]);
+  store_b(_mm512_extracti32x4_epi32(S, 2), sf[2]);
+  store_b(_mm512_extracti32x4_epi32(S, 3), sf[3]);
+  alignas(32) uint64_t v_s[4];
+  _mm256_store_si256(reinterpret_cast<__m256i *>(v_s), v256);
+  for (int k = 0; k < 4; ++k) {
+    u128 term = grp.from_block(sf[k]);
+    if (t[k]) term = grp.add(term, grp.from_block(cws[2 * in_bits + 1]));
+    if (party) term = grp.neg(term);
+    grp.into_block(grp.add((u128)(v_s[k] & vmask), term), y_out[k]);
+  }
+}
+#endif  // FSS_HAVE_VAES512
 #endif  // FSS_HAVE_AESNI
 
 void dcf_eval(const Prg &prg, const Group &grp, int in_bits, int party,
@@ -2377,6 +2478,99 @@ void ht_eval_aesni_x4(const HtCtx &ht, const Group &grp, int in_bits,
     grp.into_block(y, y_out[k]);
   }
 }
+
+#if FSS_HAVE_VAES512
+// Sixteen instance-sliced CCR walks: four vaesenc chains of four
+// instances each (one AES block per level per instance). Bit-identical
+// to ht_eval_aesni_x4.
+void ht_eval_vaes16(const HtCtx &ht, const Group &grp, int in_bits,
+                    int party, const Block &s0, const Block *cws,
+                    const Block &ocw, const uint64_t xlo[16],
+                    const uint64_t xhi[16], Block y_out[16]) {
+  const __m512i hkz = bcast_b512(load_b(ht.hash_key));
+  const __m512i ctl512 = bcast_b512(_mm_set_epi32(1, 0, 0, 0));
+  const __m512i one512 = _mm512_set1_epi32(1);
+  const AesKeySchedule &ks = ht.prg->ks[0];
+  __m512i rkz[11];
+  for (int r = 0; r < 11; ++r) rkz[r] = bcast_b512(ks.rk[r]);
+  const __m128i seed128 =
+      or_ctl(clear_ctl(load_b(s0)), (uint32_t)party);
+  __m512i N[4];
+  for (int g = 0; g < 4; ++g) N[g] = bcast_b512(seed128);
+
+  for (int i = 0; i < in_bits - 1; ++i) {
+    const __m512i cwz = bcast_b512(load_b(cws[2 * i]));
+    uint32_t tmask[4];
+    __m512i V[4], E[4];
+    for (int g = 0; g < 4; ++g) {
+      tmask[g] = _mm512_test_epi32_mask(N[g], one512);
+      V[g] = _mm512_xor_si512(N[g], hkz);
+      E[g] = _mm512_xor_si512(V[g], rkz[0]);
+    }
+    for (int rd = 1; rd < 10; ++rd)
+      for (int g = 0; g < 4; ++g)
+        E[g] = _mm512_aesenc_epi128(E[g], rkz[rd]);
+    for (int g = 0; g < 4; ++g) {
+      const __m512i H = _mm512_xor_si512(
+          _mm512_aesenclast_epi128(E[g], rkz[10]), V[g]);
+      uint32_t xb[4];
+      for (int k = 0; k < 4; ++k)
+        xb[k] = (uint32_t)input_bit(xlo[4 * g + k], xhi[4 * g + k],
+                                    in_bits, i);
+      const __mmask16 xbm = lane_mask4(xb[0], xb[1], xb[2], xb[3]);
+      const int p3 = 3;
+      const __mmask16 tm = lane_mask4(
+          (tmask[g] >> p3) & 1u, (tmask[g] >> (p3 + 4)) & 1u,
+          (tmask[g] >> (p3 + 8)) & 1u, (tmask[g] >> (p3 + 12)) & 1u);
+      const __m512i M =
+          _mm512_xor_si512(H, _mm512_maskz_mov_epi32(xbm, N[g]));
+      N[g] = _mm512_xor_si512(M, _mm512_maskz_mov_epi32(tm, cwz));
+    }
+  }
+
+  // Last level: one more hash per instance, then the scalar finalize.
+  const Block &last = cws[2 * (in_bits - 1)];
+  const __m128i hcw = clear_ctl(load_b(last));
+  const uint32_t lcw0 = last.w[3] & 1u;
+  const uint32_t lcw1 = cws[2 * (in_bits - 1) + 1].w[0] & 1u;
+  for (int g = 0; g < 4; ++g) {
+    uint32_t x_n[4];
+    for (int k = 0; k < 4; ++k)
+      x_n[k] = (uint32_t)input_bit(xlo[4 * g + k], xhi[4 * g + k],
+                                   in_bits, in_bits - 1);
+    const uint32_t tmask = _mm512_test_epi32_mask(N[g], one512);
+    const __mmask16 xnm =
+        lane_mask4(x_n[0], x_n[1], x_n[2], x_n[3]) & (__mmask16)0x8888;
+    const __m512i NS = _mm512_mask_or_epi32(
+        _mm512_andnot_si512(ctl512, N[g]), xnm,
+        _mm512_andnot_si512(ctl512, N[g]), one512);
+    const __m512i V = _mm512_xor_si512(NS, hkz);
+    __m512i E = _mm512_xor_si512(V, rkz[0]);
+    for (int rd = 1; rd < 10; ++rd)
+      E = _mm512_aesenc_epi128(E, rkz[rd]);
+    const __m512i H =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(E, rkz[10]), V);
+    __m128i hl[4];
+    hl[0] = _mm512_castsi512_si128(H);
+    hl[1] = _mm512_extracti32x4_epi32(H, 1);
+    hl[2] = _mm512_extracti32x4_epi32(H, 2);
+    hl[3] = _mm512_extracti32x4_epi32(H, 3);
+    for (int k = 0; k < 4; ++k) {
+      const uint32_t t = (tmask >> (4 * k + 3)) & 1u;
+      const uint32_t lcw_xn = x_n[k] ? lcw1 : lcw0;
+      const uint32_t low = lsb_of(hl[k]) ^ (t & lcw_xn);
+      const __m128i high = _mm_xor_si128(
+          clear_ctl(hl[k]), _mm_and_si128(hcw, mask_of(t)));
+      Block hb;
+      store_b(high, hb);
+      u128 y = grp.from_block(hb);
+      if (low) y = grp.add(y, grp.from_block(ocw));
+      if (party) y = grp.neg(y);
+      grp.into_block(y, y_out[4 * g + k]);
+    }
+  }
+}
+#endif  // FSS_HAVE_VAES512
 
 // Phase-1 level expansion of ht_eval_all, AES in registers.
 void ht_expand_level_aesni(const HtCtx &ht, Block *ys, uint64_t m,
@@ -3314,6 +3508,21 @@ void fss_dcf_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
   int64_t i = 0;
 #if FSS_HAVE_AESNI
   if (prg.kind == 1) {
+#if FSS_HAVE_VAES512
+    if (grp.kind == 1 && grp.bits <= 64) {
+      for (; i + 4 <= n_points; i += 4) {
+        uint64_t xlo[4], xhi[4];
+        for (int k = 0; k < 4; ++k) {
+          xlo[k] = xs_lo[i + k];
+          xhi[k] = xs_hi ? xs_hi[i + k] : 0;
+        }
+        Block yb[4];
+        dcf_eval_vaes4(prg, grp, in_bits, party, seed, cws_b, xlo, xhi,
+                       yb);
+        std::memcpy(ys + 4 * i, yb, 64);
+      }
+    }
+#endif
     for (; i + 2 <= n_points; i += 2) {
       uint64_t xlo[2], xhi[2];
       for (int k = 0; k < 2; ++k) {
@@ -3387,6 +3596,19 @@ void fss_ht_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
   int64_t i = 0;
 #if FSS_HAVE_AESNI
   if (prg.kind == 1 && in_bits >= 2) {
+#if FSS_HAVE_VAES512
+    for (; i + 16 <= n_points; i += 16) {
+      uint64_t xlo[16], xhi[16];
+      for (int k = 0; k < 16; ++k) {
+        xlo[k] = xs_lo[i + k];
+        xhi[k] = xs_hi ? xs_hi[i + k] : 0;
+      }
+      Block yb[16];
+      ht_eval_vaes16(ht, grp, in_bits, party, seed, cws_b, ocw_b, xlo,
+                     xhi, yb);
+      std::memcpy(ys + 4 * i, yb, 256);
+    }
+#endif
     for (; i + 4 <= n_points; i += 4) {
       uint64_t xlo[4], xhi[4];
       for (int k = 0; k < 4; ++k) {
