@@ -2844,6 +2844,71 @@ struct Blake3Sched {
 void blake3_compress(const uint32_t iv[8], const uint32_t m_in[16],
                      uint32_t block_len, uint32_t out[16]) {
   static const Blake3Sched kSched;
+#if FSS_HAVE_AESNI
+  // Row-vectorized single compress (the standard BLAKE2s/BLAKE3 SSE
+  // shape): the four column Gs (then the four diagonal Gs after lane
+  // rotations) run in one xmm row each; rotates by 16/8 are byte
+  // shuffles. Bit-identical to the scalar rounds below.
+  const __m128i r16 = _mm_set_epi8(13, 12, 15, 14, 9, 8, 11, 10, 5, 4,
+                                   7, 6, 1, 0, 3, 2);
+  const __m128i r8 = _mm_set_epi8(12, 15, 14, 13, 8, 11, 10, 9, 4, 7, 6,
+                                  5, 0, 3, 2, 1);
+  __m128i a = _mm_loadu_si128(reinterpret_cast<const __m128i *>(iv));
+  __m128i b = _mm_loadu_si128(reinterpret_cast<const __m128i *>(iv + 4));
+  __m128i c =
+      _mm_loadu_si128(reinterpret_cast<const __m128i *>(kBlake3Iv0));
+  __m128i d = _mm_set_epi32(0x1B, (int)block_len, 0, 0);
+  const uint32_t *m = m_in;
+  for (int r = 0; r < 7; ++r) {
+    const uint8_t *sc = kSched.s[r];
+    __m128i mx = _mm_set_epi32((int)m[sc[6]], (int)m[sc[4]],
+                               (int)m[sc[2]], (int)m[sc[0]]);
+    __m128i my = _mm_set_epi32((int)m[sc[7]], (int)m[sc[5]],
+                               (int)m[sc[3]], (int)m[sc[1]]);
+    a = _mm_add_epi32(_mm_add_epi32(a, b), mx);
+    d = _mm_shuffle_epi8(_mm_xor_si128(d, a), r16);
+    c = _mm_add_epi32(c, d);
+    b = _mm_xor_si128(b, c);
+    b = _mm_or_si128(_mm_srli_epi32(b, 12), _mm_slli_epi32(b, 20));
+    a = _mm_add_epi32(_mm_add_epi32(a, b), my);
+    d = _mm_shuffle_epi8(_mm_xor_si128(d, a), r8);
+    c = _mm_add_epi32(c, d);
+    b = _mm_xor_si128(b, c);
+    b = _mm_or_si128(_mm_srli_epi32(b, 7), _mm_slli_epi32(b, 25));
+    // Diagonalize: lane k of each row then holds diagonal G_k's state.
+    b = _mm_shuffle_epi32(b, _MM_SHUFFLE(0, 3, 2, 1));
+    c = _mm_shuffle_epi32(c, _MM_SHUFFLE(1, 0, 3, 2));
+    d = _mm_shuffle_epi32(d, _MM_SHUFFLE(2, 1, 0, 3));
+    mx = _mm_set_epi32((int)m[sc[14]], (int)m[sc[12]], (int)m[sc[10]],
+                       (int)m[sc[8]]);
+    my = _mm_set_epi32((int)m[sc[15]], (int)m[sc[13]], (int)m[sc[11]],
+                       (int)m[sc[9]]);
+    a = _mm_add_epi32(_mm_add_epi32(a, b), mx);
+    d = _mm_shuffle_epi8(_mm_xor_si128(d, a), r16);
+    c = _mm_add_epi32(c, d);
+    b = _mm_xor_si128(b, c);
+    b = _mm_or_si128(_mm_srli_epi32(b, 12), _mm_slli_epi32(b, 20));
+    a = _mm_add_epi32(_mm_add_epi32(a, b), my);
+    d = _mm_shuffle_epi8(_mm_xor_si128(d, a), r8);
+    c = _mm_add_epi32(c, d);
+    b = _mm_xor_si128(b, c);
+    b = _mm_or_si128(_mm_srli_epi32(b, 7), _mm_slli_epi32(b, 25));
+    b = _mm_shuffle_epi32(b, _MM_SHUFFLE(2, 1, 0, 3));
+    c = _mm_shuffle_epi32(c, _MM_SHUFFLE(1, 0, 3, 2));
+    d = _mm_shuffle_epi32(d, _MM_SHUFFLE(0, 3, 2, 1));
+  }
+  __m128i *o = reinterpret_cast<__m128i *>(out);
+  _mm_storeu_si128(o, _mm_xor_si128(a, c));
+  _mm_storeu_si128(o + 1, _mm_xor_si128(b, d));
+  _mm_storeu_si128(
+      o + 2,
+      _mm_xor_si128(c, _mm_loadu_si128(
+                           reinterpret_cast<const __m128i *>(iv))));
+  _mm_storeu_si128(
+      o + 3,
+      _mm_xor_si128(d, _mm_loadu_si128(
+                           reinterpret_cast<const __m128i *>(iv + 4))));
+#else
   uint32_t v[16], m[16];
   for (int i = 0; i < 8; ++i) v[i] = iv[i];
   for (int i = 0; i < 4; ++i) v[8 + i] = kBlake3Iv0[i];
@@ -2862,6 +2927,7 @@ void blake3_compress(const uint32_t iv[8], const uint32_t m_in[16],
   }
   for (int i = 0; i < 8; ++i) out[i] = v[i] ^ v[i + 8];
   for (int i = 0; i < 8; ++i) out[8 + i] = v[8 + i] ^ iv[i];
+#endif
 }
 
 // Keyed hash dispatch: Hashable (64B -> 32B) + XorHashable ((x,s) -> 64B).
