@@ -299,9 +299,13 @@ class NativeEngine:
         return ys
 
     def dcf_gen_batch(self, in_bits: int, prg_kind: int, group_kind: int,
-                      group_bits: int, pred_lt: int, s0s, alphas, betas,
+                      group_bits: int, pred_lt, s0s, alphas, betas,
                       nonce=None, aes_keys=None,
                       rounds: int = 20) -> np.ndarray:
+        # Accept the same "lt"/"gt" strings as dcf_gen besides the raw
+        # int flag, so the two wrappers cannot silently disagree.
+        if isinstance(pred_lt, str):
+            pred_lt = 1 if pred_lt == "lt" else 0
         nh, nonce_p, kh, keys_p, rounds_c = self._prg_args(
             prg_kind, nonce, aes_keys, rounds)
         s0s_a, s0s_p = self._u32(s0s)

@@ -89,11 +89,18 @@ def row_ms(name, dt_ms):
 
 
 def timeit(fn, reps):
+    """Best-of-3 passes of ``reps`` calls: this shared VM sees multi-ms
+    scheduler interruptions, so a single pass over a large batch reads
+    the noise floor, not the code. Best-of matches the cross-run
+    best-keeping protocol of bench_compare.py."""
     fn()  # warm
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        fn()
-    return (time.perf_counter() - t0) / reps
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fn()
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
 
 
 def main():
