@@ -592,6 +592,113 @@ void dpf_walk_vaes8(const Prg &prg, int in_bits, int party,
 }
 #endif  // FSS_HAVE_VAES512
 
+#if FSS_HAVE_VAES512
+// Sixteen instance-sliced ChaCha BGI walks: the state is word-major
+// (st[j] holds word j of 16 instances), every quarter-round runs
+// 16-wide with single-op vprold rotates, and the t bits live in
+// __mmask16 registers for the whole walk. Bit-identical to the scalar
+// ChaCha walk (prg/chacha.cuh semantics, the nonstandard feed-forward
+// variant).
+void dpf_walk_chacha16(const Prg &prg, int in_bits, int party,
+                       const Block &seed, const Block *cws,
+                       const uint64_t xlo[16], const uint64_t xhi[16],
+                       Block s_out[16], uint32_t t_out[16]) {
+  const int rounds = prg.rounds;
+  const __m512i one = _mm512_set1_epi32(1);
+  const __m512i notone = _mm512_set1_epi32((int)0xFFFFFFFE);
+  __m512i C[4], W[4];
+  for (int j = 0; j < 4; ++j)
+    C[j] = _mm512_set1_epi32((int)kConst16[j]);
+  {
+    Block s = seed;
+    s.w[3] &= 0xFFFFFFFEu;  // clear_ctl
+    for (int j = 0; j < 4; ++j)
+      W[j] = _mm512_set1_epi32((int)s.w[j]);
+  }
+  const __m512i N0 = _mm512_set1_epi32((int)prg.nonce[0]);
+  const __m512i N1 = _mm512_set1_epi32((int)prg.nonce[1]);
+  const __m512i Z = _mm512_setzero_si512();
+  __mmask16 tmsk = party ? (__mmask16)0xFFFF : (__mmask16)0;
+
+#define FSS_CC_QR(a, b, c, d)                                          \
+  do {                                                                 \
+    st[a] = _mm512_add_epi32(st[a], st[b]);                            \
+    st[d] = _mm512_rol_epi32(_mm512_xor_si512(st[d], st[a]), 16);      \
+    st[c] = _mm512_add_epi32(st[c], st[d]);                            \
+    st[b] = _mm512_rol_epi32(_mm512_xor_si512(st[b], st[c]), 12);      \
+    st[a] = _mm512_add_epi32(st[a], st[b]);                            \
+    st[d] = _mm512_rol_epi32(_mm512_xor_si512(st[d], st[a]), 8);       \
+    st[c] = _mm512_add_epi32(st[c], st[d]);                            \
+    st[b] = _mm512_rol_epi32(_mm512_xor_si512(st[b], st[c]), 7);       \
+  } while (0)
+
+  for (int i = 0; i < in_bits; ++i) {
+    __m512i st[16];
+    for (int j = 0; j < 4; ++j) {
+      st[j] = C[j];
+      st[4 + j] = W[j];
+      st[8 + j] = W[j];
+    }
+    st[12] = Z;
+    st[13] = Z;
+    st[14] = N0;
+    st[15] = N1;
+    for (int r = 0; r < rounds / 2; ++r) {
+      FSS_CC_QR(0, 4, 8, 12);
+      FSS_CC_QR(1, 5, 9, 13);
+      FSS_CC_QR(2, 6, 10, 14);
+      FSS_CC_QR(3, 7, 11, 15);
+      FSS_CC_QR(0, 5, 10, 15);
+      FSS_CC_QR(1, 6, 11, 12);
+      FSS_CC_QR(2, 7, 8, 13);
+      FSS_CC_QR(3, 4, 9, 14);
+    }
+    __m512i L[4], R[4];
+    for (int j = 0; j < 4; ++j) {
+      L[j] = _mm512_xor_si512(st[j], C[j]);
+      R[j] = _mm512_xor_si512(st[4 + j], W[j]);
+    }
+
+    const __mmask16 tl_raw = _mm512_test_epi32_mask(L[3], one);
+    const __mmask16 tr_raw = _mm512_test_epi32_mask(R[3], one);
+    const Block &cwa = cws[2 * i];
+    const uint32_t tlcw = cwa.w[3] & 1u;
+    const uint32_t trcw = cws[2 * i + 1].w[0] & 1u;
+    __m512i corr[4];
+    for (int j = 0; j < 3; ++j)
+      corr[j] = _mm512_maskz_mov_epi32(
+          tmsk, _mm512_set1_epi32((int)cwa.w[j]));
+    corr[3] = _mm512_maskz_mov_epi32(
+        tmsk, _mm512_set1_epi32((int)(cwa.w[3] & 0xFFFFFFFEu)));
+    L[3] = _mm512_and_si512(L[3], notone);
+    R[3] = _mm512_and_si512(R[3], notone);
+
+    __mmask16 xm = 0;
+    for (int k = 0; k < 16; ++k)
+      xm = (__mmask16)(xm |
+                       ((uint32_t)input_bit(xlo[k], xhi[k], in_bits, i)
+                        << k));
+    for (int j = 0; j < 4; ++j)
+      W[j] = _mm512_mask_blend_epi32(xm, _mm512_xor_si512(L[j], corr[j]),
+                                     _mm512_xor_si512(R[j], corr[j]));
+    const __mmask16 tlm =
+        tl_raw ^ (tlcw ? tmsk : (__mmask16)0);
+    const __mmask16 trm =
+        tr_raw ^ (trcw ? tmsk : (__mmask16)0);
+    tmsk = (__mmask16)(tlm ^ ((tlm ^ trm) & xm));
+  }
+#undef FSS_CC_QR
+
+  alignas(64) uint32_t wbuf[4][16];
+  for (int j = 0; j < 4; ++j)
+    _mm512_store_si512(wbuf[j], W[j]);
+  for (int k = 0; k < 16; ++k) {
+    for (int j = 0; j < 4; ++j) s_out[k].w[j] = wbuf[j][k];
+    t_out[k] = (tmsk >> k) & 1u;
+  }
+}
+#endif  // FSS_HAVE_VAES512
+
 // One breadth-first DPF level over ys[0..m) in place (the level body of
 // dpf.cuh:294-341), shared by dpf_eval_all / vdpf_eval_all / grotto.
 void dpf_expand_level_aesni_x1(const Prg &prg, Block *ys, uint64_t m,
@@ -3395,6 +3502,29 @@ void fss_dpf_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
   std::memcpy(seed.w, s0, 16);
   const Block *cws_b = reinterpret_cast<const Block *>(cws);
   int64_t i = 0;
+#if FSS_HAVE_VAES512
+  if (prg.kind == 0) {
+    for (; i + 16 <= n_points; i += 16) {
+      uint64_t xlo[16], xhi[16];
+      for (int k = 0; k < 16; ++k) {
+        xlo[k] = xs_lo[i + k];
+        xhi[k] = xs_hi ? xs_hi[i + k] : 0;
+      }
+      Block sf[16];
+      uint32_t tf[16];
+      dpf_walk_chacha16(prg, in_bits, party, seed, cws_b, xlo, xhi, sf,
+                        tf);
+      for (int k = 0; k < 16; ++k) {
+        u128 y = grp.from_block(sf[k]);
+        if (tf[k]) y = grp.add(y, grp.from_block(cws_b[2 * in_bits]));
+        if (party) y = grp.neg(y);
+        Block yb;
+        grp.into_block(y, yb);
+        std::memcpy(ys + 4 * (i + k), yb.w, 16);
+      }
+    }
+  }
+#endif
 #if FSS_HAVE_AESNI
   if (prg.kind == 1) {
 #if FSS_HAVE_VAES512
