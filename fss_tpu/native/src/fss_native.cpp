@@ -2680,8 +2680,8 @@ void ht_eval_vaes16(const HtCtx &ht, const Group &grp, int in_bits,
 #endif  // FSS_HAVE_VAES512
 
 // Phase-1 level expansion of ht_eval_all, AES in registers.
-void ht_expand_level_aesni(const HtCtx &ht, Block *ys, uint64_t m,
-                           const Block &cw) {
+void ht_expand_level_aesni_x1(const HtCtx &ht, Block *ys, uint64_t m,
+                              const Block &cw) {
   const __m128i hk = load_b(ht.hash_key);
   const __m128i cwv = load_b(cw);
   for (uint64_t j = m; j-- > 0;) {
@@ -2692,6 +2692,72 @@ void ht_expand_level_aesni(const HtCtx &ht, Block *ys, uint64_t m,
     store_b(left, ys[2 * j]);
     store_b(_mm_xor_si128(left, node), ys[2 * j + 1]);
   }
+}
+
+#if FSS_HAVE_VAES512
+// Node-sliced VAES-512 Half-Tree level: 8 nodes per iteration on two
+// vaesenc chains; children re-interleave with qword permutes.
+// Bit-identical to the x1 loop above.
+void ht_expand_level_vaes(const HtCtx &ht, Block *ys, uint64_t m,
+                          const Block &cw) {
+  const __m512i one512 = _mm512_set1_epi32(1);
+  const __m512i hkz = bcast_b512(load_b(ht.hash_key));
+  const __m512i cwz = bcast_b512(load_b(cw));
+  __m512i rkz[11];
+  for (int r = 0; r < 11; ++r)
+    rkz[r] = bcast_b512(ht.prg->ks[0].rk[r]);
+  const __m512i idxA = _mm512_set_epi64(11, 10, 3, 2, 9, 8, 1, 0);
+  const __m512i idxB = _mm512_set_epi64(15, 14, 7, 6, 13, 12, 5, 4);
+
+  uint64_t j = m;
+  while (j >= 8) {
+    j -= 8;
+    const __m512i n0 = _mm512_loadu_si512(ys + j);
+    const __m512i n1 = _mm512_loadu_si512(ys + j + 4);
+    const uint32_t tm0 = _mm512_test_epi32_mask(n0, one512);
+    const uint32_t tm1 = _mm512_test_epi32_mask(n1, one512);
+    const __m512i v0 = _mm512_xor_si512(n0, hkz);
+    const __m512i v1 = _mm512_xor_si512(n1, hkz);
+    __m512i e0 = _mm512_xor_si512(v0, rkz[0]);
+    __m512i e1 = _mm512_xor_si512(v1, rkz[0]);
+    for (int rd = 1; rd < 10; ++rd) {
+      e0 = _mm512_aesenc_epi128(e0, rkz[rd]);
+      e1 = _mm512_aesenc_epi128(e1, rkz[rd]);
+    }
+    const __m512i h0 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e0, rkz[10]), v0);
+    const __m512i h1 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e1, rkz[10]), v1);
+    const __mmask16 t0l = lane_mask4((tm0 >> 3) & 1u, (tm0 >> 7) & 1u,
+                                     (tm0 >> 11) & 1u, (tm0 >> 15) & 1u);
+    const __mmask16 t1l = lane_mask4((tm1 >> 3) & 1u, (tm1 >> 7) & 1u,
+                                     (tm1 >> 11) & 1u, (tm1 >> 15) & 1u);
+    const __m512i l0 =
+        _mm512_xor_si512(h0, _mm512_maskz_mov_epi32(t0l, cwz));
+    const __m512i l1 =
+        _mm512_xor_si512(h1, _mm512_maskz_mov_epi32(t1l, cwz));
+    const __m512i r0 = _mm512_xor_si512(l0, n0);
+    const __m512i r1 = _mm512_xor_si512(l1, n1);
+    _mm512_storeu_si512(ys + 2 * j,
+                        _mm512_permutex2var_epi64(l0, idxA, r0));
+    _mm512_storeu_si512(ys + 2 * j + 4,
+                        _mm512_permutex2var_epi64(l0, idxB, r0));
+    _mm512_storeu_si512(ys + 2 * j + 8,
+                        _mm512_permutex2var_epi64(l1, idxA, r1));
+    _mm512_storeu_si512(ys + 2 * j + 12,
+                        _mm512_permutex2var_epi64(l1, idxB, r1));
+  }
+  if (j) ht_expand_level_aesni_x1(ht, ys, j, cw);
+}
+#endif  // FSS_HAVE_VAES512
+
+inline void ht_expand_level_aesni(const HtCtx &ht, Block *ys, uint64_t m,
+                                  const Block &cw) {
+#if FSS_HAVE_VAES512
+  ht_expand_level_vaes(ht, ys, m, cw);
+#else
+  ht_expand_level_aesni_x1(ht, ys, m, cw);
+#endif
 }
 #endif  // FSS_HAVE_AESNI
 
