@@ -448,6 +448,25 @@ class NativeEngine:
                                  ctypes.c_int64(n), cs_p, pi_p)
         return pi
 
+    def vdpf_prove1_batch(self, hash_kind: int, hash_key: bytes,
+                          pi_tildes, cs) -> np.ndarray:
+        """n independent single-fold proofs: pis[j] = Prove([pt_j], cs).
+
+        Mirrors the reference Prove benchmark's per-iteration work
+        (bench_cpu.cu:408-435), where each timed iteration folds exactly
+        one corrected hash starting from cs.
+        """
+        hk_hold, hk_p = self._u8(hash_key)
+        pts_a, pts_p = self._u32(pi_tildes)
+        cs_a, cs_p = self._u32(cs)
+        n = pts_a.reshape(-1, 4, 4).shape[0]
+        pis = np.zeros((n, 4, 4), dtype=np.uint32)
+        _, pis_p = self._u32(pis)
+        self._lib.fss_vdpf_prove1_batch(ctypes.c_int(hash_kind), hk_p,
+                                        pts_p, ctypes.c_int64(n), cs_p,
+                                        pis_p)
+        return pis
+
     def vdpf_eval_all(self, in_bits: int, prg_kind: int, hash_kind: int,
                       hash_key: bytes, group_kind: int, group_bits: int,
                       party: int, s0, cws, cs, ocw, nonce=None,

@@ -3026,6 +3026,17 @@ void blake3_compress(const uint32_t iv[8], const uint32_t m_in[16],
                                    7, 6, 1, 0, 3, 2);
   const __m128i r8 = _mm_set_epi8(12, 15, 14, 13, 8, 11, 10, 9, 4, 7, 6,
                                   5, 0, 3, 2, 1);
+  // Variable rotates: AVX-512VL's VPRORD is one op on the critical path
+  // where the shift/shift/or fallback is three.
+#if FSS_HAVE_VAES512
+#define FSS_B3_ROR12(x) _mm_ror_epi32((x), 12)
+#define FSS_B3_ROR7(x) _mm_ror_epi32((x), 7)
+#else
+#define FSS_B3_ROR12(x) \
+  _mm_or_si128(_mm_srli_epi32((x), 12), _mm_slli_epi32((x), 20))
+#define FSS_B3_ROR7(x) \
+  _mm_or_si128(_mm_srli_epi32((x), 7), _mm_slli_epi32((x), 25))
+#endif
   __m128i a = _mm_loadu_si128(reinterpret_cast<const __m128i *>(iv));
   __m128i b = _mm_loadu_si128(reinterpret_cast<const __m128i *>(iv + 4));
   __m128i c =
@@ -3042,12 +3053,12 @@ void blake3_compress(const uint32_t iv[8], const uint32_t m_in[16],
     d = _mm_shuffle_epi8(_mm_xor_si128(d, a), r16);
     c = _mm_add_epi32(c, d);
     b = _mm_xor_si128(b, c);
-    b = _mm_or_si128(_mm_srli_epi32(b, 12), _mm_slli_epi32(b, 20));
+    b = FSS_B3_ROR12(b);
     a = _mm_add_epi32(_mm_add_epi32(a, b), my);
     d = _mm_shuffle_epi8(_mm_xor_si128(d, a), r8);
     c = _mm_add_epi32(c, d);
     b = _mm_xor_si128(b, c);
-    b = _mm_or_si128(_mm_srli_epi32(b, 7), _mm_slli_epi32(b, 25));
+    b = FSS_B3_ROR7(b);
     // Diagonalize: lane k of each row then holds diagonal G_k's state.
     b = _mm_shuffle_epi32(b, _MM_SHUFFLE(0, 3, 2, 1));
     c = _mm_shuffle_epi32(c, _MM_SHUFFLE(1, 0, 3, 2));
@@ -3060,12 +3071,12 @@ void blake3_compress(const uint32_t iv[8], const uint32_t m_in[16],
     d = _mm_shuffle_epi8(_mm_xor_si128(d, a), r16);
     c = _mm_add_epi32(c, d);
     b = _mm_xor_si128(b, c);
-    b = _mm_or_si128(_mm_srli_epi32(b, 12), _mm_slli_epi32(b, 20));
+    b = FSS_B3_ROR12(b);
     a = _mm_add_epi32(_mm_add_epi32(a, b), my);
     d = _mm_shuffle_epi8(_mm_xor_si128(d, a), r8);
     c = _mm_add_epi32(c, d);
     b = _mm_xor_si128(b, c);
-    b = _mm_or_si128(_mm_srli_epi32(b, 7), _mm_slli_epi32(b, 25));
+    b = FSS_B3_ROR7(b);
     b = _mm_shuffle_epi32(b, _MM_SHUFFLE(2, 1, 0, 3));
     c = _mm_shuffle_epi32(c, _MM_SHUFFLE(1, 0, 3, 2));
     d = _mm_shuffle_epi32(d, _MM_SHUFFLE(0, 3, 2, 1));
@@ -4043,6 +4054,24 @@ void fss_vdpf_prove(int hash_kind, const uint8_t *hash_key,
   std::memcpy(csb, cs, 64);
   vdpf_prove(h, reinterpret_cast<const Block *>(pi_tildes), n, csb, pib);
   std::memcpy(pi, pib, 64);
+}
+
+void fss_vdpf_prove1_batch(int hash_kind, const uint8_t *hash_key,
+                           const uint32_t *pi_tildes, int64_t n,
+                           const uint32_t *cs, uint32_t *pis) {
+  // n INDEPENDENT single-fold proofs (each pi_j = fold(cs, pi_tilde_j)):
+  // the exact iteration the reference's Prove benchmark times
+  // (bench_cpu.cu:408-435 resets pi to cs and folds one hash per
+  // iteration), as opposed to fss_vdpf_prove's n-deep dependent chain.
+  Hash h = make_hash(hash_kind, hash_key);
+  Block csb[4];
+  std::memcpy(csb, cs, 64);
+  const Block *pts = reinterpret_cast<const Block *>(pi_tildes);
+  for (int64_t j = 0; j < n; ++j) {
+    Block pi[4] = {csb[0], csb[1], csb[2], csb[3]};
+    vdpf_fold_step(h, pi, pts + 4 * j);
+    std::memcpy(pis + 16 * j, pi, 64);
+  }
 }
 
 void fss_vdpf_eval_all(int in_bits, int prg_kind, const uint32_t nonce[2],

@@ -195,14 +195,22 @@ def main():
                 IB, AES, hk, hkey, U, 32, 0, s0s[0], vcws, vcs, vocw,
                 aes_keys=keys4[:2]), 1)
             row_ms("BM_VdpfEvalAll_Uint_Aes_Sha256/20", dt * 1e3)
-    # Prove (ChaCha+Blake3 config): fold ne pi-tildes.
+    # Prove (ChaCha+Blake3 config). The reference's Prove bench times
+    # pi = cs; fold ONE pi-tilde per iteration (bench_cpu.cu:408-435) —
+    # independent iterations the CPU overlaps. Workload-parity row uses
+    # the same shape (prove1_batch); the n-deep *dependent* fold chain
+    # (the real multi-point Prove, pi feeds the next hash, pure latency)
+    # is reported alongside as a harder supplementary row.
     vcws, vcs, vocw, fail = eng.vdpf_gen(IB, CHA, 1, b3_iv, U, 32, s0s,
                                          12345, beta, nonce=nonce)
     assert not fail
     _, pts = eng.vdpf_eval_batch(IB, CHA, 1, b3_iv, U, 32, 0, s0s[0],
                                  vcws, vcs, vocw, xs[:ng], nonce=nonce)
-    dt = timeit(lambda: eng.vdpf_prove(1, b3_iv, pts, vcs), 1)
+    dt = timeit(lambda: eng.vdpf_prove1_batch(1, b3_iv, pts, vcs), 1)
     row_ns("BM_VdpfProve_Uint_ChaCha_Blake3/20", dt / len(pts) * 1e9)
+    dt = timeit(lambda: eng.vdpf_prove(1, b3_iv, pts, vcs), 1)
+    row_ns(f"BM_VdpfProveChain_Uint_ChaCha_Blake3/{len(pts)}",
+           dt / len(pts) * 1e9)
 
     # ---- Half-Tree ----
     hcws, hocw = eng.ht_gen(IB, AES, U, 32, htk, s0s, 12345, beta,
@@ -224,8 +232,16 @@ def main():
     pt = eng.grotto_preprocess(IB, AES, 0, s0s[0], gcws,
                                aes_keys=keys4[:2])
     packed = eng.grotto_pack_tree(pt)
-    dt = timeit(lambda: eng.grotto_eval_batch_packed(IB, packed, xs), 8)
+    # The reference's Eval bench walks the SAME x=100 every iteration
+    # (bench_cpu.cu:546-571) — all 20 parity-tree lines stay L1-warm.
+    # Workload-parity row mirrors that; random xs (every query missing
+    # to L2 on the 256 KB packed tree) is the harder supplementary row.
+    xs_fixed = np.full(ne, 100, dtype=np.uint64)
+    dt = timeit(lambda: eng.grotto_eval_batch_packed(IB, packed,
+                                                     xs_fixed), 8)
     row_ns("BM_GrottoDcfEval_Aes/20", dt / ne * 1e9)
+    dt = timeit(lambda: eng.grotto_eval_batch_packed(IB, packed, xs), 8)
+    row_ns("BM_GrottoDcfEvalRandXs_Aes/20", dt / ne * 1e9)
     dt = timeit(lambda: eng.grotto_preprocess(IB, AES, 0, s0s[0], gcws,
                                               aes_keys=keys4[:2]), 1)
     row_ms("BM_GrottoDcfPreprocess_Aes/20", dt * 1e3)

@@ -88,6 +88,11 @@ def test_vdpf_native_golden(eng, case):
             assert pts[i].tobytes() == h2b(case[f"pi_tildes{party}"][i])
         pi = eng.vdpf_prove(hk, hkey, pts, cs)
         assert pi.tobytes() == h2b(case[f"prove_pi{party}"])
+        # Independent single-fold proofs == Prove over each pt alone.
+        pis1 = eng.vdpf_prove1_batch(hk, hkey, pts, cs)
+        for i in range(len(xs)):
+            one = eng.vdpf_prove(hk, hkey, pts[i:i + 1], cs)
+            assert pis1[i].tobytes() == one.tobytes()
 
         if "eval_all_digest0" in case:
             ys_all, pi_all = eng.vdpf_eval_all(
