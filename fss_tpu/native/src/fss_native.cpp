@@ -3014,20 +3014,9 @@ struct Blake3Sched {
   }
 };
 
-void blake3_compress(const uint32_t iv[8], const uint32_t m_in[16],
-                     uint32_t block_len, uint32_t out[16]) {
-  static const Blake3Sched kSched;
 #if FSS_HAVE_AESNI
-  // Row-vectorized single compress (the standard BLAKE2s/BLAKE3 SSE
-  // shape): the four column Gs (then the four diagonal Gs after lane
-  // rotations) run in one xmm row each; rotates by 16/8 are byte
-  // shuffles. Bit-identical to the scalar rounds below.
-  const __m128i r16 = _mm_set_epi8(13, 12, 15, 14, 9, 8, 11, 10, 5, 4,
-                                   7, 6, 1, 0, 3, 2);
-  const __m128i r8 = _mm_set_epi8(12, 15, 14, 13, 8, 11, 10, 9, 4, 7, 6,
-                                  5, 0, 3, 2, 1);
-  // Variable rotates: AVX-512VL's VPRORD is one op on the critical path
-  // where the shift/shift/or fallback is three.
+// Variable rotates: AVX-512VL's VPRORD is one op on the critical path
+// where the shift/shift/or fallback is three.
 #if FSS_HAVE_VAES512
 #define FSS_B3_ROR12(x) _mm_ror_epi32((x), 12)
 #define FSS_B3_ROR7(x) _mm_ror_epi32((x), 7)
@@ -3037,14 +3026,20 @@ void blake3_compress(const uint32_t iv[8], const uint32_t m_in[16],
 #define FSS_B3_ROR7(x) \
   _mm_or_si128(_mm_srli_epi32((x), 7), _mm_slli_epi32((x), 25))
 #endif
-  __m128i a = _mm_loadu_si128(reinterpret_cast<const __m128i *>(iv));
-  __m128i b = _mm_loadu_si128(reinterpret_cast<const __m128i *>(iv + 4));
-  __m128i c =
-      _mm_loadu_si128(reinterpret_cast<const __m128i *>(kBlake3Iv0));
-  __m128i d = _mm_set_epi32(0x1B, (int)block_len, 0, 0);
-  const uint32_t *m = m_in;
+
+// Row-vectorized 7-round core (the standard BLAKE2s/BLAKE3 SSE shape):
+// the four column Gs (then the four diagonal Gs after lane rotations)
+// run in one xmm row each; rotates by 16/8 are byte shuffles.
+// Bit-identical to the scalar rounds in blake3_compress's fallback.
+inline void blake3_rounds_sse(__m128i &a, __m128i &b, __m128i &c,
+                              __m128i &d, const uint32_t *m,
+                              const Blake3Sched &sched) {
+  const __m128i r16 = _mm_set_epi8(13, 12, 15, 14, 9, 8, 11, 10, 5, 4,
+                                   7, 6, 1, 0, 3, 2);
+  const __m128i r8 = _mm_set_epi8(12, 15, 14, 13, 8, 11, 10, 9, 4, 7, 6,
+                                  5, 0, 3, 2, 1);
   for (int r = 0; r < 7; ++r) {
-    const uint8_t *sc = kSched.s[r];
+    const uint8_t *sc = sched.s[r];
     __m128i mx = _mm_set_epi32((int)m[sc[6]], (int)m[sc[4]],
                                (int)m[sc[2]], (int)m[sc[0]]);
     __m128i my = _mm_set_epi32((int)m[sc[7]], (int)m[sc[5]],
@@ -3081,6 +3076,19 @@ void blake3_compress(const uint32_t iv[8], const uint32_t m_in[16],
     c = _mm_shuffle_epi32(c, _MM_SHUFFLE(1, 0, 3, 2));
     d = _mm_shuffle_epi32(d, _MM_SHUFFLE(0, 3, 2, 1));
   }
+}
+#endif  // FSS_HAVE_AESNI
+
+void blake3_compress(const uint32_t iv[8], const uint32_t m_in[16],
+                     uint32_t block_len, uint32_t out[16]) {
+  static const Blake3Sched kSched;
+#if FSS_HAVE_AESNI
+  __m128i a = _mm_loadu_si128(reinterpret_cast<const __m128i *>(iv));
+  __m128i b = _mm_loadu_si128(reinterpret_cast<const __m128i *>(iv + 4));
+  __m128i c =
+      _mm_loadu_si128(reinterpret_cast<const __m128i *>(kBlake3Iv0));
+  __m128i d = _mm_set_epi32(0x1B, (int)block_len, 0, 0);
+  blake3_rounds_sse(a, b, c, d, m_in, kSched);
   __m128i *o = reinterpret_cast<__m128i *>(out);
   _mm_storeu_si128(o, _mm_xor_si128(a, c));
   _mm_storeu_si128(o + 1, _mm_xor_si128(b, d));
@@ -3281,6 +3289,51 @@ void vdpf_fold_step(const Hash &h, Block pi[4], const Block pt[4]) {
 
 void vdpf_prove(const Hash &h, const Block *pts, int64_t n,
                 const Block cs[4], Block pi[4]) {
+#if FSS_HAVE_AESNI
+  if (h.kind == 1) {
+    // Latency-tuned BLAKE3 fold: the chain state (pi rows 0-1; rows 2-3
+    // stay cs) and the compress input rows live in xmm registers across
+    // steps — no hin/out staging buffers or dispatch per fold.
+    static const Blake3Sched kSched;
+    const __m128i iva =
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(h.iv));
+    const __m128i ivb =
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(h.iv + 4));
+    const __m128i c0 =
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(kBlake3Iv0));
+    const __m128i d0 = _mm_set_epi32(0x1B, 64, 0, 0);
+    __m128i pi0 =
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(cs[0].w));
+    __m128i pi1 =
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(cs[1].w));
+    const __m128i cs2 =
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(cs[2].w));
+    const __m128i cs3 =
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(cs[3].w));
+    alignas(16) uint32_t m[16];
+    for (int64_t j = 0; j < n; ++j) {
+      const __m128i *pt =
+          reinterpret_cast<const __m128i *>(pts + 4 * j);
+      _mm_store_si128(reinterpret_cast<__m128i *>(m),
+                      _mm_xor_si128(pi0, _mm_loadu_si128(pt)));
+      _mm_store_si128(reinterpret_cast<__m128i *>(m + 4),
+                      _mm_xor_si128(pi1, _mm_loadu_si128(pt + 1)));
+      _mm_store_si128(reinterpret_cast<__m128i *>(m + 8),
+                      _mm_xor_si128(cs2, _mm_loadu_si128(pt + 2)));
+      _mm_store_si128(reinterpret_cast<__m128i *>(m + 12),
+                      _mm_xor_si128(cs3, _mm_loadu_si128(pt + 3)));
+      __m128i a = iva, b = ivb, c = c0, d = d0;
+      blake3_rounds_sse(a, b, c, d, m, kSched);
+      pi0 = _mm_xor_si128(pi0, _mm_xor_si128(a, c));
+      pi1 = _mm_xor_si128(pi1, _mm_xor_si128(b, d));
+    }
+    _mm_storeu_si128(reinterpret_cast<__m128i *>(pi[0].w), pi0);
+    _mm_storeu_si128(reinterpret_cast<__m128i *>(pi[1].w), pi1);
+    pi[2] = cs[2];
+    pi[3] = cs[3];
+    return;
+  }
+#endif
   for (int i = 0; i < 4; ++i) pi[i] = cs[i];
   for (int64_t j = 0; j < n; ++j) vdpf_fold_step(h, pi, pts + 4 * j);
 }
@@ -4067,6 +4120,42 @@ void fss_vdpf_prove1_batch(int hash_kind, const uint8_t *hash_key,
   Block csb[4];
   std::memcpy(csb, cs, 64);
   const Block *pts = reinterpret_cast<const Block *>(pi_tildes);
+#if FSS_HAVE_AESNI
+  if (h.kind == 1) {
+    static const Blake3Sched kSched;
+    const __m128i iva =
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(h.iv));
+    const __m128i ivb =
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(h.iv + 4));
+    const __m128i c0 =
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(kBlake3Iv0));
+    const __m128i d0 = _mm_set_epi32(0x1B, 64, 0, 0);
+    const __m128i csr[4] = {
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(csb[0].w)),
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(csb[1].w)),
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(csb[2].w)),
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(csb[3].w))};
+    alignas(16) uint32_t m[16];
+    for (int64_t j = 0; j < n; ++j) {
+      const __m128i *pt =
+          reinterpret_cast<const __m128i *>(pts + 4 * j);
+      for (int i = 0; i < 4; ++i)
+        _mm_store_si128(
+            reinterpret_cast<__m128i *>(m + 4 * i),
+            _mm_xor_si128(csr[i], _mm_loadu_si128(pt + i)));
+      __m128i a = iva, b = ivb, c = c0, d = d0;
+      blake3_rounds_sse(a, b, c, d, m, kSched);
+      __m128i *o = reinterpret_cast<__m128i *>(pis + 16 * j);
+      _mm_storeu_si128(
+          o, _mm_xor_si128(csr[0], _mm_xor_si128(a, c)));
+      _mm_storeu_si128(
+          o + 1, _mm_xor_si128(csr[1], _mm_xor_si128(b, d)));
+      _mm_storeu_si128(o + 2, csr[2]);
+      _mm_storeu_si128(o + 3, csr[3]);
+    }
+    return;
+  }
+#endif
   for (int64_t j = 0; j < n; ++j) {
     Block pi[4] = {csb[0], csb[1], csb[2], csb[3]};
     vdpf_fold_step(h, pi, pts + 4 * j);

@@ -233,12 +233,14 @@ def main():
                                aes_keys=keys4[:2])
     packed = eng.grotto_pack_tree(pt)
     # The reference's Eval bench walks the SAME x=100 every iteration
-    # (bench_cpu.cu:546-571) — all 20 parity-tree lines stay L1-warm.
-    # Workload-parity row mirrors that; random xs (every query missing
-    # to L2 on the 256 KB packed tree) is the harder supplementary row.
+    # over a byte-per-node bool ParityTree (bench_cpu.cu:546-571) — path
+    # lines L1-warm, branches perfectly predicted. Workload-parity row
+    # mirrors that exactly (grotto_eval_batch is the same byte-tree
+    # walk). Random xs on the bit-packed branchless tree (the form that
+    # stays ~29 ns regardless of query distribution, vs ~90 ns for the
+    # branchy byte walk) is the harder supplementary row.
     xs_fixed = np.full(ne, 100, dtype=np.uint64)
-    dt = timeit(lambda: eng.grotto_eval_batch_packed(IB, packed,
-                                                     xs_fixed), 8)
+    dt = timeit(lambda: eng.grotto_eval_batch(IB, pt, xs_fixed), 8)
     row_ns("BM_GrottoDcfEval_Aes/20", dt / ne * 1e9)
     dt = timeit(lambda: eng.grotto_eval_batch_packed(IB, packed, xs), 8)
     row_ns("BM_GrottoDcfEvalRandXs_Aes/20", dt / ne * 1e9)
