@@ -833,6 +833,74 @@ void dpf_expand_level_vaes(const Prg &prg, Block *ys, uint64_t m,
   }
   if (j) dpf_expand_level_aesni_x1(prg, ys, j, cw_row0, tr_cw_bit);
 }
+
+// Vectorized final leaf conversion for EvalAll: packed (s, t) nodes ->
+// group shares, 4 leaves per zmm (with an optional second vs stream for
+// DCF's threaded values). The scalar conversion pass costs as much as
+// the whole tree expansion at 2^20 (~6.5 ns/leaf vs ~5.7 ns/node), so
+// EvalAll's second half lives here. Covers Bytes (XOR group, full
+// 128-bit lanes) and Uint<=64 (64-bit value lanes); other groups return
+// false and the caller keeps its scalar loop.
+bool convert_leaves_vaes(const Group &grp, int party, const Block &ocw_b,
+                         u128 ocw, Block *ys, const Block *vs,
+                         uint64_t n) {
+  if (n < 4 || (n & 3u)) return false;
+  const __m512i one512 = _mm512_set1_epi32(1);
+  const __m512i ctl512 = bcast_b512(_mm_set_epi32(1, 0, 0, 0));
+  if (grp.kind == 0) {
+    const __m512i ocwz = bcast_b512(load_b(ocw_b));
+    for (uint64_t j = 0; j < n; j += 4) {
+      const __m512i node = _mm512_loadu_si512(ys + j);
+      const uint32_t tm = _mm512_test_epi32_mask(node, one512);
+      const __mmask16 tl =
+          lane_mask4((tm >> 3) & 1u, (tm >> 7) & 1u, (tm >> 11) & 1u,
+                     (tm >> 15) & 1u);
+      const __m512i corr = _mm512_maskz_mov_epi32(tl, ocwz);
+      __m512i out = _mm512_xor_si512(_mm512_andnot_si512(ctl512, node),
+                                     corr);
+      if (vs) out = _mm512_xor_si512(out, _mm512_loadu_si512(vs + j));
+      _mm512_storeu_si512(ys + j, out);
+    }
+    return true;
+  }
+  if (grp.kind == 1 && grp.bits <= 64) {
+    const uint64_t vmask =
+        grp.bits >= 64 ? ~0ull : ((1ull << grp.bits) - 1);
+    const __m256i vmaskv = _mm256_set1_epi64x((long long)vmask);
+    const __m256i ocwv =
+        _mm256_set1_epi64x((long long)(uint64_t)ocw);
+    const __m256i zero256 = _mm256_setzero_si256();
+    const __m512i loq_idx = _mm512_set_epi64(0, 0, 0, 0, 6, 4, 2, 0);
+    const __m512i spread_idx = _mm512_set_epi64(0, 3, 0, 2, 0, 1, 0, 0);
+    for (uint64_t j = 0; j < n; j += 4) {
+      const __m512i node = _mm512_loadu_si512(ys + j);
+      const uint32_t tm = _mm512_test_epi32_mask(node, one512);
+      const __mmask8 t8 =
+          (__mmask8)(((tm >> 3) & 1u) | (((tm >> 7) & 1u) << 1) |
+                     (((tm >> 11) & 1u) << 2) |
+                     (((tm >> 15) & 1u) << 3));
+      __m256i v = _mm256_and_si256(
+          _mm512_castsi512_si256(
+              _mm512_permutexvar_epi64(loq_idx, node)),
+          vmaskv);
+      v = _mm256_mask_add_epi64(v, t8, v, ocwv);
+      if (party) v = _mm256_sub_epi64(zero256, v);
+      if (vs) {
+        const __m256i vv = _mm512_castsi512_si256(
+            _mm512_permutexvar_epi64(loq_idx,
+                                     _mm512_loadu_si512(vs + j)));
+        v = _mm256_add_epi64(v, vv);
+      }
+      v = _mm256_and_si256(v, vmaskv);
+      _mm512_storeu_si512(
+          ys + j,
+          _mm512_maskz_permutexvar_epi64(
+              (__mmask8)0x55, spread_idx, _mm512_castsi256_si512(v)));
+    }
+    return true;
+  }
+  return false;
+}
 #endif  // FSS_HAVE_VAES512
 
 #if FSS_HAVE_AESNI
@@ -1188,6 +1256,11 @@ void dpf_eval_all(const Prg &prg, const Group &grp, int in_bits, int party,
   }
   u128 ocw = grp.from_block(cws[2 * in_bits]);
   uint64_t n = 1ull << in_bits;
+#if FSS_HAVE_VAES512
+  if (convert_leaves_vaes(grp, party, cws[2 * in_bits], ocw, ys, nullptr,
+                          n))
+    return;
+#endif
   for (uint64_t j = 0; j < n; ++j) {
     uint32_t t = get_lsb(ys[j]);
     u128 y = grp.from_block(set_lsb(ys[j], 0));
@@ -1879,10 +1952,11 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
       const uint64_t vcw64 = (uint64_t)v_cw;
       uint64_t j_start = m;
 #if FSS_HAVE_VAES512
-      if (u64fast && m >= 4) {
+      if ((u64fast || grp.kind == 0) && m >= 4) {
         // Node-sliced VAES-512 level: 4 nodes ride the four chains (one
         // per schedule); seed children re-interleave with qword
-        // permutes, the value lane runs 4-wide in 64-bit AVX-512 lanes.
+        // permutes, the value lane runs 4-wide in 64-bit AVX-512 lanes
+        // (Uint<=64) or as full 128-bit XOR lanes (Bytes).
         const __m512i ctl512 = bcast_b512(_mm_set_epi32(1, 0, 0, 0));
         const __m512i one512 = _mm512_set1_epi32(1);
         __m512i rkz[4][11];
@@ -1901,6 +1975,8 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
         const __m512i idxA = _mm512_set_epi64(11, 10, 3, 2, 9, 8, 1, 0);
         const __m512i idxB = _mm512_set_epi64(15, 14, 7, 6, 13, 12, 5,
                                               4);
+        const __m512i vcwz =
+            bcast_b512(clear_ctl(load_b(cws[2 * i + 1])));
         uint64_t j = m;
         while (j >= 4) {
           j -= 4;
@@ -1958,6 +2034,22 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
                               _mm512_permutex2var_epi64(l, idxB, r));
 
           const __m512i vsz = _mm512_loadu_si512(vs + j);
+          if (!u64fast) {  // Bytes: XOR value lanes, full 128-bit
+            const __m512i corrv =
+                _mm512_maskz_mov_epi32(t_lanes, vcwz);
+            const __m512i vlz = _mm512_xor_si512(
+                vsz, _mm512_xor_si512(
+                         _mm512_andnot_si512(ctl512, o1), corrv));
+            const __m512i vrz = _mm512_xor_si512(
+                vsz, _mm512_xor_si512(
+                         _mm512_andnot_si512(ctl512, o3), corrv));
+            _mm512_storeu_si512(
+                vs + 2 * j, _mm512_permutex2var_epi64(vlz, idxA, vrz));
+            _mm512_storeu_si512(
+                vs + 2 * j + 4,
+                _mm512_permutex2var_epi64(vlz, idxB, vrz));
+            continue;
+          }
           const __m256i v64v = _mm512_castsi512_si256(
               _mm512_permutexvar_epi64(loq_idx, vsz));
           __m256i vl = _mm256_and_si256(
@@ -2096,6 +2188,11 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
   }
   u128 v_last = grp.from_block(cws[2 * in_bits + 1]);
   uint64_t n = 1ull << in_bits;
+#if FSS_HAVE_VAES512
+  if (convert_leaves_vaes(grp, party, cws[2 * in_bits + 1], v_last, ys,
+                          vs, n))
+    return;
+#endif
   for (uint64_t j = 0; j < n; ++j) {
     uint32_t t = get_lsb(ys[j]);
     u128 term = grp.from_block(set_lsb(ys[j], 0));
@@ -2749,6 +2846,121 @@ void ht_expand_level_vaes(const HtCtx &ht, Block *ys, uint64_t m,
   }
   if (j) ht_expand_level_aesni_x1(ht, ys, j, cw);
 }
+
+// Vectorized HT last-level conversion: 4 nodes per iteration, the two
+// per-node CCR hashes (x_n = 0, 1) as two 4-wide VAES chains, the
+// group conversion fused in-register (the scalar loop's per-leaf hash +
+// u128 round trip was ~85% of HT EvalAll's wall time at 2^20). Covers
+// Bytes and Uint<=64; returns false for other groups.
+bool ht_last_level_vaes(const HtCtx &ht, const Group &grp, int party,
+                        const Block &hcw, uint32_t lcw0, uint32_t lcw1,
+                        const Block &ocw_b, u128 ocw, Block *ys,
+                        uint64_t half) {
+  if (half < 4 || (half & 3u)) return false;
+  const bool bytes = grp.kind == 0;
+  const bool u64f = grp.kind == 1 && grp.bits <= 64;
+  if (!bytes && !u64f) return false;
+  const __m512i one512 = _mm512_set1_epi32(1);
+  const __m512i ctl512 = bcast_b512(_mm_set_epi32(1, 0, 0, 0));
+  const __m512i hkz = bcast_b512(load_b(ht.hash_key));
+  const __m512i hcwz = bcast_b512(load_b(hcw));  // ctl already clear
+  __m512i rkz[11];
+  for (int r = 0; r < 11; ++r)
+    rkz[r] = bcast_b512(ht.prg->ks[0].rk[r]);
+  const uint64_t vmask =
+      grp.bits >= 64 ? ~0ull : ((1ull << grp.bits) - 1);
+  const __m256i vmaskv = _mm256_set1_epi64x((long long)vmask);
+  const __m256i ocwv = _mm256_set1_epi64x((long long)(uint64_t)ocw);
+  const __m256i zero256 = _mm256_setzero_si256();
+  const __m512i loq_idx = _mm512_set_epi64(0, 0, 0, 0, 6, 4, 2, 0);
+  const __m512i ileave0 = _mm512_set_epi64(0, 9, 0, 1, 0, 8, 0, 0);
+  const __m512i ileave1 = _mm512_set_epi64(0, 11, 0, 3, 0, 10, 0, 2);
+  const __m512i ocwz = bcast_b512(load_b(ocw_b));
+  const __m512i idxA = _mm512_set_epi64(11, 10, 3, 2, 9, 8, 1, 0);
+  const __m512i idxB = _mm512_set_epi64(15, 14, 7, 6, 13, 12, 5, 4);
+
+  uint64_t j = half;
+  while (j >= 4) {
+    j -= 4;
+    const __m512i node = _mm512_loadu_si512(ys + j);
+    const uint32_t tm = _mm512_test_epi32_mask(node, one512);
+    uint32_t t_k[4];
+    for (int k = 0; k < 4; ++k) t_k[k] = (tm >> (4 * k + 3)) & 1u;
+    const __m512i base = _mm512_andnot_si512(ctl512, node);
+    const __m512i v0 = _mm512_xor_si512(base, hkz);
+    const __m512i v1 =
+        _mm512_xor_si512(_mm512_or_si512(base, ctl512), hkz);
+    __m512i e0 = _mm512_xor_si512(v0, rkz[0]);
+    __m512i e1 = _mm512_xor_si512(v1, rkz[0]);
+    for (int rd = 1; rd < 10; ++rd) {
+      e0 = _mm512_aesenc_epi128(e0, rkz[rd]);
+      e1 = _mm512_aesenc_epi128(e1, rkz[rd]);
+    }
+    const __m512i h0 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e0, rkz[10]), v0);
+    const __m512i h1 =
+        _mm512_xor_si512(_mm512_aesenclast_epi128(e1, rkz[10]), v1);
+    const __mmask16 tl = lane_mask4(t_k[0], t_k[1], t_k[2], t_k[3]);
+    const __m512i corr = _mm512_maskz_mov_epi32(tl, hcwz);
+    const __m512i hi0 =
+        _mm512_andnot_si512(ctl512, _mm512_xor_si512(h0, corr));
+    const __m512i hi1 =
+        _mm512_andnot_si512(ctl512, _mm512_xor_si512(h1, corr));
+    const uint32_t m0 = _mm512_test_epi32_mask(h0, one512);
+    const uint32_t m1 = _mm512_test_epi32_mask(h1, one512);
+    uint32_t lo0[4], lo1[4];
+    for (int k = 0; k < 4; ++k) {
+      lo0[k] = ((m0 >> (4 * k + 3)) & 1u) ^ (t_k[k] & lcw0);
+      lo1[k] = ((m1 >> (4 * k + 3)) & 1u) ^ (t_k[k] & lcw1);
+    }
+    if (bytes) {
+      const __mmask16 l0m = lane_mask4(lo0[0], lo0[1], lo0[2], lo0[3]);
+      const __mmask16 l1m = lane_mask4(lo1[0], lo1[1], lo1[2], lo1[3]);
+      const __m512i y0 =
+          _mm512_xor_si512(hi0, _mm512_maskz_mov_epi32(l0m, ocwz));
+      const __m512i y1 =
+          _mm512_xor_si512(hi1, _mm512_maskz_mov_epi32(l1m, ocwz));
+      _mm512_storeu_si512(ys + 2 * j,
+                          _mm512_permutex2var_epi64(y0, idxA, y1));
+      _mm512_storeu_si512(ys + 2 * j + 4,
+                          _mm512_permutex2var_epi64(y0, idxB, y1));
+    } else {
+      const __mmask8 lo0m =
+          (__mmask8)(lo0[0] | (lo0[1] << 1) | (lo0[2] << 2) |
+                     (lo0[3] << 3));
+      const __mmask8 lo1m =
+          (__mmask8)(lo1[0] | (lo1[1] << 1) | (lo1[2] << 2) |
+                     (lo1[3] << 3));
+      __m256i a = _mm256_and_si256(
+          _mm512_castsi512_si256(
+              _mm512_permutexvar_epi64(loq_idx, hi0)),
+          vmaskv);
+      __m256i b = _mm256_and_si256(
+          _mm512_castsi512_si256(
+              _mm512_permutexvar_epi64(loq_idx, hi1)),
+          vmaskv);
+      a = _mm256_mask_add_epi64(a, lo0m, a, ocwv);
+      b = _mm256_mask_add_epi64(b, lo1m, b, ocwv);
+      if (party) {
+        a = _mm256_sub_epi64(zero256, a);
+        b = _mm256_sub_epi64(zero256, b);
+      }
+      a = _mm256_and_si256(a, vmaskv);
+      b = _mm256_and_si256(b, vmaskv);
+      const __m512i az = _mm512_castsi256_si512(a);
+      const __m512i bz = _mm512_castsi256_si512(b);
+      _mm512_storeu_si512(
+          ys + 2 * j,
+          _mm512_maskz_permutex2var_epi64((__mmask8)0x55, az, ileave0,
+                                          bz));
+      _mm512_storeu_si512(
+          ys + 2 * j + 4,
+          _mm512_maskz_permutex2var_epi64((__mmask8)0x55, az, ileave1,
+                                          bz));
+    }
+  }
+  return true;
+}
 #endif  // FSS_HAVE_VAES512
 
 inline void ht_expand_level_aesni(const HtCtx &ht, Block *ys, uint64_t m,
@@ -2831,6 +3043,12 @@ void ht_eval_all(const HtCtx &ht, const Group &grp, int in_bits, int party,
   uint32_t lcw1 = cws[2 * (in_bits - 1) + 1].w[0] & 1u;
   u128 ocwv = grp.from_block(ocw);
   uint64_t half = 1ull << (in_bits - 1);
+#if FSS_HAVE_VAES512
+  if (ht.prg->kind == 1 &&
+      ht_last_level_vaes(ht, grp, party, hcw, lcw0, lcw1, ocw, ocwv, ys,
+                         half))
+    return;
+#endif
   for (uint64_t j = half; j-- > 0;) {
     Block node = ys[j];
     uint32_t t = get_lsb(node);
@@ -3405,6 +3623,13 @@ void grotto_expand(const Prg &prg, int in_bits, int party,
   scratch[0] = set_lsb(set_lsb(seed, 0), (uint32_t)party);
   for (int i = 0; i < in_bits; ++i) {
     uint64_t m = 1ull << i;
+#if FSS_HAVE_AESNI
+    if (prg.kind == 1) {
+      dpf_expand_level_aesni(prg, scratch, m, cws[2 * i],
+                             cws[2 * i + 1].w[0]);
+      continue;
+    }
+#endif
     Block s_cw = set_lsb(cws[2 * i], 0);
     uint32_t tl_cw = get_lsb(cws[2 * i]);
     uint32_t tr_cw = cws[2 * i + 1].w[0] & 1u;
@@ -3427,7 +3652,28 @@ void grotto_expand(const Prg &prg, int in_bits, int party,
     }
   }
   uint64_t n = 1ull << in_bits;
-  for (uint64_t j = 0; j < n; ++j) leaf[j] = (uint8_t)get_lsb(scratch[j]);
+  uint64_t j0 = 0;
+#if FSS_HAVE_VAES512
+  // 16 leaf control bits per iteration: mask-extract the lsb of lane 3
+  // of each block across four zmms, one 16-byte expand+store.
+  const __m512i one512g = _mm512_set1_epi32(1);
+  for (; j0 + 16 <= n; j0 += 16) {
+    uint64_t bits = 0;
+    for (int q = 0; q < 4; ++q) {
+      const uint32_t tm = _mm512_test_epi32_mask(
+          _mm512_loadu_si512(scratch + j0 + 4 * q), one512g);
+      bits |= (uint64_t)(((tm >> 3) & 1u) | (((tm >> 7) & 1u) << 1) |
+                         (((tm >> 11) & 1u) << 2) |
+                         (((tm >> 15) & 1u) << 3))
+              << (4 * q);
+    }
+    _mm_storeu_si128(
+        reinterpret_cast<__m128i *>(leaf + j0),
+        _mm_maskz_set1_epi8((__mmask16)bits, 1));
+  }
+#endif
+  for (uint64_t j = j0; j < n; ++j)
+    leaf[j] = (uint8_t)get_lsb(scratch[j]);
 }
 
 void grotto_preprocess(const Prg &prg, int in_bits, int party,
@@ -3435,7 +3681,23 @@ void grotto_preprocess(const Prg &prg, int in_bits, int party,
                        uint8_t *pt /* 2N-1 */) {
   uint64_t n = 1ull << in_bits;
   grotto_expand(prg, in_bits, party, seed, cws, scratch, pt + (n - 1));
-  for (uint64_t j = n - 1; j-- > 0;) pt[j] = pt[2 * j + 1] ^ pt[2 * j + 2];
+  uint64_t j = n - 1;
+#if FSS_HAVE_VAES512
+  // pt[j] = pt[2j+1] ^ pt[2j+2]: adjacent byte pairs at odd offset —
+  // xor each 16-bit lane with itself shifted 8, keep the low bytes
+  // (VPMOVWB), 32 parents per iteration. Backward chunks stay in-place
+  // safe (writes at [j, j+32) never overlap unread [2j+1, ...) for
+  // j >= 32).
+  while (j >= 64) {
+    j -= 32;
+    const __m512i a = _mm512_loadu_si512(pt + 2 * j + 1);
+    _mm256_storeu_si256(
+        reinterpret_cast<__m256i *>(pt + j),
+        _mm512_cvtepi16_epi8(
+            _mm512_xor_si512(a, _mm512_srli_epi16(a, 8))));
+  }
+#endif
+  while (j-- > 0) pt[j] = pt[2 * j + 1] ^ pt[2 * j + 2];
 }
 
 void grotto_eval_tree(const uint8_t *pt, int in_bits, uint64_t x,
