@@ -3140,6 +3140,80 @@ void sha256_block_shani(uint32_t h[8], const uint8_t *p) {
   _mm_storeu_si128(reinterpret_cast<__m128i *>(&h[0]), st0);
   _mm_storeu_si128(reinterpret_cast<__m128i *>(&h[4]), st1);
 }
+
+// Two INDEPENDENT blocks interleaved: sha256rnds2 is a long dependent
+// chain within one block (~64 rounds at ~4-cycle latency each pair), so
+// a second in-flight block rides in the chain's latency shadow nearly
+// for free. Bit-identical to two sha256_block_shani calls.
+__attribute__((target("sha,sse4.1")))
+void sha256_block_shani_x2(uint32_t ha[8], const uint8_t *pa,
+                           uint32_t hb[8], const uint8_t *pb) {
+  const __m128i kBswap =
+      _mm_set_epi64x(0x0c0d0e0f08090a0bULL, 0x0405060700010203ULL);
+  __m128i tA =
+      _mm_shuffle_epi32(_mm_loadu_si128((const __m128i *)&ha[0]), 0xB1);
+  __m128i a1 =
+      _mm_shuffle_epi32(_mm_loadu_si128((const __m128i *)&ha[4]), 0x1B);
+  __m128i a0 = _mm_alignr_epi8(tA, a1, 8);
+  a1 = _mm_blend_epi16(a1, tA, 0xF0);
+  __m128i tB =
+      _mm_shuffle_epi32(_mm_loadu_si128((const __m128i *)&hb[0]), 0xB1);
+  __m128i b1 =
+      _mm_shuffle_epi32(_mm_loadu_si128((const __m128i *)&hb[4]), 0x1B);
+  __m128i b0 = _mm_alignr_epi8(tB, b1, 8);
+  b1 = _mm_blend_epi16(b1, tB, 0xF0);
+  const __m128i a0s = a0, a1s = a1, b0s = b0, b1s = b1;
+
+  __m128i wa[4], wb[4];
+  for (int g = 0; g < 4; ++g) {
+    wa[g] = _mm_shuffle_epi8(
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(pa + 16 * g)),
+        kBswap);
+    wb[g] = _mm_shuffle_epi8(
+        _mm_loadu_si128(reinterpret_cast<const __m128i *>(pb + 16 * g)),
+        kBswap);
+  }
+  for (int g = 0; g < 16; ++g) {
+    const __m128i k = _mm_loadu_si128(
+        reinterpret_cast<const __m128i *>(&kSha256K[4 * g]));
+    __m128i ma = _mm_add_epi32(wa[g & 3], k);
+    __m128i mb = _mm_add_epi32(wb[g & 3], k);
+    a1 = _mm_sha256rnds2_epu32(a1, a0, ma);
+    b1 = _mm_sha256rnds2_epu32(b1, b0, mb);
+    ma = _mm_shuffle_epi32(ma, 0x0E);
+    mb = _mm_shuffle_epi32(mb, 0x0E);
+    a0 = _mm_sha256rnds2_epu32(a0, a1, ma);
+    b0 = _mm_sha256rnds2_epu32(b0, b1, mb);
+    if (g < 12) {
+      __m128i ta = _mm_alignr_epi8(wa[(g + 3) & 3], wa[(g + 2) & 3], 4);
+      wa[g & 3] = _mm_sha256msg2_epu32(
+          _mm_add_epi32(_mm_sha256msg1_epu32(wa[g & 3], wa[(g + 1) & 3]),
+                        ta),
+          wa[(g + 3) & 3]);
+      __m128i tb = _mm_alignr_epi8(wb[(g + 3) & 3], wb[(g + 2) & 3], 4);
+      wb[g & 3] = _mm_sha256msg2_epu32(
+          _mm_add_epi32(_mm_sha256msg1_epu32(wb[g & 3], wb[(g + 1) & 3]),
+                        tb),
+          wb[(g + 3) & 3]);
+    }
+  }
+  a0 = _mm_add_epi32(a0, a0s);
+  a1 = _mm_add_epi32(a1, a1s);
+  b0 = _mm_add_epi32(b0, b0s);
+  b1 = _mm_add_epi32(b1, b1s);
+  tA = _mm_shuffle_epi32(a0, 0x1B);
+  a1 = _mm_shuffle_epi32(a1, 0xB1);
+  a0 = _mm_blend_epi16(tA, a1, 0xF0);
+  a1 = _mm_alignr_epi8(a1, tA, 8);
+  _mm_storeu_si128(reinterpret_cast<__m128i *>(&ha[0]), a0);
+  _mm_storeu_si128(reinterpret_cast<__m128i *>(&ha[4]), a1);
+  tB = _mm_shuffle_epi32(b0, 0x1B);
+  b1 = _mm_shuffle_epi32(b1, 0xB1);
+  b0 = _mm_blend_epi16(tB, b1, 0xF0);
+  b1 = _mm_alignr_epi8(b1, tB, 8);
+  _mm_storeu_si128(reinterpret_cast<__m128i *>(&hb[0]), b0);
+  _mm_storeu_si128(reinterpret_cast<__m128i *>(&hb[4]), b1);
+}
 #endif  // __x86_64__
 
 void sha256_block(uint32_t h[8], const uint8_t *p) {
@@ -3556,6 +3630,87 @@ void vdpf_prove(const Hash &h, const Block *pts, int64_t n,
   for (int64_t j = 0; j < n; ++j) vdpf_fold_step(h, pi, pts + 4 * j);
 }
 
+#if defined(__x86_64__)
+// SHA-256-specialized output/proof pass for vdpf_eval_all. The proof
+// chain is 2^n x two *dependent* compressions (hash/sha256.cuh 80-byte
+// keyed digest, pi feeds the next block) — the serial floor of the
+// whole pass — while each leaf's two xor-hash digests (one padded 64B
+// block each) are independent. Pairing each chain block with one
+// xor-hash block in sha256_block_shani_x2 hides the independent work in
+// the chain's latency shadow. Bit-identical to the generic loop below;
+// caller must have pi pre-initialized to cs.
+void vdpf_leafpass_sha(const Hash &xh, const Hash &hh, const Group &grp,
+                       int party, const Block cs[4], const Block &ocw,
+                       Block *ys, uint64_t n, Block pi[4]) {
+  static const uint32_t kIv[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372,
+                                  0xa54ff53a, 0x510e527f, 0x9b05688c,
+                                  0x1f83d9ab, 0x5be0cd19};
+  u128 ocwv = grp.from_block(ocw);
+  // xor-hash blocks: key(16) || set_lsb(x, b)(16) || s(16) || SHA
+  // padding for a 48-byte (384-bit) message.
+  uint8_t xb0[64], xb1[64];
+  std::memset(xb0, 0, 64);
+  std::memset(xb1, 0, 64);
+  std::memcpy(xb0, &xh.key, 16);
+  std::memcpy(xb1, &xh.key, 16);
+  xb0[48] = 0x80; xb0[62] = 0x01; xb0[63] = 0x80;
+  xb1[48] = 0x80; xb1[62] = 0x01; xb1[63] = 0x80;
+  // fold blocks: key(16) || hin[0..47], then hin[48..63] || padding for
+  // an 80-byte (640-bit) message.
+  uint8_t f1[64], f2[64];
+  std::memcpy(f1, &hh.key, 16);
+  std::memset(f2, 0, 64);
+  f2[16] = 0x80; f2[62] = 0x02; f2[63] = 0x80;
+
+  Block pt_prev[4];
+  int have_prev = 0;
+  for (uint64_t j = 0; j < n; ++j) {
+    const Block node = ys[j];
+    const uint32_t t = get_lsb(node);
+    const Block s = set_lsb(node, 0);
+    u128 y = grp.from_block(s);
+    if (t) y = grp.add(y, ocwv);
+    if (party) y = grp.neg(y);
+    grp.into_block(y, ys[j]);
+
+    const Block xin = pack_input(j, 0);
+    const Block x0 = set_lsb(xin, 0), x1 = set_lsb(xin, 1);
+    std::memcpy(xb0 + 16, &x0, 16);
+    std::memcpy(xb0 + 32, &s, 16);
+    std::memcpy(xb1 + 16, &x1, 16);
+    std::memcpy(xb1 + 32, &s, 16);
+    uint32_t h0[8], h1[8];
+    std::memcpy(h0, kIv, 32);
+    std::memcpy(h1, kIv, 32);
+    if (have_prev) {
+      Block hin[4];
+      for (int i = 0; i < 4; ++i) hin[i] = bxor(pi[i], pt_prev[i]);
+      std::memcpy(f1 + 16, hin, 48);
+      std::memcpy(f2, reinterpret_cast<const uint8_t *>(hin) + 48, 16);
+      uint32_t fh[8];
+      std::memcpy(fh, kIv, 32);
+      sha256_block_shani_x2(fh, f1, h0, xb0);
+      sha256_block_shani_x2(fh, f2, h1, xb1);
+      for (int i = 0; i < 4; ++i)
+        pi[0].w[i] ^= __builtin_bswap32(fh[i]);
+      for (int i = 0; i < 4; ++i)
+        pi[1].w[i] ^= __builtin_bswap32(fh[4 + i]);
+    } else {
+      sha256_block_shani_x2(h0, xb0, h1, xb1);
+    }
+    uint32_t *ptw = reinterpret_cast<uint32_t *>(pt_prev);
+    for (int i = 0; i < 8; ++i) {
+      ptw[i] = __builtin_bswap32(h0[i]);
+      ptw[8 + i] = __builtin_bswap32(h1[i]);
+    }
+    if (t)
+      for (int i = 0; i < 4; ++i) pt_prev[i] = bxor(pt_prev[i], cs[i]);
+    have_prev = 1;
+  }
+  if (have_prev) vdpf_fold_step(hh, pi, pt_prev);
+}
+#endif  // __x86_64__
+
 void vdpf_eval_all(const Prg &prg, const Hash &xh, const Hash &hh,
                    const Group &grp, int in_bits, int party,
                    const Block &seed, const Block *cws, const Block cs[4],
@@ -3594,8 +3749,15 @@ void vdpf_eval_all(const Prg &prg, const Hash &xh, const Hash &hh,
     }
   }
   for (int i = 0; i < 4; ++i) pi[i] = cs[i];
-  u128 ocwv = grp.from_block(ocw);
   uint64_t n = 1ull << in_bits;
+#if defined(__x86_64__)
+  static const bool kShani = __builtin_cpu_supports("sha") != 0;
+  if (kShani && xh.kind == 0 && hh.kind == 0) {
+    vdpf_leafpass_sha(xh, hh, grp, party, cs, ocw, ys, n, pi);
+    return;
+  }
+#endif
+  u128 ocwv = grp.from_block(ocw);
   for (uint64_t j = 0; j < n; ++j) {
     uint32_t t = get_lsb(ys[j]);
     Block s = set_lsb(ys[j], 0);
