@@ -1013,10 +1013,15 @@ void dpf_gen_aesni(const Prg &prg, const Group &grp, int in_bits,
 // chain (40 aesenc-equivalents per level for 4 keys vs 160 on xmm), and
 // the entire CW epilogue runs 4-keys-wide under AVX-512 lane masks.
 // Bit-identical to dpf_gen_aesni_k (dpf.cuh:93-153 semantics).
-void dpf_gen_vaes4(const Prg &prg, const Group &grp, int in_bits,
-                   const Block *s0s /* 4 x 2 seeds */,
-                   const uint64_t *a_lo, const uint64_t *a_hi,
-                   const Block *betas /* 4 */, Block *const cwsk[4]) {
+// Shared 4-key key-sliced BGI gen walk (the level loop of DPF and VDPF
+// Gen is identical, dpf.cuh:93-139 / vdpf.cuh:97-133): writes the cw
+// rows and leaves the final seeds/t bits in S0/S1/t0b/t1b.
+void dpf_gen_walk_vaes4(const Prg &prg, int in_bits,
+                        const Block *s0s /* 4 x 2 seeds */,
+                        const uint64_t *a_lo, const uint64_t *a_hi,
+                        Block *const cwsk[4], __m512i &S0_out,
+                        __m512i &S1_out, uint32_t t0b[4],
+                        uint32_t t1b[4]) {
   const __m512i ctl512 = bcast_b512(_mm_set_epi32(1, 0, 0, 0));
   __m512i rk0z[11], rk1z[11];
   for (int r = 0; r < 11; ++r) {
@@ -1031,7 +1036,10 @@ void dpf_gen_vaes4(const Prg &prg, const Group &grp, int in_bits,
   S1 = _mm512_inserti32x4(S1, clear_ctl(load_b(s0s[3])), 1);
   S1 = _mm512_inserti32x4(S1, clear_ctl(load_b(s0s[5])), 2);
   S1 = _mm512_inserti32x4(S1, clear_ctl(load_b(s0s[7])), 3);
-  uint32_t t0b[4] = {0, 0, 0, 0}, t1b[4] = {1, 1, 1, 1};
+  for (int k = 0; k < 4; ++k) {
+    t0b[k] = 0;
+    t1b[k] = 1;
+  }
 
   for (int i = 0; i < in_bits; ++i) {
     __m512i e0l = _mm512_xor_si512(S0, rk0z[0]);
@@ -1109,7 +1117,18 @@ void dpf_gen_vaes4(const Prg &prg, const Group &grp, int in_bits,
     for (int k = 0; k < 4; ++k)
       store_b(_mm_cvtsi32_si128((int)trcw[k]), cwsk[k][2 * i + 1]);
   }
+  S0_out = S0;
+  S1_out = S1;
+}
 
+void dpf_gen_vaes4(const Prg &prg, const Group &grp, int in_bits,
+                   const Block *s0s /* 4 x 2 seeds */,
+                   const uint64_t *a_lo, const uint64_t *a_hi,
+                   const Block *betas /* 4 */, Block *const cwsk[4]) {
+  __m512i S0, S1;
+  uint32_t t0b[4], t1b[4];
+  dpf_gen_walk_vaes4(prg, in_bits, s0s, a_lo, a_hi, cwsk, S0, S1, t0b,
+                     t1b);
   // Leaf conversion, per key (dpf.cuh:140-152 semantics), identical to
   // the xmm path's epilogue.
   Block s0f[4], s1f[4];
@@ -1792,6 +1811,7 @@ void dcf_eval_vaes4(const Prg &prg, const Group &grp, int in_bits,
   __m512i rkz[4][11];
   for (int m = 0; m < 4; ++m)
     for (int r = 0; r < 11; ++r) rkz[m][r] = bcast_b512(prg.ks[m].rk[r]);
+  const bool bytes = grp.kind == 0;
   const uint64_t vmask =
       grp.bits >= 64 ? ~0ull : ((1ull << grp.bits) - 1);
   const __m256i vmaskv = _mm256_set1_epi64x((long long)vmask);
@@ -1801,6 +1821,7 @@ void dcf_eval_vaes4(const Prg &prg, const Group &grp, int in_bits,
   uint32_t t[4];
   for (int k = 0; k < 4; ++k) t[k] = (uint32_t)party;
   __m256i v256 = zero256;
+  __m512i v512 = _mm512_setzero_si512();  // Bytes: 4 XOR value lanes
 
   for (int i = 0; i < in_bits; ++i) {
     __m512i e0 = _mm512_xor_si512(S, rkz[0][0]);
@@ -1848,12 +1869,21 @@ void dcf_eval_vaes4(const Prg &prg, const Group &grp, int in_bits,
         _mm512_xor_si512(_mm512_andnot_si512(ctl512, o2), corr);
 
     const __m512i vsel = _mm512_mask_blend_epi32(xbm, o1, o3);
-    __m256i vq = _mm256_and_si256(
-        _mm512_castsi512_si256(_mm512_permutexvar_epi64(loq_idx, vsel)),
-        vmaskv);
-    vq = _mm256_mask_add_epi64(vq, t8, vq, vcwv);
-    if (party) vq = _mm256_sub_epi64(zero256, vq);
-    v256 = _mm256_add_epi64(v256, vq);
+    if (bytes) {
+      const __m512i vcwz = bcast_b512(clear_ctl(load_b(cwb)));
+      const __m512i corrv = _mm512_maskz_mov_epi32(tm, vcwz);
+      v512 = _mm512_xor_si512(
+          v512, _mm512_xor_si512(_mm512_andnot_si512(ctl512, vsel),
+                                 corrv));
+    } else {
+      __m256i vq = _mm256_and_si256(
+          _mm512_castsi512_si256(
+              _mm512_permutexvar_epi64(loq_idx, vsel)),
+          vmaskv);
+      vq = _mm256_mask_add_epi64(vq, t8, vq, vcwv);
+      if (party) vq = _mm256_sub_epi64(zero256, vq);
+      v256 = _mm256_add_epi64(v256, vq);
+    }
 
     S = _mm512_mask_blend_epi32(xbm, sl, sr);
     for (int k = 0; k < 4; ++k) {
@@ -1869,6 +1899,15 @@ void dcf_eval_vaes4(const Prg &prg, const Group &grp, int in_bits,
   store_b(_mm512_extracti32x4_epi32(S, 1), sf[1]);
   store_b(_mm512_extracti32x4_epi32(S, 2), sf[2]);
   store_b(_mm512_extracti32x4_epi32(S, 3), sf[3]);
+  if (bytes) {
+    const __mmask16 tlm = lane_mask4(t[0], t[1], t[2], t[3]);
+    const __m512i vlz = bcast_b512(load_b(cws[2 * in_bits + 1]));
+    __m512i term = _mm512_xor_si512(
+        _mm512_loadu_si512(sf), _mm512_maskz_mov_epi32(tlm, vlz));
+    term = _mm512_xor_si512(term, v512);
+    _mm512_storeu_si512(y_out, term);
+    return;
+  }
   alignas(32) uint64_t v_s[4];
   _mm256_store_si256(reinterpret_cast<__m256i *>(v_s), v256);
   for (int k = 0; k < 4; ++k) {
@@ -3479,6 +3518,84 @@ inline Block pack_input(uint64_t lo, uint64_t hi) {
 // VDPF (vdpf.cuh semantics: in_bits cw rows + 64B check seed + ocw)
 // ---------------------------------------------------------------------------
 
+#if FSS_HAVE_VAES512
+// Key-sliced VDPF Gen: the shared 4-key BGI walk (identical to DPF's,
+// vdpf.cuh:97-133) + the VDPF epilogue — per-key check-seed hashes
+// (xor_hash at alpha over both final seeds; SHA-256 configs interleave
+// the four one-block digests through sha256_block_shani_x2), fail
+// flags, and the +-(beta - s0 + s1) ocw.
+void vdpf_gen_vaes4(const Prg &prg, const Hash &xh, const Group &grp,
+                    int in_bits, const Block *s0s /* 4 x 2 */,
+                    const uint64_t *a_lo, const Block *betas,
+                    Block *const cwsk[4], Block csk[4][4], Block ocwk[4],
+                    int fails[4]) {
+  __m512i S0, S1;
+  uint32_t t0b[4], t1b[4];
+  dpf_gen_walk_vaes4(prg, in_bits, s0s, a_lo, nullptr, cwsk, S0, S1,
+                     t0b, t1b);
+  Block s0f[4], s1f[4];
+  store_b(_mm512_castsi512_si128(S0), s0f[0]);
+  store_b(_mm512_extracti32x4_epi32(S0, 1), s0f[1]);
+  store_b(_mm512_extracti32x4_epi32(S0, 2), s0f[2]);
+  store_b(_mm512_extracti32x4_epi32(S0, 3), s0f[3]);
+  store_b(_mm512_castsi512_si128(S1), s1f[0]);
+  store_b(_mm512_extracti32x4_epi32(S1, 1), s1f[1]);
+  store_b(_mm512_extracti32x4_epi32(S1, 2), s1f[2]);
+  store_b(_mm512_extracti32x4_epi32(S1, 3), s1f[3]);
+
+  static const bool kShani = __builtin_cpu_supports("sha") != 0;
+  static const uint32_t kIv[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372,
+                                  0xa54ff53a, 0x510e527f, 0x9b05688c,
+                                  0x1f83d9ab, 0x5be0cd19};
+  for (int k = 0; k < 4; ++k) {
+    const Block a_buf = pack_input(a_lo[k], 0);
+    Block pt0[4], pt1[4];
+    if (xh.kind == 0 && kShani) {
+      // Four independent one-block digests -> two interleaved pairs.
+      const Block x0 = set_lsb(a_buf, 0), x1 = set_lsb(a_buf, 1);
+      uint8_t b00[64], b01[64], b10[64], b11[64];
+      uint8_t *bs[4] = {b00, b01, b10, b11};
+      const Block *xsel[2] = {&x0, &x1};
+      for (int q = 0; q < 4; ++q) {
+        std::memset(bs[q], 0, 64);
+        std::memcpy(bs[q], &xh.key, 16);
+        std::memcpy(bs[q] + 16, xsel[q & 1], 16);
+        std::memcpy(bs[q] + 32, q < 2 ? &s0f[k] : &s1f[k], 16);
+        bs[q][48] = 0x80;
+        bs[q][62] = 0x01;
+        bs[q][63] = 0x80;
+      }
+      uint32_t h00[8], h01[8], h10[8], h11[8];
+      std::memcpy(h00, kIv, 32);
+      std::memcpy(h01, kIv, 32);
+      std::memcpy(h10, kIv, 32);
+      std::memcpy(h11, kIv, 32);
+      sha256_block_shani_x2(h00, b00, h10, b10);
+      sha256_block_shani_x2(h01, b01, h11, b11);
+      uint32_t *p0 = reinterpret_cast<uint32_t *>(pt0);
+      uint32_t *p1 = reinterpret_cast<uint32_t *>(pt1);
+      for (int i = 0; i < 8; ++i) {
+        p0[i] = __builtin_bswap32(h00[i]);
+        p0[8 + i] = __builtin_bswap32(h01[i]);
+        p1[i] = __builtin_bswap32(h10[i]);
+        p1[8 + i] = __builtin_bswap32(h11[i]);
+      }
+    } else {
+      xh.xor_hash(a_buf, s0f[k], pt0);
+      xh.xor_hash(a_buf, s1f[k], pt1);
+    }
+    for (int i = 0; i < 4; ++i) csk[k][i] = bxor(pt0[i], pt1[i]);
+
+    fails[k] = (t0b[k] == t1b[k]) ? 1 : 0;
+    u128 v = grp.add(grp.add(grp.from_block(set_lsb(betas[k], 0)),
+                             grp.neg(grp.from_block(s0f[k]))),
+                     grp.from_block(s1f[k]));
+    if (t1b[k] & 1u) v = grp.neg(v);
+    grp.into_block(v, ocwk[k]);
+  }
+}
+#endif  // FSS_HAVE_VAES512
+
 int vdpf_gen(const Prg &prg, const Hash &xh, const Group &grp, int in_bits,
              const Block s0s[2], uint64_t a_lo, uint64_t a_hi,
              const Block &beta, Block *cws, Block cs[4], Block &ocw) {
@@ -4259,7 +4376,7 @@ void fss_dcf_eval(int in_bits, int prg_kind, const uint32_t nonce[2],
 #if FSS_HAVE_AESNI
   if (prg.kind == 1) {
 #if FSS_HAVE_VAES512
-    if (grp.kind == 1 && grp.bits <= 64) {
+    if ((grp.kind == 1 && grp.bits <= 64) || grp.kind == 0) {
       for (; i + 4 <= n_points; i += 4) {
         uint64_t xlo[4], xhi[4];
         for (int k = 0; k < 4; ++k) {
@@ -4789,7 +4906,28 @@ void fss_vdpf_gen_batch(int in_bits, int prg_kind, const uint32_t nonce[2],
   Group grp{group_kind, group_bits};
   Hash xh = make_hash(hash_kind, hash_key);
   int64_t stride = 8 * in_bits;
-  for (int64_t i = 0; i < n; ++i) {
+  int64_t i = 0;
+#if FSS_HAVE_VAES512
+  if (prg.kind == 1) {
+    for (; i + 4 <= n; i += 4) {
+      Block s0s_b[8], beta_b[4], ocw_b[4], cs_b[4][4];
+      Block *cwsk[4];
+      int f4[4];
+      std::memcpy(s0s_b, s0s + 8 * i, 128);
+      std::memcpy(beta_b, betas + 4 * i, 64);
+      for (int k = 0; k < 4; ++k)
+        cwsk[k] = reinterpret_cast<Block *>(cws + stride * (i + k));
+      vdpf_gen_vaes4(prg, xh, grp, in_bits, s0s_b, alphas + i, beta_b,
+                     cwsk, cs_b, ocw_b, f4);
+      for (int k = 0; k < 4; ++k) {
+        fails[i + k] = f4[k];
+        std::memcpy(cs + 16 * (i + k), cs_b[k], 64);
+        std::memcpy(ocws + 4 * (i + k), ocw_b[k].w, 16);
+      }
+    }
+  }
+#endif
+  for (; i < n; ++i) {
     Block s0s_b[2], beta_b, ocw_b, cs_b[4];
     std::memcpy(s0s_b, s0s + 8 * i, 32);
     std::memcpy(beta_b.w, betas + 4 * i, 16);
