@@ -843,7 +843,7 @@ void dpf_expand_level_vaes(const Prg &prg, Block *ys, uint64_t m,
 // false and the caller keeps its scalar loop.
 bool convert_leaves_vaes(const Group &grp, int party, const Block &ocw_b,
                          u128 ocw, Block *ys, const Block *vs,
-                         uint64_t n) {
+                         uint64_t n, bool vs_packed64 = false) {
   if (n < 4 || (n & 3u)) return false;
   const __m512i one512 = _mm512_set1_epi32(1);
   const __m512i ctl512 = bcast_b512(_mm_set_epi32(1, 0, 0, 0));
@@ -886,9 +886,12 @@ bool convert_leaves_vaes(const Group &grp, int party, const Block &ocw_b,
       v = _mm256_mask_add_epi64(v, t8, v, ocwv);
       if (party) v = _mm256_sub_epi64(zero256, v);
       if (vs) {
-        const __m256i vv = _mm512_castsi512_si256(
-            _mm512_permutexvar_epi64(loq_idx,
-                                     _mm512_loadu_si512(vs + j)));
+        const __m256i vv =
+            vs_packed64
+                ? _mm256_loadu_si256(
+                      (const __m256i *)((const uint64_t *)vs + j))
+                : _mm512_castsi512_si256(_mm512_permutexvar_epi64(
+                      loq_idx, _mm512_loadu_si512(vs + j)));
         v = _mm256_add_epi64(v, vv);
       }
       v = _mm256_and_si256(v, vmaskv);
@@ -1970,6 +1973,15 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
                   Block *ys, Block *vs /* scratch 2^in_bits */) {
   // Breadth-first in-place expansion with value threading
   // (dcf.cuh:294-385): ys holds packed (s,t), vs the running value.
+  // For Uint groups <= 64 bits on the AES-NI path the value scratch is
+  // PACKED uint64 (one qword per node, half the traffic of Block rows
+  // and no compress/spread shuffles in the level body); every consumer
+  // below branches on `packed64`.
+  bool packed64 = false;
+  uint64_t *vs64 = reinterpret_cast<uint64_t *>(vs);
+#if FSS_HAVE_AESNI
+  packed64 = prg.kind == 1 && grp.kind == 1 && grp.bits <= 64;
+#endif
   ys[0] = set_lsb(set_lsb(seed, 0), (uint32_t)party);
   std::memset(vs[0].w, 0, 16);
   for (int i = 0; i < in_bits; ++i) {
@@ -1985,7 +1997,7 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
       // bits keep the running value in one uint64 instead of the
       // generic u128 Block round trip.
       const __m128i scw = clear_ctl(load_b(cws[2 * i]));
-      const bool u64fast = (grp.kind == 1 && grp.bits <= 64);
+      const bool u64fast = packed64;
       const uint64_t vmask =
           grp.bits >= 64 ? ~0ull : ((1ull << grp.bits) - 1);
       const uint64_t vcw64 = (uint64_t)v_cw;
@@ -2007,10 +2019,9 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
         const __m256i vcwv = _mm256_set1_epi64x((long long)vcw64);
         const __m256i zero256 = _mm256_setzero_si256();
         const __m512i loq_idx = _mm512_set_epi64(0, 0, 0, 0, 6, 4, 2, 0);
-        const __m256i ilA = _mm256_set_epi64x(5, 1, 4, 0);
-        const __m256i ilB = _mm256_set_epi64x(7, 3, 6, 2);
-        const __m512i spread_idx = _mm512_set_epi64(0, 3, 0, 2, 0, 1, 0,
-                                                    0);
+        // [a0 b0 a1 b1 a2 b2 a3 b3] from the low halves of two zmm.
+        const __m512i inter_idx = _mm512_set_epi64(11, 3, 10, 2, 9, 1, 8,
+                                                   0);
         const __m512i idxA = _mm512_set_epi64(11, 10, 3, 2, 9, 8, 1, 0);
         const __m512i idxB = _mm512_set_epi64(15, 14, 7, 6, 13, 12, 5,
                                               4);
@@ -2072,8 +2083,8 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
           _mm512_storeu_si512(ys + 2 * j + 4,
                               _mm512_permutex2var_epi64(l, idxB, r));
 
-          const __m512i vsz = _mm512_loadu_si512(vs + j);
           if (!u64fast) {  // Bytes: XOR value lanes, full 128-bit
+            const __m512i vsz = _mm512_loadu_si512(vs + j);
             const __m512i corrv =
                 _mm512_maskz_mov_epi32(t_lanes, vcwz);
             const __m512i vlz = _mm512_xor_si512(
@@ -2089,8 +2100,8 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
                 _mm512_permutex2var_epi64(vlz, idxB, vrz));
             continue;
           }
-          const __m256i v64v = _mm512_castsi512_si256(
-              _mm512_permutexvar_epi64(loq_idx, vsz));
+          const __m256i v64v =
+              _mm256_loadu_si256((const __m256i *)(vs64 + j));
           __m256i vl = _mm256_and_si256(
               _mm512_castsi512_si256(
                   _mm512_permutexvar_epi64(loq_idx, o1)),
@@ -2109,18 +2120,11 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
                                               vmaskv);
           const __m256i nr = _mm256_and_si256(_mm256_add_epi64(v64v, vr),
                                               vmaskv);
-          const __m256i il0 = _mm256_permutex2var_epi64(nl, ilA, nr);
-          const __m256i il1 = _mm256_permutex2var_epi64(nl, ilB, nr);
           _mm512_storeu_si512(
-              vs + 2 * j,
-              _mm512_maskz_permutexvar_epi64(
-                  (__mmask8)0x55, spread_idx,
-                  _mm512_castsi256_si512(il0)));
-          _mm512_storeu_si512(
-              vs + 2 * j + 4,
-              _mm512_maskz_permutexvar_epi64(
-                  (__mmask8)0x55, spread_idx,
-                  _mm512_castsi256_si512(il1)));
+              vs64 + 2 * j,
+              _mm512_permutex2var_epi64(_mm512_castsi256_si512(nl),
+                                        inter_idx,
+                                        _mm512_castsi256_si512(nr)));
         }
         j_start = j;
       }
@@ -2156,8 +2160,7 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
                 ys[2 * j + 1]);
         if (u64fast) {
           // set_lsb/clear_ctl only touch w[3]; low 64 bits unaffected.
-          uint64_t v64 = (uint64_t)vs[j].w[0] |
-                         ((uint64_t)vs[j].w[1] << 32);
+          uint64_t v64 = vs64[j];
           uint64_t vl64 = ((uint64_t)_mm_cvtsi128_si64(o1)) & vmask;
           uint64_t vr64 = ((uint64_t)_mm_cvtsi128_si64(o3)) & vmask;
           uint64_t addv = t ? vcw64 : 0ull;
@@ -2167,14 +2170,8 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
             vl64 = (0ull - vl64) & vmask;
             vr64 = (0ull - vr64) & vmask;
           }
-          uint64_t nl = (v64 + vl64) & vmask;
-          uint64_t nr = (v64 + vr64) & vmask;
-          vs[2 * j].w[0] = (uint32_t)nl;
-          vs[2 * j].w[1] = (uint32_t)(nl >> 32);
-          vs[2 * j].w[2] = vs[2 * j].w[3] = 0;
-          vs[2 * j + 1].w[0] = (uint32_t)nr;
-          vs[2 * j + 1].w[1] = (uint32_t)(nr >> 32);
-          vs[2 * j + 1].w[2] = vs[2 * j + 1].w[3] = 0;
+          vs64[2 * j] = (v64 + vl64) & vmask;
+          vs64[2 * j + 1] = (v64 + vr64) & vmask;
         } else {
           u128 v = grp.from_block(vs[j]);
           Block vlb, vrb;
@@ -2229,7 +2226,7 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
   uint64_t n = 1ull << in_bits;
 #if FSS_HAVE_VAES512
   if (convert_leaves_vaes(grp, party, cws[2 * in_bits + 1], v_last, ys,
-                          vs, n))
+                          vs, n, packed64))
     return;
 #endif
   for (uint64_t j = 0; j < n; ++j) {
@@ -2237,7 +2234,8 @@ void dcf_eval_all(const Prg &prg, const Group &grp, int in_bits,
     u128 term = grp.from_block(set_lsb(ys[j], 0));
     term = grp.add(term, t ? v_last : (u128)0);
     if (party) term = grp.neg(term);
-    grp.into_block(grp.add(grp.from_block(vs[j]), term), ys[j]);
+    u128 vj = packed64 ? (u128)vs64[j] : grp.from_block(vs[j]);
+    grp.into_block(grp.add(vj, term), ys[j]);
   }
 }
 
