@@ -202,6 +202,36 @@ def test_dcf_eval_all_matches_jax(eng, rng):
         assert np.array_equal(got, ref), f"party {party}"
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("gk,gb,g", GROUPS + [
+    (native.GROUP_UINT, 16, groups.Uint(16))],
+    ids=["bytes", "u32", "u64", "u127", "u16"])
+@pytest.mark.parametrize("in_bits", [5, 9])
+def test_dcf_eval_all_aes_matches_jax(eng, gk, gb, g, in_bits, rng):
+    """AES-config full-domain walk vs the JAX scheme, all value-lane
+    layouts: packed-u64 scratch (Uint<=64, incl. the in_bits=5 scalar
+    tail below the VAES width), Block scratch (Bytes XOR / u128)."""
+    if not eng.has_aesni:
+        pytest.skip("no AES-NI on this host")
+    from fss_tpu.schemes import dcf as _dcf
+    import jax.numpy as jnp
+    keys4 = tuple(bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+                  for _ in range(4))
+    prg = Aes128Mmo(mul=4, keys=keys4)
+    alpha = int(rng.integers(1, 2**in_bits))
+    s0s = rng.integers(0, 2**32, size=(2, 4), dtype=np.uint32)
+    beta = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    cws = np.asarray(_dcf.gen(prg, g, in_bits, "lt", jnp.asarray(s0s),
+                              blk.pack_inputs(alpha, in_bits),
+                              jnp.asarray(beta)))
+    for party in (0, 1):
+        ref = np.asarray(_dcf.eval_all(prg, g, in_bits, party,
+                                       s0s[party], cws))
+        got = eng.dcf_eval_all(in_bits, native.PRG_AES128_MMO, gk, gb,
+                               party, s0s[party], cws, aes_keys=keys4)
+        assert np.array_equal(got, ref), f"party {party}"
+
+
 def test_ht_gen_eval_matches_jax(eng, rng):
     from fss_tpu.schemes import half_tree_dpf as _ht
     import jax.numpy as jnp
