@@ -315,6 +315,18 @@ def _bench_registry():
                 _timeit(fa24, (jnp.asarray(s0s[0]), cws24), 2**24,
                         iters=4), "items/s/chip"))
 
+    # End-to-end two-server PIR lookup (samples/pir_tpu.py at scale):
+    # EvalAll selector shares + wraparound-int32 contraction against a
+    # 2^20-row x 16-word (64 MiB) database, all on device.
+    db = jnp.asarray(rng.integers(0, 2**32, size=(2**ib20, 16),
+                                  dtype=np.uint32).astype(np.int32))
+    fp = jax.jit(lambda s, c, d: jnp.sum(
+        (_eak.eval_all(prg2, g, ib20, 0, s, c)[:, 0]
+         .astype(jnp.int32)[:, None] * d).sum(axis=0, dtype=jnp.int32)))
+    out.append(("pir_lookup_2e20rows_64B",
+                _timeit(fp, (jnp.asarray(s0s[0]), cws, db), 1, iters=4),
+                "lookups/s/chip"))
+
     # DCF eval, per-instance keys (fused Pallas kernel).
     from fss_tpu.ops import dcf_pallas, ht_pallas
     prg4 = ChaCha(mul=4, nonce=nonce)

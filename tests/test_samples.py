@@ -27,6 +27,7 @@ def _run(name):
     ("dpf_dcf_basic.py", "OK"),
     ("dpf_batched_tpu.py", "OK"),
     ("vdpf_vdmpf_verified.py", "proofs match. OK"),
+    ("pir_tpu.py", "retrieved privately"),
 ])
 def test_sample_runs(name, needle):
     r = _run(name)
