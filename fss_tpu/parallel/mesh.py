@@ -88,6 +88,56 @@ def dpf_eval_all_sharded(prg2, group, in_bits: int, party: int,
     return jax.jit(run)(s0, cws)
 
 
+def pir_lookup_sharded(prg2, in_bits: int, party: int, s0: jax.Array,
+                       cws: jax.Array, db: jax.Array, mesh: Mesh,
+                       axis: str = "domain") -> jax.Array:
+    """One two-server PIR answer share over a mesh-sharded database.
+
+    The application-level composition of the domain axis (see
+    samples/pir_tpu.py for the single-chip flow): ``db`` is
+    [2^in_bits, D] int32 sharded on its leading axis; the DPF key must
+    encode beta = (1, 0, 0, 0) at the private index. Each device
+    expands its own subtree (the dpf_eval_all_sharded decomposition),
+    contracts its local selector shares against its local DB rows with
+    wraparound-int32 arithmetic — multiplication distributes over
+    additive shares mod 2^32 — and a ``psum`` over ``axis`` folds the
+    partial answers. Returns the [D] int32 answer share, replicated;
+    the DB rows never move between devices, only the D-word partials
+    ride the ICI.
+    """
+    k = _shard_prefix(mesh, axis, in_bits)
+    from fss_tpu import groups as _groups
+    g32 = _groups.Uint(32)
+
+    def run(s0, cws, db):
+        s = blk.clear_lsb(s0)[None, :]
+        t = jnp.full((1,), np.uint32(party), dtype=jnp.uint32)
+        for i in range(k):
+            s_cw, tl_cw, tr_cw = _tree.unpack_cw_row(cws[i])
+            s, t = _tree.expand_level(prg2, s, t, s_cw, tl_cw, tr_cw)
+
+        def subtree(s_roots, t_roots, cws, db_l):
+            idx = jax.lax.axis_index(axis)
+            s_l = jax.lax.dynamic_slice_in_dim(s_roots, idx, 1, 0)
+            t_l = jax.lax.dynamic_slice_in_dim(t_roots, idx, 1, 0)
+            for i in range(k, in_bits):
+                s_cw, tl_cw, tr_cw = _tree.unpack_cw_row(cws[i])
+                s_l, t_l = _tree.expand_level(prg2, s_l, t_l,
+                                              s_cw, tl_cw, tr_cw)
+            ys = _dpf.finalize_leaves(g32, in_bits, party, s_l, t_l, cws)
+            sel = ys[:, 0].astype(jnp.int32)
+            part = (sel[:, None] * db_l).sum(axis=0, dtype=jnp.int32)
+            return jax.lax.psum(part, axis)
+
+        body = jax.shard_map(
+            subtree, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis, None)),
+            out_specs=P())
+        return body(s, t, cws, db)
+
+    return jax.jit(run)(s0, cws, db)
+
+
 def _shard_prefix(mesh: Mesh, axis: str, in_bits: int):
     n_shards = mesh.shape[axis]
     k = int(np.log2(n_shards))

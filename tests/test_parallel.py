@@ -37,6 +37,27 @@ def test_eval_all_sharded_matches_single(rng, mesh8):
     assert shard_shapes == {(2**in_bits // 8, 4)}
 
 
+def test_pir_lookup_sharded(rng, mesh8):
+    g = groups.Uint(32)
+    in_bits = 9
+    d = Dpf(in_bits, group=g, prg=ChaCha(mul=2, nonce=NONCE))
+    s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
+    idx = 321
+    cws = d.gen(s0s, idx, blk.block([1, 0, 0, 0]))
+    db = rng.integers(0, 2**32, size=(2**in_bits, 8),
+                      dtype=np.uint32).astype(np.int32)
+    db_sh = jax.device_put(
+        db, jax.sharding.NamedSharding(
+            mesh8, jax.sharding.PartitionSpec("domain", None)))
+    a0 = pmesh.pir_lookup_sharded(d.prg, in_bits, 0, s0s[0], cws, db_sh,
+                                  mesh8, axis="domain")
+    a1 = pmesh.pir_lookup_sharded(d.prg, in_bits, 1, s0s[1], cws, db_sh,
+                                  mesh8, axis="domain")
+    row = (np.asarray(a0).astype(np.uint32)
+           + np.asarray(a1).astype(np.uint32))
+    assert np.array_equal(row, db[idx].astype(np.uint32))
+
+
 def test_data_sharded_eval(rng, mesh8):
     """Keys/points batch sharded over the data axis, evaluated under jit."""
     g = groups.Bytes()
