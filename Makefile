@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast bench bench-all bench-native bench-ref format lint \
+.PHONY: test test-fast bench bench-all bench-native bench-ref asan format lint \
         dryrun golden verify-tpu docs
 
 test:
@@ -26,6 +26,10 @@ bench-all:
 # Native host engine single-core numbers (reference bench_cpu shapes).
 bench-native:
 	JAX_PLATFORMS=cpu PYTHONPATH=. $(PY) scripts/bench_native.py
+
+# AddressSanitizer soak of the native engine (builds an instrumented .so).
+asan:
+	$(PY) scripts/asan_soak.py 15
 
 # The REFERENCE's own bench_cpu.cu compiled via the golden shim and run on
 # THIS machine — the same-silicon baseline for every native speed claim.
