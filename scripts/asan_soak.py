@@ -39,7 +39,7 @@ if os.environ.get("FSS_ASAN_CHILD") != "1":
     raise SystemExit(subprocess.run(
         [sys.executable, __file__, *sys.argv[1:]], env=env).returncode)
 
-import fss_tpu.native as native
+import fss_tpu.native as native  # noqa: E402
 
 native._build = lambda: SO
 eng = native.engine()
@@ -50,9 +50,11 @@ U, BY = native.GROUP_UINT, native.GROUP_BYTES
 AES, CHA = native.PRG_AES128_MMO, native.PRG_CHACHA
 NONCE = (123, 456)
 
+
 def keys(n):
     return tuple(bytes(rng.integers(0, 256, 16, dtype=np.uint8))
                  for _ in range(n))
+
 
 for trial in range(int(sys.argv[1]) if len(sys.argv) > 1 else 6):
     ib = int(rng.choice([1, 2, 3, 5, 7, 8, 11, 13, 16]))
