@@ -99,7 +99,8 @@ def pack_inputs(xs, in_bits: int) -> jax.Array:
     """
     if isinstance(xs, (int, np.integer)):
         return jnp.asarray(pack_int(int(xs)))
-    if isinstance(xs, (list, tuple)) and xs and isinstance(xs[0], (int, np.integer)):
+    if (isinstance(xs, (list, tuple)) and xs
+            and isinstance(xs[0], (int, np.integer))):
         return jnp.asarray(np.stack([pack_int(int(v)) for v in xs]))
     arr = jnp.asarray(xs)
     if arr.ndim >= 1 and arr.shape[-1] == 4 and arr.dtype == U32:

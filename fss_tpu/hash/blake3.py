@@ -1,4 +1,4 @@
-"""Single-compression keyed BLAKE3 hash (reference include/fss/hash/blake3.cuh).
+"""Single-compression keyed BLAKE3 (reference include/fss/hash/blake3.cuh).
 
 Semantics carried over bit-exactly:
   - a custom 32B IV replaces BLAKE3's standard IV (keyed-hash mode);

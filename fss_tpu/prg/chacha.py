@@ -57,9 +57,11 @@ def _quarter_round(a, b, c, d):
 def _double_round(s):
     s = list(s)
     for ia, ib, ic, id_ in _COLUMNS:
-        s[ia], s[ib], s[ic], s[id_] = _quarter_round(s[ia], s[ib], s[ic], s[id_])
+        s[ia], s[ib], s[ic], s[id_] = _quarter_round(
+            s[ia], s[ib], s[ic], s[id_])
     for ia, ib, ic, id_ in _DIAGONALS:
-        s[ia], s[ib], s[ic], s[id_] = _quarter_round(s[ia], s[ib], s[ic], s[id_])
+        s[ia], s[ib], s[ic], s[id_] = _quarter_round(
+            s[ia], s[ib], s[ic], s[id_])
     return s
 
 
@@ -163,7 +165,8 @@ def chacha_prg_reference(seed: np.ndarray, nonce, mul: int,
         d = int(rotl(d ^ a, 8))
         c = (c + d) & 0xFFFFFFFF
         b = int(rotl(b ^ c, 7))
-        s[ia], s[ib], s[ic], s[id_] = np.uint32(a), np.uint32(b), np.uint32(c), np.uint32(d)
+        s[ia], s[ib], s[ic], s[id_] = (np.uint32(a), np.uint32(b),
+                                       np.uint32(c), np.uint32(d))
 
     for _ in range(rounds // 2):
         for cols in _COLUMNS:

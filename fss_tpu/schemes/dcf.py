@@ -29,7 +29,8 @@ PRED_GT = "gt"
 
 def _gsel(cond, a, b):
     """cond ? a : b for group values (lane arrays)."""
-    return jnp.where(jnp.asarray(cond, jnp.uint32).astype(jnp.bool_)[..., None], a, b)
+    return jnp.where(
+        jnp.asarray(cond, jnp.uint32).astype(jnp.bool_)[..., None], a, b)
 
 
 def gen(prg4, group, in_bits: int, pred: str, s0s: jax.Array, alpha,

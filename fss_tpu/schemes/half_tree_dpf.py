@@ -4,7 +4,8 @@ TPU-native re-design of reference include/fss/half_tree_dpf.cuh. The scheme
 uses a mul=1 correlation-robust hash H(hash_key ^ node) and derives the right
 child for free as ``right = left ^ parent``, halving PRG work for full-domain
 expansion. The implementation follows the reference's *corrected* formulas
-(doc/half_tree_dpf_spec_correction.md): the level CW uses (1 - alpha_i) * delta,
+(doc/half_tree_dpf_spec_correction.md): the level CW uses
+(1 - alpha_i) * delta,
 HCW uses the !alpha_n direction, and LCW_0 carries !alpha_n.
 
 Key layout parity (half_tree_dpf.cuh:47-57): ``cws`` is an (in_bits, 8)

@@ -66,8 +66,10 @@ def test_uint_matches_python_ints(rng):
         g = groups.Uint(bits, mod=mod)
         eff_mod = mod if mod else (1 << bits)
         for _ in range(20):
-            raw_a = int(rng.integers(0, 2**63)) | (int(rng.integers(0, 2**63)) << 64)
-            raw_b = int(rng.integers(0, 2**63)) | (int(rng.integers(0, 2**63)) << 64)
+            raw_a = (int(rng.integers(0, 2**63))
+                     | (int(rng.integers(0, 2**63)) << 64))
+            raw_b = (int(rng.integers(0, 2**63))
+                     | (int(rng.integers(0, 2**63)) << 64))
             raw_a &= ~1  # clamped bit zero
             raw_b &= ~1
             buf_a = blk.block(blk.pack_int(raw_a))
@@ -76,7 +78,8 @@ def test_uint_matches_python_ints(rng):
             b = g.from_block(buf_b)
 
             if bits == 128:
-                exp_a = ((raw_a & ((1 << 96) - 1)) | (((raw_a >> 97)) << 96)) % eff_mod
+                exp_a = ((raw_a & ((1 << 96) - 1))
+                         | (((raw_a >> 97)) << 96)) % eff_mod
             else:
                 exp_a = (raw_a & ((1 << bits) - 1)) % eff_mod
             assert groups.to_int(g, a) == exp_a, (bits, mod)

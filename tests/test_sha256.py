@@ -41,10 +41,12 @@ def test_xor_hash_vs_hashlib(rng):
     for i in range(3):
         a0 = a[i].copy()
         a0[3] &= 0xFFFFFFFE
-        d0 = hashlib.sha256(kb + _lanes_bytes(a0) + _lanes_bytes(b[i])).digest()
+        d0 = hashlib.sha256(
+            kb + _lanes_bytes(a0) + _lanes_bytes(b[i])).digest()
         a1 = a[i].copy()
         a1[3] |= 1
-        d1 = hashlib.sha256(kb + _lanes_bytes(a1) + _lanes_bytes(b[i])).digest()
+        d1 = hashlib.sha256(
+            kb + _lanes_bytes(a1) + _lanes_bytes(b[i])).digest()
         assert _lanes_bytes(out[i]) == d0 + d1, f"row {i}"
 
 
