@@ -57,16 +57,21 @@ def keys(n):
 
 
 for trial in range(int(sys.argv[1]) if len(sys.argv) > 1 else 6):
-    ib = int(rng.choice([1, 2, 3, 5, 7, 8, 11, 13, 16]))
+    # Every third trial walks a wide domain (u128 lo/hi input paths);
+    # full-domain ops are skipped there (2^48+ leaves).
+    wide = trial % 3 == 2
+    ib = int(rng.choice([33, 48, 64, 97, 127] if wide
+                        else [1, 2, 3, 5, 7, 8, 11, 13, 16]))
     gk, gb = [(U, 16), (U, 32), (U, 64), (U, 128), (BY, 0)][trial % 5]
     pk = AES if trial % 2 == 0 else CHA
     k2, k4 = keys(2), keys(4)
     pa2 = dict(aes_keys=k2) if pk == AES else dict(nonce=NONCE)
     pa4 = dict(aes_keys=k4) if pk == AES else dict(nonce=NONCE)
-    alpha = int(rng.integers(0, 1 << ib))
+    dom = 1 << min(ib, 63)
+    alpha = int(rng.integers(0, dom))
     s0s = rng.integers(0, 2**32, size=(2, 4), dtype=np.uint32)
     beta = rng.integers(0, 2**32, size=4, dtype=np.uint32)
-    xs = rng.integers(0, 1 << ib, size=33, dtype=np.uint64)
+    xs = rng.integers(0, dom, size=33, dtype=np.uint64)
 
     # PRG
     eng.prg(pk, 2, s0s[0], **pa2)
@@ -74,16 +79,17 @@ for trial in range(int(sys.argv[1]) if len(sys.argv) > 1 else 6):
     cws = eng.dpf_gen(ib, pk, gk, gb, s0s, alpha, beta, **pa2)
     y0 = eng.dpf_eval(ib, pk, gk, gb, 0, s0s[0], cws, xs, **pa2)
     y1 = eng.dpf_eval(ib, pk, gk, gb, 1, s0s[1], cws, xs, **pa2)
-    a0 = eng.dpf_eval_all(ib, pk, gk, gb, 0, s0s[0], cws, **pa2)
-    a1 = eng.dpf_eval_all(ib, pk, gk, gb, 1, s0s[1], cws, **pa2)
-    if gk == BY:
+    if not wide:
+        a0 = eng.dpf_eval_all(ib, pk, gk, gb, 0, s0s[0], cws, **pa2)
+        a1 = eng.dpf_eval_all(ib, pk, gk, gb, 1, s0s[1], cws, **pa2)
+    if not wide and gk == BY:
         rec = a0 ^ a1
         exp = beta.copy()
         exp[3] &= 0xFFFFFFFE  # clamped bit (lambda=127) is dropped
         assert np.array_equal(rec[alpha], exp)
     B = 17
     s0sb = rng.integers(0, 2**32, size=(B, 2, 4), dtype=np.uint32)
-    alphas = rng.integers(0, 1 << ib, size=B, dtype=np.uint64)
+    alphas = rng.integers(0, dom, size=B, dtype=np.uint64)
     betas = rng.integers(0, 2**32, size=(B, 4), dtype=np.uint32)
     eng.dpf_gen_batch(ib, pk, gk, gb, s0sb, alphas, betas, **pa2)
     cwsb = np.broadcast_to(cws, (B,) + cws.shape).copy()
@@ -94,17 +100,19 @@ for trial in range(int(sys.argv[1]) if len(sys.argv) > 1 else 6):
     for pred in ("lt", "gt"):
         dc = eng.dcf_gen(ib, pk, gk, gb, pred, s0s, alpha, beta, **pa4)
         eng.dcf_eval(ib, pk, gk, gb, 0, s0s[0], dc, xs, **pa4)
-        eng.dcf_eval_all(ib, pk, gk, gb, 0, s0s[0], dc, **pa4)
-        eng.dcf_eval_all(ib, pk, gk, gb, 1, s0s[1], dc, **pa4)
+        if not wide:
+            eng.dcf_eval_all(ib, pk, gk, gb, 0, s0s[0], dc, **pa4)
+            eng.dcf_eval_all(ib, pk, gk, gb, 1, s0s[1], dc, **pa4)
     eng.dcf_gen_batch(ib, pk, gk, gb, 1, s0sb, alphas, betas, **pa4)
     # Half-Tree
     hk = rng.integers(0, 2**32, size=4, dtype=np.uint32)
     hcw, ocw = eng.ht_gen(ib, pk, gk, gb, hk, s0s, alpha, beta, **pa2)
     eng.ht_eval(ib, pk, gk, gb, 0, hk, s0s[0], hcw, ocw, xs, **pa2)
-    eng.ht_eval_all(ib, pk, gk, gb, 0, hk, s0s[0], hcw, ocw, **pa2)
+    if not wide:
+        eng.ht_eval_all(ib, pk, gk, gb, 0, hk, s0s[0], hcw, ocw, **pa2)
     eng.ht_gen_batch(ib, pk, gk, gb, hk, s0sb, alphas, betas, **pa2)
     # VDPF (uint only; hash kinds 0=sha256, 1=blake3)
-    if gk == U and gb <= 64:
+    if gk == U and gb <= 64 and not wide:
         hkey = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
         for hkind in (0, 1):
             vg = eng.vdpf_gen(ib, pk, hkind, hkey, gk, gb, s0s, alpha,
@@ -122,6 +130,10 @@ for trial in range(int(sys.argv[1]) if len(sys.argv) > 1 else 6):
         eng.vdpf_gen_batch(ib, pk, 1, hkey, gk, gb, s0sb, alphas, betas,
                            **pa2)
     # Grotto
+    if wide:
+        print(f"trial {trial}: ib={ib} (wide) gk={gk} gb={gb} "
+              f"prg={pk} ok", flush=True)
+        continue
     gcws = eng.dpf_gen(ib, pk, BY, 0, s0s, alpha,
                        np.array([1, 0, 0, 0], np.uint32), **pa2)
     pt = eng.grotto_preprocess(ib, pk, 0, s0s[0], gcws, **pa2)
