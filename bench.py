@@ -519,7 +519,16 @@ def _verify_gate() -> bool:
         os.path.abspath(__file__)), "scripts"))
     import jax
     import verify_tpu
-    on_tpu = jax.devices()[0].platform == "tpu"
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except RuntimeError as e:
+        # Backend init failed even after _wait_for_device's budget (the
+        # shared pool can be down for hours). Emit an honest JSON line
+        # instead of a traceback so the driver records the outage.
+        print(json.dumps({"metric": "TPU_UNAVAILABLE", "value": 0,
+                          "unit": "evals/s/chip", "vs_baseline": 0,
+                          "error": str(e)[:300]}))
+        return False
     try:
         n = verify_tpu.run(quick=True, interpret=not on_tpu)
     except verify_tpu.Mismatch as e:
