@@ -127,7 +127,12 @@ def _timeit(step, args, per_iter_items: int, iters: int = 8,
 
 def _bench_registry():
     """Secondary metrics mirroring the reference bench registry
-    (src/bench_cpu.cu / bench_gpu.cu shapes), emitted on stderr."""
+    (src/bench_cpu.cu / bench_gpu.cu shapes), emitted on stderr.
+
+    A generator: each row is yielded as soon as it is measured, so a
+    crash or timeout partway through a long registry run (TPU windows
+    on the shared pool are precious) still surfaces every completed
+    row instead of losing the whole batch."""
     import jax
     import jax.numpy as jnp
     from fss_tpu import block as blk
@@ -141,12 +146,11 @@ def _bench_registry():
     g = groups.Uint(32)
     rng = np.random.default_rng(42)
     nonce = (1, 2)
-    out = []
 
     # Per-domain Pallas eval numbers.
     for ib in (14, 16, 20):
         v, _ = _bench_dpf_eval(ib, LOG2_BATCH, iters=8)
-        out.append((f"dpf_eval_chacha_uint_{ib}bit", v, "evals/s/chip"))
+        yield (f"dpf_eval_chacha_uint_{ib}bit", v, "evals/s/chip")
 
     # DPF gen, batched keys (bench_gpu.cu BM_DpfGen shape).
     prg2 = ChaCha(mul=2, nonce=nonce)
@@ -183,8 +187,8 @@ def _bench_registry():
                       g.add(y, g.from_block(ocw)), y)
         return jnp.sum(g.into_block(y)[:, 0])
 
-    out.append(("dpf_eval_aes_uint_16bit",
-                _timeit(fae, (asp, acwp, axp, aocw), Ba), "evals/s/chip"))
+    yield ("dpf_eval_aes_uint_16bit",
+           _timeit(fae, (asp, acwp, axp, aocw), Ba), "evals/s/chip")
 
     # Half-Tree eval with the AES-MMO CCR hash (1 AES/level kernel).
     from fss_tpu.schemes import half_tree_dpf as _hts
@@ -210,9 +214,9 @@ def _bench_registry():
                       g.add(y, g.from_block(ocws)), y)
         return jnp.sum(g.into_block(y)[:, 0])
 
-    out.append(("half_tree_eval_aes_uint_16bit",
-                _timeit(fha, (hsp, hcwp, hxp, hocw_a), Ba),
-                "evals/s/chip"))
+    yield ("half_tree_eval_aes_uint_16bit",
+           _timeit(fha, (hsp, hcwp, hxp, hocw_a), Ba),
+           "evals/s/chip")
 
     # DCF eval with the AES-MMO PRG (4-lane plane-domain kernel with
     # in-kernel bitsliced value accumulation; staged keys).
@@ -240,9 +244,9 @@ def _bench_registry():
         y = g.add(g.from_block(v_raw), term)
         return jnp.sum(g.into_block(y)[:, 0])
 
-    out.append(("dcf_eval_aes_uint_16bit",
-                _timeit(fdca, (dasp, dacwp, daxp, davl), Ba),
-                "evals/s/chip"))
+    yield ("dcf_eval_aes_uint_16bit",
+           _timeit(fdca, (dasp, dacwp, daxp, davl), Ba),
+           "evals/s/chip")
 
     # VDPF eval with the AES-MMO PRG + SHA-256 (staged keys; the hash and
     # finalize run per point outside the kernel, as in the reference's
@@ -273,16 +277,16 @@ def _bench_registry():
                        jnp.bitwise_xor(pi, cs), pi)
         return jnp.sum(g.into_block(y)[:, 0]) + jnp.sum(pi[:, 0, 0])
 
-    out.append(("vdpf_eval_aes_sha256_uint_16bit",
-                _timeit(fvaes, (vasp, vacwp, vaxp, vcsa, vocwa, xsa), Ba),
-                "evals/s/chip"))
+    yield ("vdpf_eval_aes_sha256_uint_16bit",
+           _timeit(fvaes, (vasp, vacwp, vaxp, vcsa, vocwa, xsa), Ba),
+           "evals/s/chip")
     from fss_tpu.ops import dpf_pallas as _dpfk
     alphas_u32 = rng.integers(0, 2**ib, size=B, dtype=np.uint32)
     fg = jax.jit(lambda s, a, b: jnp.sum(_dpfk.gen_batch(
         nonce, g, ib, s, a, b)[:, 0, 0]))
-    out.append(("dpf_gen_chacha_uint_16bit",
-                _timeit(fg, (s0sb, jnp.asarray(alphas_u32), betas), B),
-                "keys/s/chip"))
+    yield ("dpf_gen_chacha_uint_16bit",
+           _timeit(fg, (s0sb, jnp.asarray(alphas_u32), betas), B),
+           "keys/s/chip")
 
     # DPF gen with the AES-MMO PRG on the fused plane-domain kernel
     # (ops/aes_pallas.gen_batch). 2^16 batch: the per-level cw planes are
@@ -290,9 +294,9 @@ def _bench_registry():
     Bg = 1 << 16
     fga = jax.jit(lambda s, a, b: jnp.sum(_aesk.gen_batch(
         aes_keys, g, ib, s, a, b)[:, 0, 0]))
-    out.append(("dpf_gen_aes_uint_16bit",
-                _timeit(fga, (s0sb[:Bg], jnp.asarray(alphas_u32[:Bg]),
-                              betas[:Bg]), Bg, inner=4), "keys/s/chip"))
+    yield ("dpf_gen_aes_uint_16bit",
+           _timeit(fga, (s0sb[:Bg], jnp.asarray(alphas_u32[:Bg]),
+                         betas[:Bg]), Bg, inner=4), "keys/s/chip")
 
     # DPF full-domain EvalAll, one key, 2^20 (no GPU analog in reference;
     # its CPU number is 6.29 M items/s).
@@ -304,16 +308,16 @@ def _bench_registry():
     from fss_tpu.ops import eval_all_pallas as _eak
     fa = jax.jit(lambda s, c: jnp.sum(
         _eak.eval_all(prg2, g, ib20, 0, s, c)[:, 0]))
-    out.append(("dpf_eval_all_chacha_uint_20bit",
-                _timeit(fa, (jnp.asarray(s0s[0]), cws), 2**ib20),
-                "items/s/chip"))
+    yield ("dpf_eval_all_chacha_uint_20bit",
+           _timeit(fa, (jnp.asarray(s0s[0]), cws), 2**ib20),
+           "items/s/chip")
     cws24 = jax.jit(lambda s, b: _dpf.gen(
         prg2, g, 24, s, blk.pack_inputs(777777, 24), b))(s0s, beta)
     fa24 = jax.jit(lambda s, c: jnp.sum(
         _eak.eval_all(prg2, g, 24, 0, s, c)[:, 0]))
-    out.append(("dpf_eval_all_chacha_uint_24bit",
-                _timeit(fa24, (jnp.asarray(s0s[0]), cws24), 2**24,
-                        iters=4), "items/s/chip"))
+    yield ("dpf_eval_all_chacha_uint_24bit",
+           _timeit(fa24, (jnp.asarray(s0s[0]), cws24), 2**24,
+                   iters=4), "items/s/chip")
 
     # End-to-end two-server PIR lookup (samples/pir_tpu.py at scale):
     # EvalAll selector shares + wraparound-int32 contraction against a
@@ -323,9 +327,9 @@ def _bench_registry():
     fp = jax.jit(lambda s, c, d: jnp.sum(
         (_eak.eval_all(prg2, g, ib20, 0, s, c)[:, 0]
          .astype(jnp.int32)[:, None] * d).sum(axis=0, dtype=jnp.int32)))
-    out.append(("pir_lookup_2e20rows_64B",
-                _timeit(fp, (jnp.asarray(s0s[0]), cws, db), 1, iters=4),
-                "lookups/s/chip"))
+    yield ("pir_lookup_2e20rows_64B",
+           _timeit(fp, (jnp.asarray(s0s[0]), cws, db), 1, iters=4),
+           "lookups/s/chip")
 
     # DCF eval, per-instance keys (fused Pallas kernel).
     from fss_tpu.ops import dcf_pallas, ht_pallas
@@ -348,24 +352,24 @@ def _bench_registry():
         y = dcf_pallas.finalize(g, 0, vo, so, t, v_last, Bd)
         return jnp.sum(y[:, 0])
 
-    out.append(("dcf_eval_chacha_uint_16bit",
-                _timeit(fd, (dseeds, dcws_t, dxs2, dvlast), Bd),
-                "evals/s/chip"))
+    yield ("dcf_eval_chacha_uint_16bit",
+           _timeit(fd, (dseeds, dcws_t, dxs2, dvlast), Bd),
+           "evals/s/chip")
 
     # DCF gen on the fused kernel (reference GPU: 176.9 M keys/s).
     fdg = jax.jit(lambda s, a, b: jnp.sum(dcf_pallas.gen_batch(
         nonce, g, ib, "lt", s, a, b)[:, 0, 0]))
-    out.append(("dcf_gen_chacha_uint_16bit",
-                _timeit(fdg, (s0sb[:Bd], jnp.asarray(alphas_u32[:Bd]),
-                              betas[:Bd]), Bd), "keys/s/chip"))
+    yield ("dcf_gen_chacha_uint_16bit",
+           _timeit(fdg, (s0sb[:Bd], jnp.asarray(alphas_u32[:Bd]),
+                         betas[:Bd]), Bd), "keys/s/chip")
 
     # Half-Tree gen on the fused kernel (reference GPU: 174.9 M keys/s).
     htk_b = rng.integers(0, 2**32, size=4, dtype=np.uint32)
     fhg = jax.jit(lambda s, a, b: jnp.sum(ht_pallas.gen_batch(
         nonce, g, ib, tuple(int(v) for v in htk_b), s, a, b)[0][:, 0, 0]))
-    out.append(("half_tree_gen_chacha_uint_16bit",
-                _timeit(fhg, (s0sb[:Bd], jnp.asarray(alphas_u32[:Bd]),
-                              betas[:Bd]), Bd), "keys/s/chip"))
+    yield ("half_tree_gen_chacha_uint_16bit",
+           _timeit(fhg, (s0sb[:Bd], jnp.asarray(alphas_u32[:Bd]),
+                         betas[:Bd]), Bd), "keys/s/chip")
 
     # Half-Tree eval, per-instance keys (fused Pallas kernel).
     prg1 = ChaCha(mul=1, nonce=nonce)
@@ -388,9 +392,9 @@ def _bench_registry():
         y = ht_pallas.finalize(g, 0, ho, lo, ocw, Bd)
         return jnp.sum(y[:, 0])
 
-    out.append(("half_tree_eval_chacha_uint_16bit",
-                _timeit(fh, (hseeds, hcws_t, hxs2, ocwh), Bd),
-                "evals/s/chip"))
+    yield ("half_tree_eval_chacha_uint_16bit",
+           _timeit(fh, (hseeds, hcws_t, hxs2, ocwh), Bd),
+           "evals/s/chip")
 
     # VDPF eval (per-instance keys, BLAKE3 hash; ref GPU: 262.7 M/s).
     from fss_tpu.hash.blake3 import Blake3
@@ -408,9 +412,9 @@ def _bench_registry():
                                        cws, cs, ocw, xs)
         return jnp.sum(y[:, 0]) + jnp.sum(p[:, 0, 0])
 
-    out.append(("vdpf_eval_chacha_blake3_uint_16bit",
-                _timeit(fv, (s0sb[:, 0], vcws, vcs, vocw, xsd), B),
-                "evals/s/chip"))
+    yield ("vdpf_eval_chacha_blake3_uint_16bit",
+           _timeit(fv, (s0sb[:, 0], vcws, vcs, vocw, xsd), B),
+           "evals/s/chip")
 
     # VDPF full-domain with the tree proof fold (ref CPU: 736k items/s).
     vcws1, vcs1, vocw1, _ = jax.jit(
@@ -425,9 +429,9 @@ def _bench_registry():
             fold="tree")
         return jnp.sum(ys[:, 0]) + jnp.sum(pi[:, 0])
 
-    out.append(("vdpf_eval_all_tree_blake3_uint_20bit",
-                _timeit(fva, (jnp.asarray(s0s[0]), vcws1, vcs1, vocw1),
-                        2**ib20, iters=4), "items/s/chip"))
+    yield ("vdpf_eval_all_tree_blake3_uint_20bit",
+           _timeit(fva, (jnp.asarray(s0s[0]), vcws1, vcs1, vocw1),
+                   2**ib20, iters=4), "items/s/chip")
 
     # DCF full-domain (ref CPU: 3.93 M items/s).
     cwsd20 = jax.jit(lambda s, b: _dcf.gen(
@@ -439,9 +443,9 @@ def _bench_registry():
         return jnp.sum(_eak4.dcf_eval_all(prg4, g, ib20, 0, s0,
                                           cws)[:, 0])
 
-    out.append(("dcf_eval_all_chacha_uint_20bit",
-                _timeit(fda, (jnp.asarray(s0s[0]), cwsd20), 2**ib20),
-                "items/s/chip"))
+    yield ("dcf_eval_all_chacha_uint_20bit",
+           _timeit(fda, (jnp.asarray(s0s[0]), cwsd20), 2**ib20),
+           "items/s/chip")
 
     # Half-Tree full-domain (ref CPU: 10.74 M items/s, its best EvalAll).
     hcw20, hocw20 = jax.jit(lambda s, b: _ht.gen(
@@ -454,9 +458,9 @@ def _bench_registry():
         return jnp.sum(_eak3.ht_eval_all(prg1, g, ib20, 0, hk_t2, s0,
                                          cws, ocw)[:, 0])
 
-    out.append(("half_tree_eval_all_chacha_uint_20bit",
-                _timeit(fha, (jnp.asarray(s0s[0]), hcw20, hocw20),
-                        2**ib20), "items/s/chip"))
+    yield ("half_tree_eval_all_chacha_uint_20bit",
+           _timeit(fha, (jnp.asarray(s0s[0]), hcw20, hocw20),
+                   2**ib20), "items/s/chip")
 
     # VDMPF batch evaluation, 2^14 points, t=30 (host-only in the
     # reference; vdmpf.cuh:202-270).
@@ -476,8 +480,8 @@ def _bench_registry():
         ys, pi = vm.batch_eval(0, vk0, xs)
         return jnp.sum(ys[:, 0]) + jnp.sum(pi[0])
 
-    out.append(("vdmpf_batch_eval_2e14pts_t30_16bit",
-                _timeit(fvm, (vm_xs,), 1 << 14), "pts/s/chip"))
+    yield ("vdmpf_batch_eval_2e14pts_t30_16bit",
+           _timeit(fvm, (vm_xs,), 1 << 14), "pts/s/chip")
 
     # Grotto post-preprocess point queries against the packed prefix
     # table (reference CPU: 46.9 ns/query, its README.md:356).
@@ -493,9 +497,9 @@ def _bench_registry():
         tbl = _gr.PrefixTable(words=words, party=0, in_bits=ib20)
         return jnp.sum(_gr.eval_prefix(tbl, xs))
 
-    out.append(("grotto_eval_batch_20bit",
-                _timeit(jax.jit(fgq), (gr_tbl, gxs), 1 << 20),
-                "queries/s/chip"))
+    yield ("grotto_eval_batch_20bit",
+           _timeit(jax.jit(fgq), (gr_tbl, gxs), 1 << 20),
+           "queries/s/chip")
 
     # Grotto full-domain (preprocess+eval_all shape).
     cwsg = jax.jit(lambda s: _gr.gen(
@@ -503,10 +507,9 @@ def _bench_registry():
         blk.pack_inputs(500, ib20)))(s0s)
     fgr = jax.jit(lambda s, c: jnp.sum(
         _eak.grotto_eval_all(prg2, ib20, 0, s, c)))
-    out.append(("grotto_eval_all_20bit",
-                _timeit(fgr, (s0s[0], cwsg), 2**ib20), "items/s/chip"))
+    yield ("grotto_eval_all_20bit",
+           _timeit(fgr, (s0s[0], cwsg), 2**ib20), "items/s/chip")
 
-    return out
 
 
 def _verify_gate() -> bool:
