@@ -132,7 +132,27 @@ def _bench_registry():
     A generator: each row is yielded as soon as it is measured, so a
     crash or timeout partway through a long registry run (TPU windows
     on the shared pool are precious) still surfaces every completed
-    row instead of losing the whole batch."""
+    row instead of losing the whole batch.
+
+    ``FSS_BENCH_SKIP`` (comma-separated metric-name prefixes) skips
+    matching rows: a row whose kernel faults the shared TPU worker
+    (observed 2026-08-19 on dcf_eval_aes) poisons the process backend,
+    so a rerun must be able to route around it without losing the
+    other twenty rows."""
+    import os as _os
+    _skips = tuple(s for s in
+                   _os.environ.get("FSS_BENCH_SKIP", "").split(",") if s)
+
+    def _skip(name: str) -> bool:
+        if any(name.startswith(p) for p in _skips):
+            print(f"bench: skipping {name} (FSS_BENCH_SKIP)",
+                  file=sys.stderr)
+            return True
+        return False
+
+    def _row(name, unit, thunk):
+        # Lazy row: the measurement only runs if the row isn't skipped.
+        return () if _skip(name) else ((name, thunk(), unit),)
     import jax
     import jax.numpy as jnp
     from fss_tpu import block as blk
@@ -149,6 +169,8 @@ def _bench_registry():
 
     # Per-domain Pallas eval numbers.
     for ib in (14, 16, 20):
+        if _skip(f"dpf_eval_chacha_uint_{ib}bit"):
+            continue
         v, _ = _bench_dpf_eval(ib, LOG2_BATCH, iters=8)
         yield (f"dpf_eval_chacha_uint_{ib}bit", v, "evals/s/chip")
 
@@ -187,8 +209,9 @@ def _bench_registry():
                       g.add(y, g.from_block(ocw)), y)
         return jnp.sum(g.into_block(y)[:, 0])
 
-    yield ("dpf_eval_aes_uint_16bit",
-           _timeit(fae, (asp, acwp, axp, aocw), Ba), "evals/s/chip")
+    yield from _row(
+        "dpf_eval_aes_uint_16bit", "evals/s/chip",
+        lambda: _timeit(fae, (asp, acwp, axp, aocw), Ba))
 
     # Half-Tree eval with the AES-MMO CCR hash (1 AES/level kernel).
     from fss_tpu.schemes import half_tree_dpf as _hts
@@ -214,9 +237,9 @@ def _bench_registry():
                       g.add(y, g.from_block(ocws)), y)
         return jnp.sum(g.into_block(y)[:, 0])
 
-    yield ("half_tree_eval_aes_uint_16bit",
-           _timeit(fha, (hsp, hcwp, hxp, hocw_a), Ba),
-           "evals/s/chip")
+    yield from _row(
+        "half_tree_eval_aes_uint_16bit", "evals/s/chip",
+        lambda: _timeit(fha, (hsp, hcwp, hxp, hocw_a), Ba))
 
     # DCF eval with the AES-MMO PRG (4-lane plane-domain kernel with
     # in-kernel bitsliced value accumulation; staged keys).
@@ -244,9 +267,9 @@ def _bench_registry():
         y = g.add(g.from_block(v_raw), term)
         return jnp.sum(g.into_block(y)[:, 0])
 
-    yield ("dcf_eval_aes_uint_16bit",
-           _timeit(fdca, (dasp, dacwp, daxp, davl), Ba),
-           "evals/s/chip")
+    yield from _row(
+        "dcf_eval_aes_uint_16bit", "evals/s/chip",
+        lambda: _timeit(fdca, (dasp, dacwp, daxp, davl), Ba))
 
     # VDPF eval with the AES-MMO PRG + SHA-256 (staged keys; the hash and
     # finalize run per point outside the kernel, as in the reference's
@@ -277,16 +300,16 @@ def _bench_registry():
                        jnp.bitwise_xor(pi, cs), pi)
         return jnp.sum(g.into_block(y)[:, 0]) + jnp.sum(pi[:, 0, 0])
 
-    yield ("vdpf_eval_aes_sha256_uint_16bit",
-           _timeit(fvaes, (vasp, vacwp, vaxp, vcsa, vocwa, xsa), Ba),
-           "evals/s/chip")
+    yield from _row(
+        "vdpf_eval_aes_sha256_uint_16bit", "evals/s/chip",
+        lambda: _timeit(fvaes, (vasp, vacwp, vaxp, vcsa, vocwa, xsa), Ba))
     from fss_tpu.ops import dpf_pallas as _dpfk
     alphas_u32 = rng.integers(0, 2**ib, size=B, dtype=np.uint32)
     fg = jax.jit(lambda s, a, b: jnp.sum(_dpfk.gen_batch(
         nonce, g, ib, s, a, b)[:, 0, 0]))
-    yield ("dpf_gen_chacha_uint_16bit",
-           _timeit(fg, (s0sb, jnp.asarray(alphas_u32), betas), B),
-           "keys/s/chip")
+    yield from _row(
+        "dpf_gen_chacha_uint_16bit", "keys/s/chip",
+        lambda: _timeit(fg, (s0sb, jnp.asarray(alphas_u32), betas), B))
 
     # DPF gen with the AES-MMO PRG on the fused plane-domain kernel
     # (ops/aes_pallas.gen_batch). 2^16 batch: the per-level cw planes are
@@ -294,9 +317,10 @@ def _bench_registry():
     Bg = 1 << 16
     fga = jax.jit(lambda s, a, b: jnp.sum(_aesk.gen_batch(
         aes_keys, g, ib, s, a, b)[:, 0, 0]))
-    yield ("dpf_gen_aes_uint_16bit",
-           _timeit(fga, (s0sb[:Bg], jnp.asarray(alphas_u32[:Bg]),
-                         betas[:Bg]), Bg, inner=4), "keys/s/chip")
+    yield from _row(
+        "dpf_gen_aes_uint_16bit", "keys/s/chip",
+        lambda: _timeit(fga, (s0sb[:Bg], jnp.asarray(alphas_u32[:Bg]),
+                         betas[:Bg]), Bg, inner=4))
 
     # DPF full-domain EvalAll, one key, 2^20 (no GPU analog in reference;
     # its CPU number is 6.29 M items/s).
@@ -308,16 +332,17 @@ def _bench_registry():
     from fss_tpu.ops import eval_all_pallas as _eak
     fa = jax.jit(lambda s, c: jnp.sum(
         _eak.eval_all(prg2, g, ib20, 0, s, c)[:, 0]))
-    yield ("dpf_eval_all_chacha_uint_20bit",
-           _timeit(fa, (jnp.asarray(s0s[0]), cws), 2**ib20),
-           "items/s/chip")
+    yield from _row(
+        "dpf_eval_all_chacha_uint_20bit", "items/s/chip",
+        lambda: _timeit(fa, (jnp.asarray(s0s[0]), cws), 2**ib20))
     cws24 = jax.jit(lambda s, b: _dpf.gen(
         prg2, g, 24, s, blk.pack_inputs(777777, 24), b))(s0s, beta)
     fa24 = jax.jit(lambda s, c: jnp.sum(
         _eak.eval_all(prg2, g, 24, 0, s, c)[:, 0]))
-    yield ("dpf_eval_all_chacha_uint_24bit",
-           _timeit(fa24, (jnp.asarray(s0s[0]), cws24), 2**24,
-                   iters=4), "items/s/chip")
+    yield from _row(
+        "dpf_eval_all_chacha_uint_24bit", "items/s/chip",
+        lambda: _timeit(fa24, (jnp.asarray(s0s[0]), cws24), 2**24,
+                   iters=4))
 
     # End-to-end two-server PIR lookup (samples/pir_tpu.py at scale):
     # EvalAll selector shares + wraparound-int32 contraction against a
@@ -327,9 +352,9 @@ def _bench_registry():
     fp = jax.jit(lambda s, c, d: jnp.sum(
         (_eak.eval_all(prg2, g, ib20, 0, s, c)[:, 0]
          .astype(jnp.int32)[:, None] * d).sum(axis=0, dtype=jnp.int32)))
-    yield ("pir_lookup_2e20rows_64B",
-           _timeit(fp, (jnp.asarray(s0s[0]), cws, db), 1, iters=4),
-           "lookups/s/chip")
+    yield from _row(
+        "pir_lookup_2e20rows_64B", "lookups/s/chip",
+        lambda: _timeit(fp, (jnp.asarray(s0s[0]), cws, db), 1, iters=4))
 
     # DCF eval, per-instance keys (fused Pallas kernel).
     from fss_tpu.ops import dcf_pallas, ht_pallas
@@ -352,24 +377,26 @@ def _bench_registry():
         y = dcf_pallas.finalize(g, 0, vo, so, t, v_last, Bd)
         return jnp.sum(y[:, 0])
 
-    yield ("dcf_eval_chacha_uint_16bit",
-           _timeit(fd, (dseeds, dcws_t, dxs2, dvlast), Bd),
-           "evals/s/chip")
+    yield from _row(
+        "dcf_eval_chacha_uint_16bit", "evals/s/chip",
+        lambda: _timeit(fd, (dseeds, dcws_t, dxs2, dvlast), Bd))
 
     # DCF gen on the fused kernel (reference GPU: 176.9 M keys/s).
     fdg = jax.jit(lambda s, a, b: jnp.sum(dcf_pallas.gen_batch(
         nonce, g, ib, "lt", s, a, b)[:, 0, 0]))
-    yield ("dcf_gen_chacha_uint_16bit",
-           _timeit(fdg, (s0sb[:Bd], jnp.asarray(alphas_u32[:Bd]),
-                         betas[:Bd]), Bd), "keys/s/chip")
+    yield from _row(
+        "dcf_gen_chacha_uint_16bit", "keys/s/chip",
+        lambda: _timeit(fdg, (s0sb[:Bd], jnp.asarray(alphas_u32[:Bd]),
+                         betas[:Bd]), Bd))
 
     # Half-Tree gen on the fused kernel (reference GPU: 174.9 M keys/s).
     htk_b = rng.integers(0, 2**32, size=4, dtype=np.uint32)
     fhg = jax.jit(lambda s, a, b: jnp.sum(ht_pallas.gen_batch(
         nonce, g, ib, tuple(int(v) for v in htk_b), s, a, b)[0][:, 0, 0]))
-    yield ("half_tree_gen_chacha_uint_16bit",
-           _timeit(fhg, (s0sb[:Bd], jnp.asarray(alphas_u32[:Bd]),
-                         betas[:Bd]), Bd), "keys/s/chip")
+    yield from _row(
+        "half_tree_gen_chacha_uint_16bit", "keys/s/chip",
+        lambda: _timeit(fhg, (s0sb[:Bd], jnp.asarray(alphas_u32[:Bd]),
+                         betas[:Bd]), Bd))
 
     # Half-Tree eval, per-instance keys (fused Pallas kernel).
     prg1 = ChaCha(mul=1, nonce=nonce)
@@ -392,9 +419,9 @@ def _bench_registry():
         y = ht_pallas.finalize(g, 0, ho, lo, ocw, Bd)
         return jnp.sum(y[:, 0])
 
-    yield ("half_tree_eval_chacha_uint_16bit",
-           _timeit(fh, (hseeds, hcws_t, hxs2, ocwh), Bd),
-           "evals/s/chip")
+    yield from _row(
+        "half_tree_eval_chacha_uint_16bit", "evals/s/chip",
+        lambda: _timeit(fh, (hseeds, hcws_t, hxs2, ocwh), Bd))
 
     # VDPF eval (per-instance keys, BLAKE3 hash; ref GPU: 262.7 M/s).
     from fss_tpu.hash.blake3 import Blake3
@@ -412,9 +439,9 @@ def _bench_registry():
                                        cws, cs, ocw, xs)
         return jnp.sum(y[:, 0]) + jnp.sum(p[:, 0, 0])
 
-    yield ("vdpf_eval_chacha_blake3_uint_16bit",
-           _timeit(fv, (s0sb[:, 0], vcws, vcs, vocw, xsd), B),
-           "evals/s/chip")
+    yield from _row(
+        "vdpf_eval_chacha_blake3_uint_16bit", "evals/s/chip",
+        lambda: _timeit(fv, (s0sb[:, 0], vcws, vcs, vocw, xsd), B))
 
     # VDPF full-domain with the tree proof fold (ref CPU: 736k items/s).
     vcws1, vcs1, vocw1, _ = jax.jit(
@@ -429,9 +456,10 @@ def _bench_registry():
             fold="tree")
         return jnp.sum(ys[:, 0]) + jnp.sum(pi[:, 0])
 
-    yield ("vdpf_eval_all_tree_blake3_uint_20bit",
-           _timeit(fva, (jnp.asarray(s0s[0]), vcws1, vcs1, vocw1),
-                   2**ib20, iters=4), "items/s/chip")
+    yield from _row(
+        "vdpf_eval_all_tree_blake3_uint_20bit", "items/s/chip",
+        lambda: _timeit(fva, (jnp.asarray(s0s[0]), vcws1, vcs1, vocw1),
+                   2**ib20, iters=4))
 
     # DCF full-domain (ref CPU: 3.93 M items/s).
     cwsd20 = jax.jit(lambda s, b: _dcf.gen(
@@ -443,9 +471,9 @@ def _bench_registry():
         return jnp.sum(_eak4.dcf_eval_all(prg4, g, ib20, 0, s0,
                                           cws)[:, 0])
 
-    yield ("dcf_eval_all_chacha_uint_20bit",
-           _timeit(fda, (jnp.asarray(s0s[0]), cwsd20), 2**ib20),
-           "items/s/chip")
+    yield from _row(
+        "dcf_eval_all_chacha_uint_20bit", "items/s/chip",
+        lambda: _timeit(fda, (jnp.asarray(s0s[0]), cwsd20), 2**ib20))
 
     # Half-Tree full-domain (ref CPU: 10.74 M items/s, its best EvalAll).
     hcw20, hocw20 = jax.jit(lambda s, b: _ht.gen(
@@ -458,9 +486,10 @@ def _bench_registry():
         return jnp.sum(_eak3.ht_eval_all(prg1, g, ib20, 0, hk_t2, s0,
                                          cws, ocw)[:, 0])
 
-    yield ("half_tree_eval_all_chacha_uint_20bit",
-           _timeit(fha, (jnp.asarray(s0s[0]), hcw20, hocw20),
-                   2**ib20), "items/s/chip")
+    yield from _row(
+        "half_tree_eval_all_chacha_uint_20bit", "items/s/chip",
+        lambda: _timeit(fha, (jnp.asarray(s0s[0]), hcw20, hocw20),
+                   2**ib20))
 
     # VDMPF batch evaluation, 2^14 points, t=30 (host-only in the
     # reference; vdmpf.cuh:202-270).
@@ -480,8 +509,9 @@ def _bench_registry():
         ys, pi = vm.batch_eval(0, vk0, xs)
         return jnp.sum(ys[:, 0]) + jnp.sum(pi[0])
 
-    yield ("vdmpf_batch_eval_2e14pts_t30_16bit",
-           _timeit(fvm, (vm_xs,), 1 << 14), "pts/s/chip")
+    yield from _row(
+        "vdmpf_batch_eval_2e14pts_t30_16bit", "pts/s/chip",
+        lambda: _timeit(fvm, (vm_xs,), 1 << 14))
 
     # Grotto post-preprocess point queries against the packed prefix
     # table (reference CPU: 46.9 ns/query, its README.md:356).
@@ -497,9 +527,9 @@ def _bench_registry():
         tbl = _gr.PrefixTable(words=words, party=0, in_bits=ib20)
         return jnp.sum(_gr.eval_prefix(tbl, xs))
 
-    yield ("grotto_eval_batch_20bit",
-           _timeit(jax.jit(fgq), (gr_tbl, gxs), 1 << 20),
-           "queries/s/chip")
+    yield from _row(
+        "grotto_eval_batch_20bit", "queries/s/chip",
+        lambda: _timeit(jax.jit(fgq), (gr_tbl, gxs), 1 << 20))
 
     # Grotto full-domain (preprocess+eval_all shape).
     cwsg = jax.jit(lambda s: _gr.gen(
@@ -507,8 +537,9 @@ def _bench_registry():
         blk.pack_inputs(500, ib20)))(s0s)
     fgr = jax.jit(lambda s, c: jnp.sum(
         _eak.grotto_eval_all(prg2, ib20, 0, s, c)))
-    yield ("grotto_eval_all_20bit",
-           _timeit(fgr, (s0s[0], cwsg), 2**ib20), "items/s/chip")
+    yield from _row(
+        "grotto_eval_all_20bit", "items/s/chip",
+        lambda: _timeit(fgr, (s0s[0], cwsg), 2**ib20))
 
 
 

@@ -154,7 +154,11 @@ def _make_eval_kernel(in_bits: int, party: int, nonce, rounds: int,
     return kernel
 
 
-def _make_gen_kernel(in_bits: int, nonce, rounds: int):
+def _make_gen_kernel(in_bits: int, nonce, rounds: int,
+                     unroll: bool = False):
+    # unroll=True makes the per-level CW stores statically indexed
+    # (c_ref[i] with a Python-int i) at the cost of compile time —
+    # same trade as the eval kernel's unroll flag.
     def kernel(s_ref, a_ref, c_ref, s0o_ref, s1o_ref, t0o_ref, t1o_ref):
         s00 = s_ref[0]
         s01 = s_ref[1]
@@ -183,7 +187,8 @@ def _make_gen_kernel(in_bits: int, nonce, rounds: int):
             l13 &= _NOTONE
             r13 &= _NOTONE
 
-            shift = np.uint32(in_bits - 1) - i.astype(jnp.uint32)
+            shift = (np.uint32(in_bits - 1 - i) if isinstance(i, int)
+                     else np.uint32(in_bits - 1) - i.astype(jnp.uint32))
             ab = (a >> shift) & _ONE
             abb = ab.astype(jnp.bool_)
 
@@ -216,10 +221,16 @@ def _make_gen_kernel(in_bits: int, nonce, rounds: int):
             nt1 = jnp.where(abb, t1r, t1l) ^ (t1 & tcw)
             return (n00, n01, n02, n03, n10, n11, n12, n13, nt0, nt1)
 
-        (s00, s01, s02, s03, s10, s11, s12, s13, t0, t1) = \
-            jax.lax.fori_loop(0, in_bits, level,
-                              (s00, s01, s02, s03, s10, s11, s12, s13,
-                               t0, t1))
+        if unroll:
+            carry = (s00, s01, s02, s03, s10, s11, s12, s13, t0, t1)
+            for i in range(in_bits):
+                carry = level(i, carry)
+            (s00, s01, s02, s03, s10, s11, s12, s13, t0, t1) = carry
+        else:
+            (s00, s01, s02, s03, s10, s11, s12, s13, t0, t1) = \
+                jax.lax.fori_loop(0, in_bits, level,
+                                  (s00, s01, s02, s03, s10, s11, s12, s13,
+                                   t0, t1))
         s0o_ref[0] = s00
         s0o_ref[1] = s01
         s0o_ref[2] = s02
@@ -254,10 +265,10 @@ def pack_gen_inputs(s0s: jax.Array, alphas: jax.Array, in_bits: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("in_bits", "nonce", "rounds",
-                                    "block_rows", "interpret"))
+                                    "block_rows", "interpret", "unroll"))
 def gen_packed(seeds8, a2, in_bits: int, nonce, rounds: int = 20,
                block_rows: int = DEFAULT_BLOCK_ROWS,
-               interpret: bool = False):
+               interpret: bool = False, unroll: bool = False):
     """Fused batched Gen kernel: all levels of the BGI Gen loop
     (dpf.cuh:93-153) for a batch of keys, two ChaCha expansions per level.
 
@@ -269,7 +280,7 @@ def gen_packed(seeds8, a2, in_bits: int, nonce, rounds: int = 20,
     assert nrows % block_rows == 0
     grid = (nrows // block_rows,)
     nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
-    kern = _make_gen_kernel(in_bits, nonce, rounds)
+    kern = _make_gen_kernel(in_bits, nonce, rounds, unroll=unroll)
     return pl.pallas_call(
         kern,
         grid=grid,
