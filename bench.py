@@ -138,7 +138,11 @@ def _bench_registry():
     matching rows: a row whose kernel faults the shared TPU worker
     (observed 2026-08-19 on dcf_eval_aes) poisons the process backend,
     so a rerun must be able to route around it without losing the
-    other twenty rows."""
+    other twenty rows. Skipping covers the row's device-side setup too
+    (gen + key staging run inside ``_lazy`` closures that only fire
+    when a non-skipped row needs them); the pre-headline verify gate is
+    NOT covered — use scripts/verify_tpu.py's own family granularity
+    if a gate config itself faults."""
     import os as _os
     _skips = tuple(s for s in
                    _os.environ.get("FSS_BENCH_SKIP", "").split(",") if s)
@@ -153,6 +157,17 @@ def _bench_registry():
     def _row(name, unit, thunk):
         # Lazy row: the measurement only runs if the row isn't skipped.
         return () if _skip(name) else ((name, thunk(), unit),)
+
+    def _lazy(fn):
+        """Memoized zero-arg setup closure: device-side row setup only
+        executes when the first row that needs it is actually timed."""
+        box = []
+
+        def get():
+            if not box:
+                box.append(fn())
+            return box[0]
+        return get
     import jax
     import jax.numpy as jnp
     from fss_tpu import block as blk
@@ -191,13 +206,18 @@ def _bench_registry():
     aes_keys = (bytes(range(16)), bytes(range(16, 32)))
     prga = Aes128Mmo(mul=2, keys=aes_keys)
     Ba = 1 << 19
-    cwsa = jax.jit(jax.vmap(
-        lambda s, a, b: _dpf.gen(prga, g, ib, s, a, b)))(
-            s0sb[:Ba], a_l[:Ba], betas[:Ba])
-    xsa = jnp.asarray(rng.integers(0, 2**ib, size=Ba, dtype=np.uint32))
-    asp, acwp, axp, aocw, _ = jax.jit(
-        _aesk.pack_eval, static_argnames=("in_bits", "block_rows"))(
-            s0sb[:Ba, 0], cwsa, xsa, in_bits=ib)
+    xsa_np = rng.integers(0, 2**ib, size=Ba, dtype=np.uint32)
+    L_xsa = _lazy(lambda: jnp.asarray(xsa_np))
+
+    @_lazy
+    def L_dpf_aes():
+        cwsa = jax.jit(jax.vmap(
+            lambda s, a, b: _dpf.gen(prga, g, ib, s, a, b)))(
+                s0sb[:Ba], a_l[:Ba], betas[:Ba])
+        asp, acwp, axp, aocw, _ = jax.jit(
+            _aesk.pack_eval, static_argnames=("in_bits", "block_rows"))(
+                s0sb[:Ba, 0], cwsa, L_xsa(), in_bits=ib)
+        return asp, acwp, axp, aocw
 
     @jax.jit
     def fae(sp, cwp, xp, ocw):
@@ -211,20 +231,25 @@ def _bench_registry():
 
     yield from _row(
         "dpf_eval_aes_uint_16bit", "evals/s/chip",
-        lambda: _timeit(fae, (asp, acwp, axp, aocw), Ba))
+        lambda: _timeit(fae, L_dpf_aes(), Ba))
 
     # Half-Tree eval with the AES-MMO CCR hash (1 AES/level kernel).
     from fss_tpu.schemes import half_tree_dpf as _hts
     prgh = Aes128Mmo(mul=1, keys=aes_keys[:1])
     htk_a = rng.integers(0, 2**32, size=4, dtype=np.uint32)
     hkb = blk.block(htk_a)
-    hcw_a, hocw_a = jax.jit(jax.vmap(
-        lambda s, a, b: _hts.gen(prgh, g, ib, hkb, s, a, b)))(
-        s0sb[:Ba], a_l[:Ba], betas[:Ba])
-    hsp, hcwp, hxp, _ = jax.jit(
-        _aesk.ht_pack_eval, static_argnames=("in_bits", "block_rows"))(
-            s0sb[:Ba, 0], hcw_a, xsa, in_bits=ib)
     hk_bytes = htk_a.tobytes()
+
+    @_lazy
+    def L_ht_aes():
+        hcw_a, hocw_a = jax.jit(jax.vmap(
+            lambda s, a, b: _hts.gen(prgh, g, ib, hkb, s, a, b)))(
+            s0sb[:Ba], a_l[:Ba], betas[:Ba])
+        hsp, hcwp, hxp, _ = jax.jit(
+            _aesk.ht_pack_eval,
+            static_argnames=("in_bits", "block_rows"))(
+                s0sb[:Ba, 0], hcw_a, L_xsa(), in_bits=ib)
+        return hsp, hcwp, hxp, hocw_a
 
     @jax.jit
     def fha(sp, cwp, xp, ocws):
@@ -239,19 +264,24 @@ def _bench_registry():
 
     yield from _row(
         "half_tree_eval_aes_uint_16bit", "evals/s/chip",
-        lambda: _timeit(fha, (hsp, hcwp, hxp, hocw_a), Ba))
+        lambda: _timeit(fha, L_ht_aes(), Ba))
 
     # DCF eval with the AES-MMO PRG (4-lane plane-domain kernel with
     # in-kernel bitsliced value accumulation; staged keys).
     aes_keys4 = tuple(bytes(range(16 * i, 16 * (i + 1))) for i in range(4))
     from fss_tpu.schemes import dcf as _dcfs
     prgd4 = Aes128Mmo(mul=4, keys=aes_keys4)
-    cwsda = jax.jit(jax.vmap(
-        lambda s, a, b: _dcfs.gen(prgd4, g, ib, "lt", s, a, b)))(
-            s0sb[:Ba], a_l[:Ba], betas[:Ba])
-    dasp, dacwp, daxp, davl, _ = jax.jit(
-        _aesk.dcf_pack_eval, static_argnames=("in_bits", "block_rows"))(
-            s0sb[:Ba, 0], cwsda, xsa, in_bits=ib)
+
+    @_lazy
+    def L_dcf_aes():
+        cwsda = jax.jit(jax.vmap(
+            lambda s, a, b: _dcfs.gen(prgd4, g, ib, "lt", s, a, b)))(
+                s0sb[:Ba], a_l[:Ba], betas[:Ba])
+        dasp, dacwp, daxp, davl, _ = jax.jit(
+            _aesk.dcf_pack_eval,
+            static_argnames=("in_bits", "block_rows"))(
+                s0sb[:Ba, 0], cwsda, L_xsa(), in_bits=ib)
+        return dasp, dacwp, daxp, davl
 
     @jax.jit
     def fdca(sp, cwp, xp, vl):
@@ -269,7 +299,7 @@ def _bench_registry():
 
     yield from _row(
         "dcf_eval_aes_uint_16bit", "evals/s/chip",
-        lambda: _timeit(fdca, (dasp, dacwp, daxp, davl), Ba))
+        lambda: _timeit(fdca, L_dcf_aes(), Ba))
 
     # VDPF eval with the AES-MMO PRG + SHA-256 (staged keys; the hash and
     # finalize run per point outside the kernel, as in the reference's
@@ -277,14 +307,20 @@ def _bench_registry():
     from fss_tpu.hash.sha256 import Sha256
     from fss_tpu.schemes import vdpf as _vdpfs
     sh = Sha256((0xA1B2C3D4, 0x11223344, 0x55667788, 0x99AABBCC))
-    vcwa, vcsa, vocwa, _vf = jax.jit(jax.vmap(
-        lambda s, a, b: _vdpfs.gen(prga, sh.xor_hash, g, ib, s, a, b)))(
-            s0sb[:Ba], a_l[:Ba], betas[:Ba])
-    zrow = jnp.zeros((Ba, 1, 8), dtype=jnp.uint32)
-    vasp, vacwp, vaxp, _, _ = jax.jit(
-        _aesk.pack_eval, static_argnames=("in_bits", "block_rows"))(
-            s0sb[:Ba, 0], jnp.concatenate([vcwa, zrow], axis=1), xsa,
-            in_bits=ib)
+
+    @_lazy
+    def L_vdpf_aes():
+        vcwa, vcsa, vocwa, _vf = jax.jit(jax.vmap(
+            lambda s, a, b: _vdpfs.gen(prga, sh.xor_hash, g, ib,
+                                       s, a, b)))(
+                s0sb[:Ba], a_l[:Ba], betas[:Ba])
+        zrow = jnp.zeros((Ba, 1, 8), dtype=jnp.uint32)
+        vasp, vacwp, vaxp, _, _ = jax.jit(
+            _aesk.pack_eval,
+            static_argnames=("in_bits", "block_rows"))(
+                s0sb[:Ba, 0], jnp.concatenate([vcwa, zrow], axis=1),
+                L_xsa(), in_bits=ib)
+        return vasp, vacwp, vaxp, vcsa, vocwa, L_xsa()
 
     @jax.jit
     def fvaes(sp, cwp, xp, cs, ocw, xs):
@@ -302,7 +338,7 @@ def _bench_registry():
 
     yield from _row(
         "vdpf_eval_aes_sha256_uint_16bit", "evals/s/chip",
-        lambda: _timeit(fvaes, (vasp, vacwp, vaxp, vcsa, vocwa, xsa), Ba))
+        lambda: _timeit(fvaes, L_vdpf_aes(), Ba))
     from fss_tpu.ops import dpf_pallas as _dpfk
     alphas_u32 = rng.integers(0, 2**ib, size=B, dtype=np.uint32)
     fg = jax.jit(lambda s, a, b: jnp.sum(_dpfk.gen_batch(
@@ -327,59 +363,65 @@ def _bench_registry():
     ib20 = 20
     s0s = blk.block(rng.integers(0, 2**32, size=(2, 4)))
     beta = blk.block(rng.integers(0, 2**32, size=(4,)))
-    cws = jax.jit(lambda s, b: _dpf.gen(
-        prg2, g, ib20, s, blk.pack_inputs(12345, ib20), b))(s0s, beta)
+    L_cws20 = _lazy(lambda: jax.jit(lambda s, b: _dpf.gen(
+        prg2, g, ib20, s, blk.pack_inputs(12345, ib20), b))(s0s, beta))
     from fss_tpu.ops import eval_all_pallas as _eak
     fa = jax.jit(lambda s, c: jnp.sum(
         _eak.eval_all(prg2, g, ib20, 0, s, c)[:, 0]))
     yield from _row(
         "dpf_eval_all_chacha_uint_20bit", "items/s/chip",
-        lambda: _timeit(fa, (jnp.asarray(s0s[0]), cws), 2**ib20))
-    cws24 = jax.jit(lambda s, b: _dpf.gen(
-        prg2, g, 24, s, blk.pack_inputs(777777, 24), b))(s0s, beta)
+        lambda: _timeit(fa, (jnp.asarray(s0s[0]), L_cws20()), 2**ib20))
+    L_cws24 = _lazy(lambda: jax.jit(lambda s, b: _dpf.gen(
+        prg2, g, 24, s, blk.pack_inputs(777777, 24), b))(s0s, beta))
     fa24 = jax.jit(lambda s, c: jnp.sum(
         _eak.eval_all(prg2, g, 24, 0, s, c)[:, 0]))
     yield from _row(
         "dpf_eval_all_chacha_uint_24bit", "items/s/chip",
-        lambda: _timeit(fa24, (jnp.asarray(s0s[0]), cws24), 2**24,
+        lambda: _timeit(fa24, (jnp.asarray(s0s[0]), L_cws24()), 2**24,
                    iters=4))
 
     # End-to-end two-server PIR lookup (samples/pir_tpu.py at scale):
     # EvalAll selector shares + wraparound-int32 contraction against a
     # 2^20-row x 16-word (64 MiB) database, all on device.
-    db = jnp.asarray(rng.integers(0, 2**32, size=(2**ib20, 16),
-                                  dtype=np.uint32).astype(np.int32))
+    db_np = rng.integers(0, 2**32, size=(2**ib20, 16),
+                         dtype=np.uint32).astype(np.int32)
     fp = jax.jit(lambda s, c, d: jnp.sum(
         (_eak.eval_all(prg2, g, ib20, 0, s, c)[:, 0]
          .astype(jnp.int32)[:, None] * d).sum(axis=0, dtype=jnp.int32)))
     yield from _row(
         "pir_lookup_2e20rows_64B", "lookups/s/chip",
-        lambda: _timeit(fp, (jnp.asarray(s0s[0]), cws, db), 1, iters=4))
+        lambda: _timeit(fp, (jnp.asarray(s0s[0]), L_cws20(),
+                             jnp.asarray(db_np)), 1, iters=4))
 
     # DCF eval, per-instance keys (fused Pallas kernel).
     from fss_tpu.ops import dcf_pallas, ht_pallas
     prg4 = ChaCha(mul=4, nonce=nonce)
     Bd = 1 << 19
-    cwsd = jax.jit(jax.vmap(
-        lambda s, a, b: _dcf.gen(prg4, g, ib, "lt", s, a, b)))(
-            s0sb, a_l[:Bd], betas[:Bd])
-    xsd = jnp.asarray(rng.integers(0, 2**ib, size=Bd, dtype=np.uint32))
-    dseeds, dcws_t, dxs2, dvlast, _ = jax.jit(
-        dcf_pallas.pack_keys,
-        static_argnames=("in_bits", "block_rows"))(
-            s0sb[:Bd, 0], cwsd, xsd, in_bits=ib)
+    xsd_np = rng.integers(0, 2**ib, size=Bd, dtype=np.uint32)
+    L_xsd = _lazy(lambda: jnp.asarray(xsd_np))
+
+    @_lazy
+    def L_dcf_chacha():
+        cwsd = jax.jit(jax.vmap(
+            lambda s, a, b: _dcf.gen(prg4, g, ib, "lt", s, a, b)))(
+                s0sb, a_l[:Bd], betas[:Bd])
+        dseeds, dcws_t, dxs2, dvlast, _ = jax.jit(
+            dcf_pallas.pack_keys,
+            static_argnames=("in_bits", "block_rows"))(
+                s0sb[:Bd, 0], cwsd, L_xsd(), in_bits=ib)
+        return dseeds, dcws_t, dxs2, dvlast
 
     @jax.jit
     def fd(seeds4, cws_t, xs2, v_last):
         vo, so, t = dcf_pallas.eval_packed(seeds4, cws_t, xs2, in_bits=ib,
                                            party=0, nonce=nonce,
-                                           group_is_xor=False)
+                                           group_mode="wrap")
         y = dcf_pallas.finalize(g, 0, vo, so, t, v_last, Bd)
         return jnp.sum(y[:, 0])
 
     yield from _row(
         "dcf_eval_chacha_uint_16bit", "evals/s/chip",
-        lambda: _timeit(fd, (dseeds, dcws_t, dxs2, dvlast), Bd))
+        lambda: _timeit(fd, L_dcf_chacha(), Bd))
 
     # DCF gen on the fused kernel (reference GPU: 176.9 M keys/s).
     fdg = jax.jit(lambda s, a, b: jnp.sum(dcf_pallas.gen_batch(
@@ -402,14 +444,18 @@ def _bench_registry():
     prg1 = ChaCha(mul=1, nonce=nonce)
     hk_np = rng.integers(0, 2**32, size=4, dtype=np.uint32)
     hk = jnp.asarray(hk_np)
-    cwsh, ocwh = jax.jit(jax.vmap(
-        lambda s, a, b: _ht.gen(prg1, g, ib, hk, s, a, b)))(
-            s0sb, a_l[:Bd], betas[:Bd])
-    hseeds, hcws_t, hxs2, _, _ = jax.jit(
-        ht_pallas.pack_keys,
-        static_argnames=("in_bits", "block_rows"))(
-            s0sb[:Bd, 0], cwsh, ocwh, xsd, in_bits=ib)
     hk_t = tuple(int(v) for v in hk_np)
+
+    @_lazy
+    def L_ht_chacha():
+        cwsh, ocwh = jax.jit(jax.vmap(
+            lambda s, a, b: _ht.gen(prg1, g, ib, hk, s, a, b)))(
+                s0sb, a_l[:Bd], betas[:Bd])
+        hseeds, hcws_t, hxs2, _, _ = jax.jit(
+            ht_pallas.pack_keys,
+            static_argnames=("in_bits", "block_rows"))(
+                s0sb[:Bd, 0], cwsh, ocwh, L_xsd(), in_bits=ib)
+        return hseeds, hcws_t, hxs2, ocwh
 
     @jax.jit
     def fh(seeds4, cws_t, xs2, ocw):
@@ -421,7 +467,7 @@ def _bench_registry():
 
     yield from _row(
         "half_tree_eval_chacha_uint_16bit", "evals/s/chip",
-        lambda: _timeit(fh, (hseeds, hcws_t, hxs2, ocwh), Bd))
+        lambda: _timeit(fh, L_ht_chacha(), Bd))
 
     # VDPF eval (per-instance keys, BLAKE3 hash; ref GPU: 262.7 M/s).
     from fss_tpu.hash.blake3 import Blake3
@@ -429,9 +475,13 @@ def _bench_registry():
     from fss_tpu.schemes import vdpf as _vdpf
     h3 = Blake3((0x11111111, 0x22222222, 0x33333333, 0x44444444,
                  0x55555555, 0x66666666, 0x77777777, 0x88888888))
-    vcws, vcs, vocw, _ = jax.jit(jax.vmap(
-        lambda s, a, b: _vdpf.gen(prg2, h3.xor_hash, g, ib, s, a, b)))(
-            s0sb, a_l, betas)
+
+    @_lazy
+    def L_vdpf_chacha():
+        vcws, vcs, vocw, _ = jax.jit(jax.vmap(
+            lambda s, a, b: _vdpf.gen(prg2, h3.xor_hash, g, ib,
+                                      s, a, b)))(s0sb, a_l, betas)
+        return s0sb[:, 0], vcws, vcs, vocw, L_xsd()
 
     @jax.jit
     def fv(s0, cws, cs, ocw, xs):
@@ -441,12 +491,12 @@ def _bench_registry():
 
     yield from _row(
         "vdpf_eval_chacha_blake3_uint_16bit", "evals/s/chip",
-        lambda: _timeit(fv, (s0sb[:, 0], vcws, vcs, vocw, xsd), B))
+        lambda: _timeit(fv, L_vdpf_chacha(), B))
 
     # VDPF full-domain with the tree proof fold (ref CPU: 736k items/s).
-    vcws1, vcs1, vocw1, _ = jax.jit(
+    L_vdpf_all = _lazy(lambda: jax.jit(
         lambda s, a, b: _vdpf.gen(prg2, h3.xor_hash, g, ib20, s, a, b))(
-            s0s, blk.pack_inputs(12345, ib20), beta)
+            s0s, blk.pack_inputs(12345, ib20), beta)[:3])
 
     @jax.jit
     def fva(s0, cws, cs, ocw):
@@ -458,12 +508,13 @@ def _bench_registry():
 
     yield from _row(
         "vdpf_eval_all_tree_blake3_uint_20bit", "items/s/chip",
-        lambda: _timeit(fva, (jnp.asarray(s0s[0]), vcws1, vcs1, vocw1),
+        lambda: _timeit(fva, (jnp.asarray(s0s[0]), *L_vdpf_all()),
                    2**ib20, iters=4))
 
     # DCF full-domain (ref CPU: 3.93 M items/s).
-    cwsd20 = jax.jit(lambda s, b: _dcf.gen(
-        prg4, g, ib20, "lt", s, blk.pack_inputs(12345, ib20), b))(s0s, beta)
+    L_dcf_all = _lazy(lambda: jax.jit(lambda s, b: _dcf.gen(
+        prg4, g, ib20, "lt", s,
+        blk.pack_inputs(12345, ib20), b))(s0s, beta))
 
     @jax.jit
     def fda(s0, cws):
@@ -473,11 +524,13 @@ def _bench_registry():
 
     yield from _row(
         "dcf_eval_all_chacha_uint_20bit", "items/s/chip",
-        lambda: _timeit(fda, (jnp.asarray(s0s[0]), cwsd20), 2**ib20))
+        lambda: _timeit(fda, (jnp.asarray(s0s[0]), L_dcf_all()),
+                        2**ib20))
 
     # Half-Tree full-domain (ref CPU: 10.74 M items/s, its best EvalAll).
-    hcw20, hocw20 = jax.jit(lambda s, b: _ht.gen(
-        prg1, g, ib20, hk, s, blk.pack_inputs(12345, ib20), b))(s0s, beta)
+    L_ht_all = _lazy(lambda: jax.jit(lambda s, b: _ht.gen(
+        prg1, g, ib20, hk, s,
+        blk.pack_inputs(12345, ib20), b))(s0s, beta))
     hk_t2 = tuple(int(v) for v in hk_np)
 
     @jax.jit
@@ -488,7 +541,7 @@ def _bench_registry():
 
     yield from _row(
         "half_tree_eval_all_chacha_uint_20bit", "items/s/chip",
-        lambda: _timeit(fha, (jnp.asarray(s0s[0]), hcw20, hocw20),
+        lambda: _timeit(fha, (jnp.asarray(s0s[0]), *L_ht_all()),
                    2**ib20))
 
     # VDMPF batch evaluation, 2^14 points, t=30 (host-only in the
@@ -498,30 +551,38 @@ def _bench_registry():
     vrng = np.random.default_rng(7)
     vm_alphas = sorted(vrng.choice(1 << 16, size=30,
                                    replace=False).tolist())
-    vm_betas = jnp.asarray(blk.block(np.concatenate(
+    vm_betas_np = blk.block(np.concatenate(
         [vrng.integers(0, 2**31, size=(30, 1)),
-         np.zeros((30, 3), np.uint32)], axis=1)))
-    vk0, _vk1 = vm.gen_retry(vrng, vm_alphas, vm_betas)
-    vm_xs = jnp.asarray(vrng.integers(0, 1 << 16, size=1 << 14,
-                                      dtype=np.uint32))
+         np.zeros((30, 3), np.uint32)], axis=1))
+
+    @_lazy
+    def L_vdmpf():
+        vk0, _vk1 = vm.gen_retry(vrng, vm_alphas,
+                                 jnp.asarray(vm_betas_np))
+        vm_xs = jnp.asarray(vrng.integers(0, 1 << 16, size=1 << 14,
+                                          dtype=np.uint32))
+        return vk0, vm_xs
 
     def fvm(xs):
-        ys, pi = vm.batch_eval(0, vk0, xs)
+        ys, pi = vm.batch_eval(0, L_vdmpf()[0], xs)
         return jnp.sum(ys[:, 0]) + jnp.sum(pi[0])
 
     yield from _row(
         "vdmpf_batch_eval_2e14pts_t30_16bit", "pts/s/chip",
-        lambda: _timeit(fvm, (vm_xs,), 1 << 14))
+        lambda: _timeit(fvm, (L_vdmpf()[1],), 1 << 14))
 
     # Grotto post-preprocess point queries against the packed prefix
     # table (reference CPU: 46.9 ns/query, its README.md:356).
-    gr_cws = jax.jit(lambda s: _gr.gen(
-        prg2, groups.Bytes(), ib20, s,
-        blk.pack_inputs(123456, ib20)))(s0s)
-    gr_tbl = jax.jit(lambda s, c: _gr.preprocess_prefix(
-        prg2, ib20, 0, s, c).words)(jnp.asarray(s0s[0]), gr_cws)
-    gxs = jnp.asarray(rng.integers(0, 2**ib20, size=1 << 20,
-                                   dtype=np.uint32))
+    gxs_np = rng.integers(0, 2**ib20, size=1 << 20, dtype=np.uint32)
+
+    @_lazy
+    def L_grotto_tbl():
+        gr_cws = jax.jit(lambda s: _gr.gen(
+            prg2, groups.Bytes(), ib20, s,
+            blk.pack_inputs(123456, ib20)))(s0s)
+        gr_tbl = jax.jit(lambda s, c: _gr.preprocess_prefix(
+            prg2, ib20, 0, s, c).words)(jnp.asarray(s0s[0]), gr_cws)
+        return gr_tbl, jnp.asarray(gxs_np)
 
     def fgq(words, xs):
         tbl = _gr.PrefixTable(words=words, party=0, in_bits=ib20)
@@ -529,17 +590,17 @@ def _bench_registry():
 
     yield from _row(
         "grotto_eval_batch_20bit", "queries/s/chip",
-        lambda: _timeit(jax.jit(fgq), (gr_tbl, gxs), 1 << 20))
+        lambda: _timeit(jax.jit(fgq), L_grotto_tbl(), 1 << 20))
 
     # Grotto full-domain (preprocess+eval_all shape).
-    cwsg = jax.jit(lambda s: _gr.gen(
+    L_grotto_cws = _lazy(lambda: jax.jit(lambda s: _gr.gen(
         prg2, groups.Bytes(), ib20, s,
-        blk.pack_inputs(500, ib20)))(s0s)
+        blk.pack_inputs(500, ib20)))(s0s))
     fgr = jax.jit(lambda s, c: jnp.sum(
         _eak.grotto_eval_all(prg2, ib20, 0, s, c)))
     yield from _row(
         "grotto_eval_all_20bit", "items/s/chip",
-        lambda: _timeit(fgr, (s0s[0], cwsg), 2**ib20))
+        lambda: _timeit(fgr, (s0s[0], L_grotto_cws()), 2**ib20))
 
 
 

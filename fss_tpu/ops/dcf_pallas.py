@@ -5,11 +5,28 @@ value accumulated in-kernel (dcf.cuh:205-276): each level is one ChaCha
 mul=4 expansion, a correction-word application, a value-CW add, and a child
 select — all on [rows, 128] uint32 word tiles.
 
-The value accumulator is group-kind-specialized: XOR for Bytes, wrapping
-128-bit lane adds for Uint (word carries only travel upward, so truncating
-to the group's width at finalize matches per-step group adds; the 2^127
-modular group falls back to the XLA path). Party negation distributes over
-the abelian group sum, so it too happens once at finalize.
+The value accumulator is group-kind-specialized (group/uint.cuh:27-93 is
+generic over the same kinds), one mode per algebra:
+
+  xor     Bytes — plane XOR.
+  wrap    Uint with mod == 0 or a power-of-two mod, bits <= 64: wrapping
+          128-bit lane adds. Word carries only travel upward and every
+          group-relevant modulus divides 2^128, so masking once at
+          finalize equals per-step group adds.
+  mod64   Uint with a non-power-of-two mod, bits <= 64: contributions
+          are masked to the group width before the add, so the lane
+          accumulator holds the EXACT integer sum (<= 2^(bits+7) fits
+          128 bits); finalize long-divides it by mod once.
+  mod128  Uint bits == 128 (mod is a power of two <= 2^127 by
+          construction, groups.Uint.__post_init__): contributions are
+          decoded out of the clamped-bit block encoding (value bits
+          96..126 live in word-3 bits 1..31) before the add; finalize
+          masks the wrapped sum to the modulus width.
+
+Only bits == 128 with a non-power-of-two mod falls back to the XLA path
+(the decoded sum could overflow 2^128, which a non-pow2 modulus does not
+survive). Party negation distributes over the abelian group sum, so it
+happens once at finalize.
 """
 
 from __future__ import annotations
@@ -30,20 +47,58 @@ LANES = 128
 DEFAULT_BLOCK_ROWS = 16  # mul=4 state + cws use more VMEM than the DPF
 
 
-def kernel_supports_group(group) -> bool:
+def _group_mode(group) -> str | None:
+    """Accumulator mode for the in-kernel value thread (module docstring),
+    or None when the group needs the XLA fallback."""
     if isinstance(group, groups.Bytes):
-        return True
-    return isinstance(group, groups.Uint) and group.mod == 0
+        return "xor"
+    if not isinstance(group, groups.Uint):
+        return None
+    if group.bits == 128:
+        return "mod128" if group._mod_is_pow2 else None
+    if group.mod == 0 or group._mod_is_pow2:
+        return "wrap"
+    return "mod64"
+
+
+def _value_mask(group) -> tuple:
+    """Per-word mask applied to each value contribution before the add
+    (static kernel constants)."""
+    mode = _group_mode(group)
+    if mode in ("xor", "wrap"):
+        return (FULL, FULL, FULL, FULL)  # finalize masks (pow2 algebra)
+    if mode == "mod128":
+        return (FULL, FULL, FULL, NOTONE)  # clamped t bit, then decode
+    bits = group.bits
+    return tuple(
+        FULL if bits >= 32 * (wi + 1)
+        else np.uint32((1 << (bits - 32 * wi)) - 1) if bits > 32 * wi
+        else np.uint32(0)
+        for wi in range(4))
+
+
+def kernel_supports_group(group) -> bool:
+    return _group_mode(group) is not None
 
 
 def _make_kernel(in_bits: int, party: int, nonce, rounds: int,
-                 group_is_xor: bool):
+                 group_mode: str, vmask: tuple):
     wide = in_bits > 32  # x as 4 packed uint32 lanes
 
     def acc(a, b):
-        if group_is_xor:
+        if group_mode == "xor":
             return tuple(x ^ y for x, y in zip(a, b))
         return add128(a, b)
+
+    def vfix(c):
+        """Mask (and for 128-bit groups decode) a value contribution so
+        the lane accumulator tracks group-exact sums."""
+        if group_mode in ("xor", "wrap"):
+            return c
+        c = tuple(w & m for w, m in zip(c, vmask))
+        if group_mode == "mod128":
+            c = (c[0], c[1], c[2], c[3] >> np.uint32(1))
+        return c
 
     def kernel(s_ref, c_ref, x_ref, vo_ref, so_ref, t_ref):
         w = [s_ref[i] for i in range(4)]
@@ -95,7 +150,7 @@ def _make_kernel(in_bits: int, party: int, nonce, rounds: int,
                          for a, b in zip((vr0, vr1, vr2, vr3),
                                          (vl0, vl1, vl2, vl3)))
             vcm = tuple(c & tm for c in v_cw)
-            v = acc(acc((v0, v1, v2, v3), step), vcm)
+            v = acc(acc((v0, v1, v2, v3), vfix(step)), vfix(vcm))
 
             w0 = jnp.where(xb, r0, l0)
             w1 = jnp.where(xb, r1, l1)
@@ -147,17 +202,19 @@ def pack_keys(s0: jax.Array, cws: jax.Array, xs: jax.Array, in_bits: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("in_bits", "party", "nonce", "rounds",
-                                    "group_is_xor", "block_rows",
+                                    "group_mode", "vmask", "block_rows",
                                     "interpret"))
 def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
-                group_is_xor: bool, rounds: int = 20,
+                group_mode: str = "wrap",
+                vmask: tuple = (FULL, FULL, FULL, FULL),
+                rounds: int = 20,
                 block_rows: int = DEFAULT_BLOCK_ROWS,
                 interpret: bool = False):
     nrows = seeds4.shape[1]
     assert nrows % block_rows == 0
     grid = (nrows // block_rows,)
     nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
-    kern = _make_kernel(in_bits, party, nonce, rounds, group_is_xor)
+    kern = _make_kernel(in_bits, party, nonce, rounds, group_mode, vmask)
     x_spec = (pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
               if in_bits > 32 else
@@ -193,13 +250,28 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
     return vo, so, t
 
 
+def _acc_to_value(group, v_raw: jax.Array) -> jax.Array:
+    """Convert the kernel's value accumulator to group value lanes."""
+    mode = _group_mode(group)
+    if mode in ("xor", "wrap"):
+        return group.from_block(v_raw)
+    if mode == "mod128":
+        # Lanes are already decoded values; the wrapped sum's residue
+        # mod a power of two dividing 2^128 is exact.
+        return groups._mask_to_bits(v_raw, group.mod.bit_length() - 1)
+    # mod64: v_raw is the exact sum of <= 2*128 masked terms, each
+    # < 2^bits, so it fits in bits+8 bits.
+    return groups._mod_reduce(v_raw, group._mod_lanes(),
+                              min(group.bits + 8, 128))
+
+
 def finalize(group, party: int, vo, so, t, v_last: jax.Array,
              batch: int) -> jax.Array:
     """Group-convert kernel outputs to [B, 4] shares (dcf.cuh:258-276)."""
     v_raw = jnp.transpose(vo.reshape(4, -1), (1, 0))[:batch]
     s = jnp.transpose(so.reshape(4, -1), (1, 0))[:batch]
     tb = t.reshape(-1)[:batch]
-    v = group.from_block(v_raw)
+    v = _acc_to_value(group, v_raw)
     term = group.from_block(s)
     term = jnp.where(tb.astype(jnp.bool_)[:, None],
                      group.add(term, group.from_block(v_last)), term)
@@ -214,13 +286,14 @@ def eval_points(prg_nonce, group, in_bits: int, party: int, s0: jax.Array,
                 block_rows: int = DEFAULT_BLOCK_ROWS,
                 interpret: bool = False) -> jax.Array:
     """pack + kernel + finalize. Requires kernel_supports_group(group)."""
-    assert kernel_supports_group(group)
-    is_xor = isinstance(group, groups.Bytes)
+    mode = _group_mode(group)
+    assert mode is not None
     seeds4, cws_t, xs2, v_last, B = pack_keys(s0, cws, xs, in_bits,
                                               block_rows)
     vo, so, t = eval_packed(seeds4, cws_t, xs2, in_bits=in_bits,
                             party=party, nonce=tuple(prg_nonce),
-                            group_is_xor=is_xor, rounds=rounds,
+                            group_mode=mode, vmask=_value_mask(group),
+                            rounds=rounds,
                             block_rows=block_rows, interpret=interpret)
     return finalize(group, party, vo, so, t, v_last, B)
 

@@ -1,4 +1,7 @@
-"""Campaign job: DPF Gen kernel config sweep on the real chip.
+"""One-shot sweep: DPF Gen kernel config sweep on the real chip.
+Run via ``python scripts/tpu_campaign.py --sweep scripts/sweeps/
+gen_sweep.py`` so it rides an existing claim exactly once (it used to
+live in scripts/tpu_jobs/, where every campaign re-ran it).
 
 VERDICT r2 weak #4: the gen kernels measure ~55-57 M keys/s against a
 ~80 M/s roofline (two ChaCha permutations per level = half the eval
@@ -36,6 +39,11 @@ _u = k.gen_packed(_s8, _a2, ib, nonce, unroll=True)
 _eq = bool(jax.jit(lambda a, b: jnp.all(jnp.array(
     [jnp.array_equal(x, y) for x, y in zip(a, b)])))(_r, _u))
 print(json.dumps({"unroll_matches_rolled": _eq}))
+if not _eq:
+    # A miscompiled unrolled kernel must not emit plausible-looking
+    # throughput rows (the campaign's _exec_job records the exit).
+    raise SystemExit("unroll=True mismatches the golden-verified rolled "
+                     "kernel — refusing to time it")
 
 for block_rows in (16, 32, 64):
     seeds8, a2, _ = k.pack_gen_inputs(s0s, alphas, ib,

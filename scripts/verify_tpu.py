@@ -200,13 +200,21 @@ def check_dpf_eval_aes(interpret, quick=False):
     return n_cfg
 
 
-def check_dcf_eval(interpret):
+def check_dcf_eval(interpret, quick=False):
     from fss_tpu.ops import aes_pallas, dcf_pallas
     n_cfg = 0
+    seen_prg: set[str] = set()
     for case in _load("dcf")["cases"]:
         g = _group(case)
         if not dcf_pallas.kernel_supports_group(g):
             continue
+        if quick:
+            # One config per PRG backend: the ChaCha and the AES DCF
+            # kernels are distinct Mosaic programs, and the AES one is
+            # the kernel that faulted the TPU worker on 2026-08-19.
+            if case["prg"] in seen_prg:
+                continue
+            seen_prg.add(case["prg"])
         n = case["in_bits"]
         idx = np.arange(B) % len(case["xs"])
         xk = _case_xs(case, n, idx)
@@ -228,10 +236,15 @@ def check_dcf_eval(interpret):
     return n_cfg
 
 
-def check_ht_eval(interpret):
+def check_ht_eval(interpret, quick=False):
     from fss_tpu.ops import aes_pallas, ht_pallas
     n_cfg = 0
+    seen_prg: set[str] = set()
     for case in _load("half_tree")["cases"]:
+        if quick:
+            if case["prg"] in seen_prg:
+                continue
+            seen_prg.add(case["prg"])
         n = case["in_bits"]
         g = _group(case)
         hk = _h2u32(case["hash_key"])
@@ -257,10 +270,15 @@ def check_ht_eval(interpret):
     return n_cfg
 
 
-def check_vdpf_eval(interpret):
+def check_vdpf_eval(interpret, quick=False):
     from fss_tpu.ops import aes_pallas, vdpf_pallas
     n_cfg = 0
+    seen_prg: set[str] = set()
     for case in _load("vdpf")["cases"]:
+        if quick:
+            if case["prg"] in seen_prg:
+                continue
+            seen_prg.add(case["prg"])
         n = case["in_bits"]
         g = _group(case)
         h = _hashes(case)
@@ -426,7 +444,9 @@ def _check_digest(got_bytes, case, party, label):
         raise Mismatch(f"{label} party{party}: full-domain digest differs")
 
 
-def check_eval_all(interpret):
+def check_eval_all(interpret, quick=False):
+    """quick=True checks the first qualifying config of each hybrid
+    EvalAll sub-family (DPF/DCF/HT/Grotto/VDPF) instead of the sweep."""
     import jax.numpy as jnp
     from fss_tpu.ops import eval_all_pallas as eak
     n_cfg = 0
@@ -446,6 +466,8 @@ def check_eval_all(interpret):
             _check_digest(_as_bytes(ys), case, party,
                           f"dpf_eval_all[{_cid(case)}]")
             n_cfg += 1
+        if quick:
+            break
 
     for case in _load("dcf")["cases"]:
         g = _group(case)
@@ -465,6 +487,8 @@ def check_eval_all(interpret):
             _check_digest(_as_bytes(ys), case, party,
                           f"dcf_eval_all[{_cid(case)}]")
             n_cfg += 1
+        if quick:
+            break
 
     for case in _load("half_tree")["cases"]:
         if (case["prg"] != "chacha" or "eval_all_digest0" not in case
@@ -483,6 +507,8 @@ def check_eval_all(interpret):
             _check_digest(_as_bytes(ys), case, party,
                           f"ht_eval_all[{_cid(case)}]")
             n_cfg += 1
+        if quick:
+            break
 
     for case in _load("grotto")["cases"]:
         # The hybrid expansion kernel is ChaCha-driven (expand_leaves
@@ -507,6 +533,8 @@ def check_eval_all(interpret):
                 raise Mismatch(
                     f"grotto_eval_all[{_cid(case)}] party{party}: digest")
             n_cfg += 1
+        if quick:
+            break
 
     for case in _load("vdpf")["cases"]:
         if (case["prg"] != "chacha" or "eval_all_digest0" not in case
@@ -534,6 +562,8 @@ def check_eval_all(interpret):
         if not np.array_equal(pis[0], pis[1]):
             raise Mismatch(
                 f"vdpf_eval_all[{_cid(case)}]: tree-fold proofs disagree")
+        if quick:
+            break
     return n_cfg
 
 
@@ -584,12 +614,14 @@ def check_hash_kernels(interpret):
     return n_cfg
 
 
-def check_grotto_prefix(interpret):
+def check_grotto_prefix(interpret, quick=False):
     import jax.numpy as jnp
     from fss_tpu.ops import eval_all_pallas as eak
     from fss_tpu.schemes import grotto_dcf as _gr
     n_cfg = 0
     for case in _load("grotto")["cases"]:
+        if quick and n_cfg:
+            break
         if case["in_bits"] < eak.MIN_BITS or case["prg"] != "chacha":
             continue
         prg2 = _chacha_prg(case, 2)
@@ -610,7 +642,7 @@ def check_grotto_prefix(interpret):
     return n_cfg
 
 
-def check_vdmpf(interpret):
+def check_vdmpf(interpret, quick=False):
     """Full VDMPF batch_eval with the reference chain fold on device.
 
     Not a single Mosaic kernel but the routing + inner-eval + two-level
@@ -621,6 +653,8 @@ def check_vdmpf(interpret):
     from fss_tpu.schemes import vdmpf as _vdmpf
     n_cfg = 0
     for case in _load("vdmpf")["cases"]:
+        if quick and n_cfg:
+            break
         d = Vdmpf(case["in_bits"], max_points=case["max_points"],
                   bucket_bits=case["bucket_bits"], group=_group(case),
                   prg=_case_prg(case, 2), hashes=_hashes(case))
@@ -629,7 +663,8 @@ def check_vdmpf(interpret):
         cs = np.stack([_h2u32(b["cs"]).reshape(4, 4)
                        for b in case["buckets"]])
         ocw = np.stack([_h2u32(b["ocw"]) for b in case["buckets"]])
-        xs = np.asarray([int(h, 0) for h in case["xs"]], dtype=np.uint32)
+        # Plain ints: batch_eval packs wide (>32-bit) domains itself.
+        xs = [int(h, 0) for h in case["xs"]]
         pis = {}
         for party in (0, 1):
             s0 = blk.block(np.stack(
@@ -667,12 +702,24 @@ FULL_CHECKS = [
     ("vdmpf", check_vdmpf),
 ]
 
+# One config per TIMED kernel family (bench.py registry): a faulting
+# kernel must be caught by a 256-row byte check before the registry can
+# hand it a 2^19 batch and lose the window to a worker crash (observed
+# 2026-08-19 on the DCF-AES kernel, which the old 3-family gate skipped).
 QUICK_CHECKS = [
     ("dpf_eval", lambda interpret: check_dpf_eval(interpret, quick=True)),
     ("dpf_eval_aes",
      lambda interpret: check_dpf_eval_aes(interpret, quick=True)),
+    ("dcf_eval", lambda interpret: check_dcf_eval(interpret, quick=True)),
+    ("ht_eval", lambda interpret: check_ht_eval(interpret, quick=True)),
+    ("vdpf_eval",
+     lambda interpret: check_vdpf_eval(interpret, quick=True)),
     ("gen_kernels",
      lambda interpret: check_gen_kernels(interpret, quick=True)),
+    ("eval_all", lambda interpret: check_eval_all(interpret, quick=True)),
+    ("grotto_prefix",
+     lambda interpret: check_grotto_prefix(interpret, quick=True)),
+    ("vdmpf", lambda interpret: check_vdmpf(interpret, quick=True)),
 ]
 
 

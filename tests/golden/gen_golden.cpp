@@ -499,24 +499,24 @@ void vdpf_case(Json &j, const char *prg_name, const char *hash_name, const char 
 // sweep the AES-MMO PRG, the SHA-256 hash pair, and a t < max_points
 // occupancy where the runtime bucket count m_rt differs from the
 // compile-time m.
-template <int max_points, typename Prg, typename Hash>
+template <int max_points, int in_bits = 16, int bucket_bits = 14, typename InT = uint16_t, typename Prg,
+    typename Hash>
 void vdmpf_case(Json &j, const char *prg_name, const char *hash_name, Prg prg, Hash xor_hash, Hash hash,
     const Material &m, int t) {
-  constexpr int in_bits = 16;
-  constexpr int bucket_bits = 14;
   using Prp = fss::prp::Aes128Feistel;
   using Vdmpf = fss::Vdmpf<in_bits, max_points, bucket_bits, fss::group::Uint<uint64_t>, Prg, Hash, Hash, Prp,
-      uint16_t>;
+      InT>;
+  constexpr uint64_t in_mask = (in_bits >= 64) ? ~0ULL : ((1ULL << in_bits) - 1);
 
   Prp prp;
   Vdmpf vdmpf{prg, xor_hash, hash, prp};
 
-  std::vector<uint16_t> alphas;
+  std::vector<InT> alphas;
   std::vector<int4> betas;
   for (int i = 0; i < t; ++i) {
-    uint16_t a;
+    InT a;
     do {
-      a = static_cast<uint16_t>(splitmix64());
+      a = static_cast<InT>(splitmix64() & in_mask);
     } while (std::find(alphas.begin(), alphas.end(), a) != alphas.end());
     alphas.push_back(a);
     betas.push_back(fss::util::SetLsb(rand_int4(), false));
@@ -531,7 +531,7 @@ void vdmpf_case(Json &j, const char *prg_name, const char *hash_name, Prg prg, H
     sigma = rand_int4();
     for (auto &p : s0s) p = {rand_int4(), rand_int4()};
     int ret = vdmpf.Gen(*k0, *k1, sigma, cuda::std::span<const cuda::std::array<int4, 2>, Vdmpf::m>(s0s.data(),
-        Vdmpf::m), std::span<const uint16_t>(alphas), std::span<const int4>(betas), t);
+        Vdmpf::m), std::span<const InT>(alphas), std::span<const int4>(betas), t);
     if (ret == 0) break;
     ++retries;
     assert(retries < 64);
@@ -581,19 +581,19 @@ void vdmpf_case(Json &j, const char *prg_name, const char *hash_name, Prg prg, H
   j.close_arr();
 
   // BatchEval at all alphas plus 10 non-alphas.
-  std::vector<uint16_t> xs(alphas);
+  std::vector<InT> xs(alphas);
   for (int i = 0; i < 10; ++i) {
-    uint16_t x;
+    InT x;
     do {
-      x = static_cast<uint16_t>(splitmix64());
+      x = static_cast<InT>(splitmix64() & in_mask);
     } while (std::find(alphas.begin(), alphas.end(), x) != alphas.end() ||
              std::find(xs.begin(), xs.end(), x) != xs.end());
     xs.push_back(x);
   }
   std::vector<int4> ys0(xs.size()), ys1(xs.size());
   cuda::std::array<int4, 4> pi0, pi1;
-  vdmpf.BatchEval(false, *k0, std::span<const uint16_t>(xs), std::span<int4>(ys0), pi0);
-  vdmpf.BatchEval(true, *k1, std::span<const uint16_t>(xs), std::span<int4>(ys1), pi1);
+  vdmpf.BatchEval(false, *k0, std::span<const InT>(xs), std::span<int4>(ys0), pi0);
+  vdmpf.BatchEval(true, *k1, std::span<const InT>(xs), std::span<int4>(ys1), pi1);
   assert(Vdmpf::Verify(cuda::std::span<const int4, 4>(pi0.data(), 4), cuda::std::span<const int4, 4>(pi1.data(), 4)));
 
   std::vector<std::string> xs_hex, y0s_hex, y1s_hex;
@@ -1033,6 +1033,18 @@ int main(int argc, char **argv) {
       Material m = fresh_material();
       fss::hash::Blake3 h(cuda::std::span<const int4, 2>(m.blake3_iv, 2));
       vdmpf_case<60>(j, "chacha", "blake3", fss::prg::ChaCha<2>(m.nonce), h, h, m, 42);
+    }
+    {
+      // Wide domain (in_bits > 32): pins the >29-bit Locate routing —
+      // the PRP's __uint128_t-domain walk (prp.cuh:22-25) plus the
+      // bucket/index divide — which previously had only property-test
+      // coverage (r3 VERDICT #8). uint64_t inputs. 33 bits is near the
+      // REFERENCE's own ceiling: its inner Vdpf input is `uint` and
+      // b_size must fit 1 << bucket_bits as int (vdmpf.cuh:91-93), so
+      // bucket_bits <= 30 and n*kappa/m <= 2^30 caps in_bits ~ 35.
+      Material m = fresh_material();
+      fss::hash::Blake3 h(cuda::std::span<const int4, 2>(m.blake3_iv, 2));
+      vdmpf_case<30, 33, 30, uint64_t>(j, "chacha", "blake3", fss::prg::ChaCha<2>(m.nonce), h, h, m, 30);
     }
     j.close_arr();
     j.close_obj();

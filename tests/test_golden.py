@@ -336,8 +336,7 @@ def test_vdmpf_golden(case):
     xs = ints(case["xs"])
     pis = {}
     for party, key in ((0, k0), (1, k1)):
-        ys, pi = d.batch_eval(party, key, np.uint32(xs),
-                              fold="reference")
+        ys, pi = d.batch_eval(party, key, xs, fold="reference")
         ys = np.asarray(ys)
         for i in range(len(xs)):
             assert as_bytes(ys[i]) == h2b(case[f"ys{party}"][i]), \

@@ -19,6 +19,12 @@ NONCE = (0x600DCAFE, 0x0BADF00D)
     ("uint32", groups.Uint(32)),
     ("uint64", groups.Uint(64)),
     ("bytes", groups.Bytes()),
+    # Modular accumulator modes (group/uint.cuh:27-93 generality):
+    ("uint127", groups.Uint(128, mod=1 << 127)),       # mod128
+    ("uint32_mod1e9+7", groups.Uint(32, mod=10**9 + 7)),  # mod64
+    ("uint16_mod1000", groups.Uint(16, mod=1000)),     # mod64, masked
+    ("uint64_mod", groups.Uint(64, mod=(1 << 61) - 1)),   # mod64, wide
+    ("uint32_mod2e16", groups.Uint(32, mod=1 << 16)),  # pow2 -> wrap
 ])
 def test_dcf_pallas_matches_reference(gname, g, rng):
     in_bits = 8
@@ -42,10 +48,13 @@ def test_dcf_pallas_matches_reference(gname, g, rng):
         assert np.array_equal(got, ref), f"party {party}"
 
 
-def test_dcf_pallas_rejects_modular_group():
+def test_dcf_pallas_group_support():
+    # Modular Uint groups take the fused kernel now (r3 VERDICT #7);
+    # only bits=128 with a non-pow2 modulus still needs the XLA path.
+    assert dcf_pallas.kernel_supports_group(groups.Uint(128, mod=1 << 127))
+    assert dcf_pallas.kernel_supports_group(groups.Uint(32, mod=1000))
     assert not dcf_pallas.kernel_supports_group(
-        groups.Uint(128, mod=1 << 127))
-    assert not dcf_pallas.kernel_supports_group(groups.Uint(32, mod=1000))
+        groups.Uint(128, mod=(1 << 127) - 1))
 
 
 @pytest.mark.parametrize("gname,g", [
