@@ -26,6 +26,7 @@ ceiling at the 3.9e12 ops/s envelope (cf. docs/benchmarks.md).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -685,25 +686,30 @@ def _ripple_add(a_planes, b_planes, nbits: int):
 
 def _make_dcf_eval_kernel(in_bits: int, party: int, key_pats,
                           group_is_xor: bool, group_bits: int):
-    def kernel(sp_ref, cw_ref, xp_ref, vo_ref, so_ref, to_ref, st_ref,
-               v_ref, t_ref):
+    # The level-carried state (s planes / value planes / t) lives directly
+    # in the output refs: the i grid dim revisits the same output block, so
+    # Mosaic keeps it VMEM-resident across levels, and the final level's
+    # state IS the result. (Separate VMEM scratch + a 257-plane copy per
+    # level was the old shape; dropping it cuts ~1 MB of VMEM blocks —
+    # relevant to the 2026-08-19 worker crash at the 2^19 batch shape.)
+    def kernel(sp_ref, cw_ref, xp_ref, vo_ref, so_ref, to_ref):
         i = pl.program_id(1)
         byte_idx = _byte_iota()
         mask96 = ~_pattern_mask(byte_idx, 1 << 12)
 
         @pl.when(i == 0)
         def _init():
-            st_ref[...] = sp_ref[...]
-            st_ref[12] = jnp.zeros_like(st_ref[12])
-            v_ref[...] = jnp.zeros_like(v_ref)
-            t_ref[...] = jnp.full(
-                t_ref.shape, _FULL if party else np.uint32(0),
+            so_ref[...] = sp_ref[...]
+            so_ref[12] = jnp.zeros_like(so_ref[12])
+            vo_ref[...] = jnp.zeros_like(vo_ref)
+            to_ref[...] = jnp.full(
+                to_ref.shape, _FULL if party else np.uint32(0),
                 dtype=jnp.uint32)
 
-        R, L = st_ref.shape[1], st_ref.shape[2]
-        s_bits = [st_ref[16 * b:16 * (b + 1)].reshape(4, 4, R, L)
+        R, L = so_ref.shape[1], so_ref.shape[2]
+        s_bits = [so_ref[16 * b:16 * (b + 1)].reshape(4, 4, R, L)
                   for b in range(8)]
-        t = t_ref[...]
+        t = to_ref[...]
         xb = xp_ref[0]
 
         # MMO x4: (sl, vl, sr, vr) = AES_{k0..k3}(s) ^ s (dcf.cuh:119).
@@ -735,24 +741,20 @@ def _make_dcf_eval_kernel(in_bits: int, party: int, key_pats,
         sel_flat = [v_sel[p // 16][(p % 16) // 4, (p % 16) % 4]
                     for p in range(128)]
         vcw_flat = [cw[128 + p] & t for p in range(128)]
-        v_now = [v_ref[p] for p in range(128)]
+        v_now = [vo_ref[p] for p in range(128)]
         if group_is_xor:
             v_new = [v_now[p] ^ sel_flat[p] ^ vcw_flat[p]
                      for p in range(128)]
         else:
             v_new = _ripple_add(v_now, sel_flat, group_bits)
             v_new = _ripple_add(v_new, vcw_flat, group_bits)
-        v_ref[...] = jnp.stack(v_new)
+        vo_ref[...] = jnp.stack(v_new)
 
         s_new = [sl[b] ^ (xb[None, None] & (sl[b] ^ sr[b]))
                  for b in range(8)]
-        t_ref[...] = tl ^ (xb & (tl ^ tr))
-        st_ref[...] = jnp.concatenate(
+        to_ref[...] = tl ^ (xb & (tl ^ tr))
+        so_ref[...] = jnp.concatenate(
             [v.reshape(16, R, L) for v in s_new], axis=0)
-
-        vo_ref[...] = v_ref[...]
-        so_ref[...] = st_ref[...]
-        to_ref[...] = t_ref[...]
 
     return kernel
 
@@ -821,19 +823,20 @@ def dcf_pack_eval(s0, cws, xs, in_bits: int,
     return sp, cwp, xp, v_last, B
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("in_bits", "party", "keys",
-                                    "group_is_xor", "group_bits",
-                                    "block_rows", "interpret"))
-def dcf_eval_packed(sp, cwp, xp, in_bits: int, party: int, keys,
-                    group_is_xor: bool, group_bits: int,
-                    block_rows: int = DEFAULT_BLOCK_ROWS,
-                    interpret: bool = False):
+# Largest row-tile count a single dcf_eval pallas_call dispatch may see.
+# 2026-08-19 triage (scripts/artifacts/triage_dcf_aes.jsonl): the kernel
+# is byte-exact at T<=32 (2^17 rows) but the TPU worker crashed at T=128
+# (2^19) with the identical per-block shapes, and block_rows=16 showed the
+# kernel's scoped-VMEM stack is already at the 16 MB edge. Batches above
+# this cap are chunked via lax.map (one device program, sequential
+# pallas_calls) instead of one giant grid.
+DCF_MAX_T = int(os.environ.get("FSS_DCF_AES_MAX_T", "32"))
+
+
+def _dcf_eval_call(sp, cwp, xp, in_bits: int, party: int, key_pats,
+                   group_is_xor: bool, group_bits: int,
+                   block_rows: int, interpret: bool):
     T = sp.shape[1]
-    assert T % block_rows == 0
-    key_pats = tuple(
-        tuple(map(tuple, _key_patterns(_round_key_bytes(k))))
-        for k in keys)
     kern = _make_dcf_eval_kernel(in_bits, party, key_pats, group_is_xor,
                                  group_bits)
     R = block_rows
@@ -861,11 +864,6 @@ def dcf_eval_packed(sp, cwp, xp, in_bits: int, party: int, keys,
             jax.ShapeDtypeStruct((128, T, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((T, LANES), jnp.uint32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((128, R, LANES), jnp.uint32),
-            pltpu.VMEM((128, R, LANES), jnp.uint32),
-            pltpu.VMEM((R, LANES), jnp.uint32),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
@@ -873,10 +871,46 @@ def dcf_eval_packed(sp, cwp, xp, in_bits: int, party: int, keys,
     return vo, so, to
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("in_bits", "party", "keys",
+                                    "group_is_xor", "group_bits",
+                                    "block_rows", "interpret", "max_t"))
+def dcf_eval_packed(sp, cwp, xp, in_bits: int, party: int, keys,
+                    group_is_xor: bool, group_bits: int,
+                    block_rows: int = DEFAULT_BLOCK_ROWS,
+                    interpret: bool = False, max_t: int | None = None):
+    T = sp.shape[1]
+    assert T % block_rows == 0
+    key_pats = tuple(
+        tuple(map(tuple, _key_patterns(_round_key_bytes(k))))
+        for k in keys)
+    mt = DCF_MAX_T if max_t is None else max_t
+    mt = max(block_rows, (mt // block_rows) * block_rows)
+    if T <= mt or T % mt:
+        return _dcf_eval_call(sp, cwp, xp, in_bits, party, key_pats,
+                              group_is_xor, group_bits, block_rows,
+                              interpret)
+    C = T // mt
+    n = in_bits
+    spc = sp.reshape(128, C, mt, LANES).transpose(1, 0, 2, 3)
+    cwpc = cwp.reshape(n, 258, C, mt, LANES).transpose(2, 0, 1, 3, 4)
+    xpc = xp.reshape(n, C, mt, LANES).transpose(1, 0, 2, 3)
+    vo, so, to = jax.lax.map(
+        lambda c: _dcf_eval_call(c[0], c[1], c[2], in_bits, party,
+                                 key_pats, group_is_xor, group_bits,
+                                 block_rows, interpret),
+        (spc, cwpc, xpc))
+    vo = vo.transpose(1, 0, 2, 3).reshape(128, T, LANES)
+    so = so.transpose(1, 0, 2, 3).reshape(128, T, LANES)
+    to = to.reshape(T, LANES)
+    return vo, so, to
+
+
 def dcf_eval_points(prg_keys, group, in_bits: int, party: int,
                     s0: jax.Array, cws: jax.Array, xs: jax.Array,
                     block_rows: int = DEFAULT_BLOCK_ROWS,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    max_t: int | None = None) -> jax.Array:
     """DCF point evaluation on the plane-domain AES kernel
     (dcf.cuh:205-276). Supports Bytes and wrapping Uint groups."""
     from fss_tpu import groups as _groups
@@ -891,7 +925,7 @@ def dcf_eval_points(prg_keys, group, in_bits: int, party: int,
         sp, cwp, xp, in_bits=in_bits, party=party,
         keys=tuple(bytes(k) for k in prg_keys),
         group_is_xor=group_is_xor, group_bits=gbits,
-        block_rows=block_rows, interpret=interpret)
+        block_rows=block_rows, interpret=interpret, max_t=max_t)
     v_raw, _tb = unpack_out(vo, to, B)
     s, tb = unpack_out(so, to, B)
     v_lastb = v_last if v_last.shape[0] == 1 else v_last[:B]

@@ -135,6 +135,30 @@ def test_dcf_eval_kernel(rng):
         assert np.array_equal(got, want), str(g)
 
 
+def test_dcf_eval_kernel_chunked(rng):
+    """Chunked dispatch (max_t < T, the 2^19-crash mitigation) == the
+    single-dispatch kernel == schemes.dcf. Forces the lax.map path with
+    max_t=1 over T=2 row tiles."""
+    from fss_tpu.schemes import dcf as _dcf
+
+    in_bits, B = 6, 8192  # block_rows=1 -> tile 4096 -> T=2
+    keys4 = tuple(bytes(range(16 * i, 16 * i + 16)) for i in range(4))
+    prg = Aes128Mmo(mul=4, keys=keys4, backend="table")
+    g = groups.Uint(64)
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    a_lanes = blk.pack_inputs(alphas, in_bits)
+    cws = jax.jit(jax.vmap(lambda s, a, b: _dcf.gen(
+        prg, g, in_bits, "lt", s, a, b)))(s0s, a_lanes, betas)
+    want = np.asarray(_dcf.eval_points(prg, g, in_bits, None, 0,
+                                       s0s[:, 0], cws, a_lanes))
+    got = np.asarray(aes_pallas.dcf_eval_points(
+        keys4, g, in_bits, 0, s0s[:, 0], cws, alphas, block_rows=1,
+        interpret=True, max_t=1))
+    assert np.array_equal(got, want)
+
+
 def test_gen_kernel(rng):
     """Plane-domain AES Gen kernel == schemes.dpf.gen (interpret):
     identical [B, in_bits+1, 8] key bytes, and eval at alpha
