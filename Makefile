@@ -9,8 +9,11 @@ PY ?= python
 test:
 	$(PY) -m pytest tests/ -q
 
-# Iteration default: skip the slow full-domain/native-build tiers
-# (the full suite is ~30 min of XLA:CPU compiles; this is ~5x faster).
+# Iteration default: skip the slow full-domain/native-build tiers.
+# Wall time is dominated by XLA:CPU compiles and therefore by the
+# persistent compile cache (.jax_cache): measured on this 1-core VM,
+# ~41 min cold vs minutes warm (full suite ~30 min warm). The tier's
+# value is -x plus skipping the native build, not a fixed speedup.
 test-fast:
 	$(PY) -m pytest tests/ -q -x -m "not slow"
 
