@@ -100,10 +100,84 @@ def _make_step_fn(g, B: int, block_rows: int):
     return fdca
 
 
+def _bracket_step(args) -> None:
+    """Bracket probes separating the 2^19 crash into pack vs kernel vs
+    unpack. 2026-08-19 second finding: the crash survives dispatch
+    chunking (max_t=32), so the per-pallas_call shape is NOT the
+    trigger; the suspects are the pack's ~1 GB byte-plane transpose
+    graph and the double unpack at B=2^19.
+
+      pack      build+materialize dcf_pack_eval at 2^19 only
+      ktile     pack at 2^17, device-tile inputs 4x to the 2^19 shape,
+                run the (chunked) kernel, fetch a RAW word checksum —
+                no unpack, no pack at 2^19
+      unpacktile  ktile + the full unpack/finalize path
+    """
+    import jax
+    import jax.numpy as jnp
+    from fss_tpu.ops import aes_pallas as _aesk
+
+    lb = args.log2_batch
+    t0 = time.perf_counter()
+    if args.step == "pack":
+        g, prgd4, s0sb, cws, xs, packed, B = _build_inputs(
+            lb, args.block_rows)
+        sp, cwp, xp, vl = packed
+        chk = int(jax.jit(lambda a, b, c: jnp.sum(a) ^ jnp.sum(b)
+                          ^ jnp.sum(c))(sp, cwp, xp))
+        print(json.dumps({"step": "pack", "log2_batch": lb,
+                          "checksum": chk, "wall_s": round(
+                              time.perf_counter() - t0, 1)}), flush=True)
+        return
+
+    # Small pack (proven stable), tiled on device to the big shape.
+    g, prgd4, s0sb, cws, xs, packed, Bs = _build_inputs(
+        lb - 2, args.block_rows)
+    sp, cwp, xp, vl = packed
+    reps = 4
+    B = Bs * reps
+
+    @jax.jit
+    def tile_run(sp, cwp, xp):
+        spt = jnp.tile(sp, (1, reps, 1))
+        cwpt = jnp.tile(cwp, (1, 1, reps, 1))
+        xpt = jnp.tile(xp, (1, reps, 1))
+        return _aesk.dcf_eval_packed(
+            spt, cwpt, xpt, in_bits=IB, party=0, keys=AES_KEYS4,
+            group_is_xor=False, group_bits=32,
+            block_rows=args.block_rows, interpret=INTERPRET)
+
+    if args.step == "ktile":
+        vo, so, to = tile_run(sp, cwp, xp)
+        chk = int(jax.jit(lambda a, b, c: jnp.sum(a) ^ jnp.sum(b)
+                          ^ jnp.sum(c))(vo, so, to))
+    else:  # unpacktile
+        @jax.jit
+        def full(sp, cwp, xp, vl):
+            vo, so, to = tile_run(sp, cwp, xp)
+            v_raw, _ = _aesk.unpack_out(vo, to, B)
+            s, tb = _aesk.unpack_out(so, to, B)
+            vlb = jnp.tile(vl, (reps, 1))
+            term = g.from_block(s)
+            term = jnp.where(tb.astype(jnp.bool_)[:, None],
+                             g.add(term, g.from_block(vlb)), term)
+            y = g.add(g.from_block(v_raw), term)
+            return jnp.sum(g.into_block(y)[:, 0])
+        chk = int(full(sp, cwp, xp, vl))
+    print(json.dumps({"step": args.step, "log2_batch": lb,
+                      "tiled_from": lb - 2, "checksum": chk,
+                      "wall_s": round(time.perf_counter() - t0, 1)}),
+          flush=True)
+
+
 def run_step(args) -> None:
     import jax
     plat = jax.devices()[0].platform
     print(json.dumps({"platform": plat}), flush=True)
+
+    if args.step in ("pack", "ktile", "unpacktile"):
+        _bracket_step(args)
+        return
 
     if args.step == "golden":
         sys.path.insert(0, str(REPO / "scripts"))
@@ -203,6 +277,22 @@ def _spawn(argv: list[str], timeout_s: float) -> dict:
     return rec
 
 
+def drive_bracket() -> int:
+    """Run the pack/kernel/unpack bracket probes at 2^19, isolated."""
+    step_timeout = float(os.environ.get("FSS_TRIAGE_STEP_TIMEOUT", 2700))
+    plan = [["--step", "pack", "--log2-batch", "19"],
+            ["--step", "ktile", "--log2-batch", "19"],
+            ["--step", "unpacktile", "--log2-batch", "19"]]
+    recs = [_spawn(argv, step_timeout) for argv in plan]
+    verdict = {"bracket": {r["argv"][1]: ("ok" if r["rc"] == 0 else
+                                          f"rc={r['rc']}")
+                           for r in recs}}
+    with open(LOG, "a") as fh:
+        fh.write(json.dumps(verdict) + "\n")
+    print(json.dumps(verdict), flush=True)
+    return int(any(r["rc"] != 0 for r in recs))
+
+
 def drive() -> int:
     step_timeout = float(os.environ.get("FSS_TRIAGE_STEP_TIMEOUT", 2700))
     plan = [["--step", "golden"],
@@ -232,14 +322,17 @@ def drive() -> int:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--step", choices=["golden", "single", "loop"])
+    ap.add_argument("--step", choices=["golden", "single", "loop",
+                                       "pack", "ktile", "unpacktile"])
     ap.add_argument("--log2-batch", type=int, default=19)
     ap.add_argument("--block-rows", type=int, default=8)
     ap.add_argument("--no-check", action="store_true",
                     help="skip the scheme-path cross-check")
+    ap.add_argument("--bracket", action="store_true",
+                    help="drive the pack/ktile/unpacktile probes")
     args = ap.parse_args()
     if args.step is None:
-        return drive()
+        return drive_bracket() if args.bracket else drive()
     run_step(args)
     return 0
 
