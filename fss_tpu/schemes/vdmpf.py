@@ -308,15 +308,23 @@ def _batched_hash64(hash64):
 
 
 def _take_rows_matmul(table, onehot, m):
-    """Exact uint32 row select via two f32 MXU contractions (16-bit
-    halves; values < 2^16 are exact in f32)."""
+    """Exact uint32 row select via four 8-bit-plane MXU contractions.
+
+    Byte planes — not 16-bit halves — because TPU matmuls at the default
+    precision run a single bf16 MXU pass (8-bit mantissa), which
+    silently rounds values >= 2^8 even with preferred_element_type=f32
+    (caught on-chip by the verify gate 2026-08-19: VDMPF ys mismatch;
+    XLA:CPU computes the same dot in true f32, so interpret mode
+    passed). 8-bit values are exact in bf16, one-hot weights are 0/1,
+    accumulation is f32 -> exact under any precision setting."""
     d = table.reshape(m, -1)
-    lo = (d & np.uint32(0xFFFF)).astype(jnp.float32)
-    hi = (d >> np.uint32(16)).astype(jnp.float32)
-    lo_e = jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
-    hi_e = jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
-    out = (hi_e.astype(jnp.uint32) << np.uint32(16)) | \
-        lo_e.astype(jnp.uint32)
+    out = None
+    for shift in (0, 8, 16, 24):
+        plane = ((d >> np.uint32(shift)) & np.uint32(0xFF)).astype(
+            jnp.float32)
+        acc = jnp.dot(onehot, plane, preferred_element_type=jnp.float32)
+        term = acc.astype(jnp.uint32) << np.uint32(shift)
+        out = term if out is None else out | term
     return out.reshape((onehot.shape[0],) + table.shape[1:])
 
 
@@ -370,12 +378,16 @@ def _inner_eval(prg2, xor_hash, group, bucket_bits, party, key: VdmpfKey,
     tbl = jnp.concatenate(
         [key.s0.reshape(m, 4), key.cws.reshape(m, bucket_bits * 8)],
         axis=1)
-    lo = (tbl & np.uint32(0xFFFF)).astype(jnp.float32).T  # [D, m]
-    hi = (tbl >> np.uint32(16)).astype(jnp.float32).T
-    lo_p = jnp.dot(lo, onehot_T, preferred_element_type=jnp.float32)
-    hi_p = jnp.dot(hi, onehot_T, preferred_element_type=jnp.float32)
-    packed = (hi_p.astype(jnp.uint32) << np.uint32(16)) | \
-        lo_p.astype(jnp.uint32)                           # [D, Ep]
+    # Four 8-bit-plane dots: exact under the TPU's default single-pass
+    # bf16 MXU precision (see _take_rows_matmul).
+    packed = None                                         # [D, Ep]
+    for shift in (0, 8, 16, 24):
+        plane = ((tbl >> np.uint32(shift)) & np.uint32(0xFF)).astype(
+            jnp.float32).T                                # [D, m]
+        acc = jnp.dot(plane, onehot_T,
+                      preferred_element_type=jnp.float32)
+        term = acc.astype(jnp.uint32) << np.uint32(shift)
+        packed = term if packed is None else packed | term
 
     seeds4 = packed[0:4].reshape(4, T, LANES)
     cws_t = packed[4:].reshape(bucket_bits, 8, T, LANES)
