@@ -759,26 +759,21 @@ def _make_dcf_eval_kernel(in_bits: int, party: int, key_pats,
     return kernel
 
 
-def dcf_pack_eval(s0, cws, xs, in_bits: int,
-                  block_rows: int = DEFAULT_BLOCK_ROWS):
-    """DCF keys -> plane layout. cws rows are 8 words: s_cw (tl in the
-    word-3 LSB) + v_cw (tr in the word-7 LSB). Returns (sp, cwp
-    [in_bits, 258, T, 128], xp, v_last [B?, 4], B)."""
-    xs = jnp.asarray(xs, dtype=jnp.uint32)
-    B = xs.shape[0]
-    tile = 32 * LANES * block_rows
-    (xsp,), Bp = _pad_batch([xs], B, tile)
-    W = Bp // 32
-    T = W // LANES
+# Largest instance count the DCF pack transposes in one XLA fusion.
+# 2026-08-19 bracket triage (triage_dcf_aes.jsonl, steps pack/ktile/
+# unpacktile): dcf_pack_eval ALONE crashes the TPU worker at B=2^19 —
+# its 32-byte cw rows become a [in_bits*32, B] byte matrix (~1 GB of
+# transpose intermediates) — while the eval kernel and the double
+# unpack at the same 2^19 shape are clean. Pack in 2^17-row chunks
+# (the proven-stable shape; chunks map to independent row tiles, so
+# word-axis concatenation is exact).
+DCF_PACK_MAX_ROWS = int(os.environ.get("FSS_DCF_PACK_MAX_ROWS",
+                                       str(1 << 17)))
 
-    cws = jnp.asarray(cws)
-    shared_key = cws.ndim == 2
-    if shared_key:
-        s0b, cwsb = jnp.asarray(s0)[None], cws[None]
-    else:
-        (s0b, cwsb), _ = _pad_batch([jnp.asarray(s0), cws], B, tile)
-    Wk = 1 if shared_key else W
 
+def _dcf_pack_keys(s0b, cwsb, in_bits: int, shared_key: bool):
+    """Per-instance key planes: (sp [128, Wk], cwp [in_bits, 258, Wk])."""
+    Wk = 1 if shared_key else s0b.shape[0] // 32
     sbytes = jnp.stack([(s0b[:, c // 4] >> np.uint32(8 * (c % 4)))
                         & np.uint32(0xFF) for c in range(16)])
     if shared_key:
@@ -805,20 +800,70 @@ def dcf_pack_eval(s0, cws, xs, in_bits: int,
     cwp_v = cwp_v.at[:, 12].set(jnp.zeros_like(tr))
     cwp = jnp.concatenate([cwp_s, cwp_v, tl[:, None], tr[:, None]],
                           axis=1)
+    return sp, cwp
 
-    if shared_key:
-        sp = jnp.broadcast_to(sp[:, :1], (128, W))
-        cwp = jnp.broadcast_to(cwp[:, :, :1], (in_bits, 258, W))
-    sp = sp.reshape(128, T, LANES)
-    cwp = cwp.reshape(in_bits, 258, T, LANES)
 
+def _dcf_pack_xs(xsp, in_bits: int):
+    """Eval-point bit planes, MSB-first per level: [in_bits, W]."""
+    W = xsp.shape[0] // 32
     xbits = _bytes_to_planes(
         jnp.stack([(xsp >> np.uint32(8 * k)) & np.uint32(0xFF)
                    for k in range(4)]))
     xplane = xbits.reshape(32, W)
-    xp = jnp.stack([xplane[in_bits - 1 - i]
-                    for i in range(in_bits)]).reshape(in_bits, T, LANES)
+    return jnp.stack([xplane[in_bits - 1 - i] for i in range(in_bits)])
 
+
+def dcf_pack_eval(s0, cws, xs, in_bits: int,
+                  block_rows: int = DEFAULT_BLOCK_ROWS,
+                  max_rows: int | None = None):
+    """DCF keys -> plane layout. cws rows are 8 words: s_cw (tl in the
+    word-3 LSB) + v_cw (tr in the word-7 LSB). Returns (sp, cwp
+    [in_bits, 258, T, 128], xp, v_last [B?, 4], B). Per-instance key
+    batches above ``max_rows`` (default DCF_PACK_MAX_ROWS) are packed
+    in chunks — see the worker-crash note above."""
+    xs = jnp.asarray(xs, dtype=jnp.uint32)
+    B = xs.shape[0]
+    tile = 32 * LANES * block_rows
+    (xsp,), Bp = _pad_batch([xs], B, tile)
+    W = Bp // 32
+    T = W // LANES
+
+    cws = jnp.asarray(cws)
+    shared_key = cws.ndim == 2
+    mr = DCF_PACK_MAX_ROWS if max_rows is None else max_rows
+    if shared_key:
+        s0b, cwsb = jnp.asarray(s0)[None], cws[None]
+        sp, cwp = _dcf_pack_keys(s0b, cwsb, in_bits, shared_key=True)
+        sp = jnp.broadcast_to(sp[:, :1], (128, W))
+        cwp = jnp.broadcast_to(cwp[:, :, :1], (in_bits, 258, W))
+        xp = _dcf_pack_xs(xsp, in_bits)
+    else:
+        (s0b, cwsb), _ = _pad_batch([jnp.asarray(s0), cws], B, tile)
+        if Bp > mr and Bp % mr == 0 and mr % tile == 0:
+            C = Bp // mr
+
+            def _chunk(args):
+                s0c, cwc, xc = args
+                spc, cwpc = _dcf_pack_keys(s0c, cwc, in_bits,
+                                           shared_key=False)
+                return spc, cwpc, _dcf_pack_xs(xc, in_bits)
+
+            spc, cwpc, xpc = jax.lax.map(_chunk, (
+                s0b.reshape(C, mr, 4),
+                cwsb.reshape(C, mr, in_bits + 1, 8),
+                xsp.reshape(C, mr)))
+            sp = jnp.transpose(spc, (1, 0, 2)).reshape(128, W)
+            cwp = jnp.transpose(cwpc, (1, 2, 0, 3)).reshape(
+                in_bits, 258, W)
+            xp = jnp.transpose(xpc, (1, 0, 2)).reshape(in_bits, W)
+        else:
+            sp, cwp = _dcf_pack_keys(s0b, cwsb, in_bits,
+                                     shared_key=False)
+            xp = _dcf_pack_xs(xsp, in_bits)
+
+    sp = sp.reshape(128, T, LANES)
+    cwp = cwp.reshape(in_bits, 258, T, LANES)
+    xp = xp.reshape(in_bits, T, LANES)
     v_last = (cws[None] if shared_key else cwsb)[:, in_bits, 4:8]
     return sp, cwp, xp, v_last, B
 

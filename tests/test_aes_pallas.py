@@ -158,6 +158,14 @@ def test_dcf_eval_kernel_chunked(rng):
         interpret=True, max_t=1))
     assert np.array_equal(got, want)
 
+    # Chunked pack (the 2^19 pack-crash mitigation) == single-shot pack.
+    one = aes_pallas.dcf_pack_eval(s0s[:, 0], cws, alphas, in_bits,
+                                   block_rows=1)
+    chk = aes_pallas.dcf_pack_eval(s0s[:, 0], cws, alphas, in_bits,
+                                   block_rows=1, max_rows=4096)
+    for a, b in zip(one[:4], chk[:4]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_gen_kernel(rng):
     """Plane-domain AES Gen kernel == schemes.dpf.gen (interpret):
