@@ -274,8 +274,12 @@ def _bench_registry():
 
     @_lazy
     def L_dcf_aes():
-        cwsda = jax.jit(jax.vmap(
-            lambda s, a, b: _dcfs.gen(prgd4, g, ib, "lt", s, a, b)))(
+        # Chunked gen: one 2^19 fusion of the mul=4 bitsliced-AES gen
+        # graph crashes the TPU worker (triage_dcf_aes.jsonl step gen).
+        genv = jax.vmap(
+            lambda s, a, b: _dcfs.gen(prgd4, g, ib, "lt", s, a, b))
+        cwsda = jax.jit(lambda s, a, b: blk.map_rows(
+            lambda t: genv(*t), (s, a, b), Ba, 1 << 17))(
                 s0sb[:Ba], a_l[:Ba], betas[:Ba])
         dasp, dacwp, daxp, davl, _ = jax.jit(
             _aesk.dcf_pack_eval,

@@ -150,3 +150,24 @@ def to_words(blk: jax.Array):
 
 def from_words(w0, w1, w2, w3) -> jax.Array:
     return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+def map_rows(fn, args, rows: int, max_rows: int):
+    """Apply a batched function over leading-axis chunks via lax.map.
+
+    Very large single fusions of the bitsliced AES / plane-transpose
+    graphs can crash the TPU worker (observed 2026-08-19 at B=2^19 on
+    the vmapped mul=4 AES DCF gen; scripts/artifacts/
+    triage_dcf_aes.jsonl). ``fn`` takes the pytree ``args`` whose arrays
+    all have leading dim ``rows``; when rows exceeds ``max_rows`` (and
+    divides evenly) the call runs as sequential max_rows-sized chunks
+    inside one device program. Bit-exact: chunks are independent rows.
+    """
+    if rows <= max_rows or rows % max_rows:
+        return fn(args)
+    c = rows // max_rows
+    chunked = jax.tree_util.tree_map(
+        lambda a: a.reshape((c, max_rows) + a.shape[1:]), args)
+    out = jax.lax.map(fn, chunked)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:]), out)

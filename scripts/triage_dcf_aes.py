@@ -67,9 +67,10 @@ def _build_inputs(log2_batch: int, block_rows: int):
         rng.integers(0, 2**IB, size=B, dtype=np.uint32), IB)
     betas = jnp.asarray(blk.block(rng.integers(0, 2**32, size=(B, 4))))
     xs = jnp.asarray(rng.integers(0, 2**IB, size=B, dtype=np.uint32))
-    cws = jax.jit(jax.vmap(
-        lambda s, a, b: _dcfs.gen(prgd4, g, IB, "lt", s, a, b)))(
-            s0sb, a_l, betas)
+    genv = jax.vmap(
+        lambda s, a, b: _dcfs.gen(prgd4, g, IB, "lt", s, a, b))
+    cws = jax.jit(lambda s, a, b: blk.map_rows(
+        lambda t: genv(*t), (s, a, b), B, 1 << 17))(s0sb, a_l, betas)
     sp, cwp, xp, vl, _ = jax.jit(
         _aesk.dcf_pack_eval, static_argnames=("in_bits", "block_rows"))(
             s0sb[:, 0], cws, xs, in_bits=IB, block_rows=block_rows)
@@ -119,6 +120,54 @@ def _bracket_step(args) -> None:
 
     lb = args.log2_batch
     t0 = time.perf_counter()
+    if args.step == "gen":
+        # Vmapped mul=4 AES gen ALONE at the full batch (the pack probe
+        # ran gen at 2^19 inside _build_inputs, so its crash did not
+        # separate gen from pack).
+        import numpy as np
+        from fss_tpu import block as blk
+        from fss_tpu import groups
+        from fss_tpu.prg.aes import Aes128Mmo
+        from fss_tpu.schemes import dcf as _dcfs
+        g = groups.Uint(32)
+        prgd4 = Aes128Mmo(mul=4, keys=AES_KEYS4)
+        B = 1 << lb
+        rng = np.random.default_rng(42)
+        s0sb = jnp.asarray(blk.block(
+            rng.integers(0, 2**32, size=(B, 2, 4))))
+        a_l = blk.pack_inputs(
+            rng.integers(0, 2**IB, size=B, dtype=np.uint32), IB)
+        betas = jnp.asarray(blk.block(
+            rng.integers(0, 2**32, size=(B, 4))))
+        cws = jax.jit(jax.vmap(
+            lambda s, a, b: _dcfs.gen(prgd4, g, IB, "lt", s, a, b)))(
+                s0sb, a_l, betas)
+        chk = int(jax.jit(jnp.sum)(cws))
+        print(json.dumps({"step": "gen", "log2_batch": lb,
+                          "checksum": chk, "wall_s": round(
+                              time.perf_counter() - t0, 1)}), flush=True)
+        return
+
+    if args.step == "packtile":
+        # Gen at the stable lb-2, tile keys/xs 4x on device, pack at the
+        # full batch: isolates dcf_pack_eval with no big gen graph.
+        g, prgd4, s0sb, cws, xs, _packed, Bs = _build_inputs(
+            lb - 2, args.block_rows)
+        s0t = jnp.tile(s0sb[:, 0], (4, 1))
+        cwt = jnp.tile(cws, (4, 1, 1))
+        xst = jnp.tile(xs, (4,))
+        sp, cwp, xp, vl, _ = jax.jit(
+            _aesk.dcf_pack_eval,
+            static_argnames=("in_bits", "block_rows"))(
+                s0t, cwt, xst, in_bits=IB, block_rows=args.block_rows)
+        chk = int(jax.jit(lambda a, b, c: jnp.sum(a) ^ jnp.sum(b)
+                          ^ jnp.sum(c))(sp, cwp, xp))
+        print(json.dumps({"step": "packtile", "log2_batch": lb,
+                          "tiled_from": lb - 2, "checksum": chk,
+                          "wall_s": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+        return
+
     if args.step == "pack":
         g, prgd4, s0sb, cws, xs, packed, B = _build_inputs(
             lb, args.block_rows)
@@ -175,7 +224,7 @@ def run_step(args) -> None:
     plat = jax.devices()[0].platform
     print(json.dumps({"platform": plat}), flush=True)
 
-    if args.step in ("pack", "ktile", "unpacktile"):
+    if args.step in ("pack", "ktile", "unpacktile", "gen", "packtile"):
         _bracket_step(args)
         return
 
@@ -323,7 +372,8 @@ def drive() -> int:
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--step", choices=["golden", "single", "loop",
-                                       "pack", "ktile", "unpacktile"])
+                                       "pack", "ktile", "unpacktile",
+                                       "gen", "packtile"])
     ap.add_argument("--log2-batch", type=int, default=19)
     ap.add_argument("--block-rows", type=int, default=8)
     ap.add_argument("--no-check", action="store_true",

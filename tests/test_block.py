@@ -61,3 +61,23 @@ def test_masked_xor(rng):
     exp = np.where(np.asarray(cond)[:, None].astype(bool),
                    np.asarray(a) ^ np.asarray(d), np.asarray(a))
     assert np.array_equal(out, exp)
+
+
+def test_map_rows_chunked_equals_direct(rng):
+    a = blk.block(rng.integers(0, 2**32, size=(32, 4)))
+    b = blk.block(rng.integers(0, 2**32, size=(32, 4)))
+
+    def f(args):
+        x, y = args
+        return blk.xor(x, y), x[:, 0] + y[:, 1]
+
+    direct = f((a, b))
+    chunked = blk.map_rows(f, (a, b), 32, 8)
+    for d, c in zip(direct, chunked):
+        assert np.array_equal(np.asarray(d), np.asarray(c))
+    # non-divisible and small batches fall through to one call
+    small = blk.map_rows(f, (a, b), 32, 40)
+    odd = blk.map_rows(f, (a, b), 32, 7)
+    for d, c, o in zip(direct, small, odd):
+        assert np.array_equal(np.asarray(d), np.asarray(c))
+        assert np.array_equal(np.asarray(d), np.asarray(o))
