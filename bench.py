@@ -274,13 +274,14 @@ def _bench_registry():
 
     @_lazy
     def L_dcf_aes():
-        # Chunked gen: one 2^19 fusion of the mul=4 bitsliced-AES gen
-        # graph crashes the TPU worker (triage_dcf_aes.jsonl step gen).
-        genv = jax.vmap(
-            lambda s, a, b: _dcfs.gen(prgd4, g, ib, "lt", s, a, b))
-        cwsda = jax.jit(lambda s, a, b: blk.map_rows(
-            lambda t: genv(*t), (s, a, b), Ba, 1 << 17))(
-                s0sb[:Ba], a_l[:Ba], betas[:Ba])
+        # Host-chunked gen: the 2^19 mul=4 bitsliced-AES gen crashes
+        # the TPU worker in ONE dispatch even lax.map-chunked; four
+        # 2^17 dispatches run fine (triage_dcf_aes.jsonl step gen).
+        genj = jax.jit(jax.vmap(
+            lambda s, a, b: _dcfs.gen(prgd4, g, ib, "lt", s, a, b)))
+        cwsda = blk.map_rows_host(
+            lambda t: genj(*t), (s0sb[:Ba], a_l[:Ba], betas[:Ba]),
+            Ba, 1 << 17)
         dasp, dacwp, daxp, davl, _ = jax.jit(
             _aesk.dcf_pack_eval,
             static_argnames=("in_bits", "block_rows"))(
@@ -314,10 +315,14 @@ def _bench_registry():
 
     @_lazy
     def L_vdpf_aes():
-        vcwa, vcsa, vocwa, _vf = jax.jit(jax.vmap(
+        # Host-chunked gen (this row sat after round 3's crash point and
+        # has never run at 2^19; same insurance as the DCF-AES row).
+        vgenj = jax.jit(jax.vmap(
             lambda s, a, b: _vdpfs.gen(prga, sh.xor_hash, g, ib,
-                                       s, a, b)))(
-                s0sb[:Ba], a_l[:Ba], betas[:Ba])
+                                       s, a, b)))
+        vcwa, vcsa, vocwa, _vf = blk.map_rows_host(
+            lambda t: vgenj(*t), (s0sb[:Ba], a_l[:Ba], betas[:Ba]),
+            Ba, 1 << 17)
         zrow = jnp.zeros((Ba, 1, 8), dtype=jnp.uint32)
         vasp, vacwp, vaxp, _, _ = jax.jit(
             _aesk.pack_eval,

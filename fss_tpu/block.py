@@ -171,3 +171,25 @@ def map_rows(fn, args, rows: int, max_rows: int):
     out = jax.lax.map(fn, chunked)
     return jax.tree_util.tree_map(
         lambda a: a.reshape((-1,) + a.shape[2:]), out)
+
+
+def map_rows_host(fn, args, rows: int, max_rows: int):
+    """Like :func:`map_rows` but each chunk is a SEPARATE device
+    dispatch (host loop + concatenate).
+
+    Needed when even the lax.map-chunked program crashes the worker:
+    the 2^19-instance mul=4 AES DCF gen faults inside ONE dispatch
+    regardless of in-program chunking, but runs fine as four 2^17
+    dispatches (triage_dcf_aes.jsonl, 2026-08-19). ``fn`` should be
+    jitted by the caller so all chunks share one compilation.
+    """
+    if rows <= max_rows or rows % max_rows:
+        return fn(args)
+    c = rows // max_rows
+    outs = []
+    for i in range(c):
+        chunk = jax.tree_util.tree_map(
+            lambda a: a[i * max_rows:(i + 1) * max_rows], args)
+        outs.append(fn(chunk))
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs), *outs)

@@ -67,10 +67,10 @@ def _build_inputs(log2_batch: int, block_rows: int):
         rng.integers(0, 2**IB, size=B, dtype=np.uint32), IB)
     betas = jnp.asarray(blk.block(rng.integers(0, 2**32, size=(B, 4))))
     xs = jnp.asarray(rng.integers(0, 2**IB, size=B, dtype=np.uint32))
-    genv = jax.vmap(
-        lambda s, a, b: _dcfs.gen(prgd4, g, IB, "lt", s, a, b))
-    cws = jax.jit(lambda s, a, b: blk.map_rows(
-        lambda t: genv(*t), (s, a, b), B, 1 << 17))(s0sb, a_l, betas)
+    genj = jax.jit(jax.vmap(
+        lambda s, a, b: _dcfs.gen(prgd4, g, IB, "lt", s, a, b)))
+    cws = blk.map_rows_host(lambda t: genj(*t), (s0sb, a_l, betas),
+                            B, 1 << 17)
     sp, cwp, xp, vl, _ = jax.jit(
         _aesk.dcf_pack_eval, static_argnames=("in_bits", "block_rows"))(
             s0sb[:, 0], cws, xs, in_bits=IB, block_rows=block_rows)

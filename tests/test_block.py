@@ -81,3 +81,18 @@ def test_map_rows_chunked_equals_direct(rng):
     for d, c, o in zip(direct, small, odd):
         assert np.array_equal(np.asarray(d), np.asarray(c))
         assert np.array_equal(np.asarray(d), np.asarray(o))
+
+
+def test_map_rows_host_equals_direct(rng):
+    a = blk.block(rng.integers(0, 2**32, size=(32, 4)))
+    b = blk.block(rng.integers(0, 2**32, size=(32, 4)))
+
+    def f(args):
+        x, y = args
+        return blk.xor(x, y), x[:, 0] + y[:, 1]
+
+    direct = f((a, b))
+    for mr in (8, 7, 40):
+        out = blk.map_rows_host(f, (a, b), 32, mr)
+        for d, c in zip(direct, out):
+            assert np.array_equal(np.asarray(d), np.asarray(c)), mr
