@@ -156,7 +156,17 @@ def _bench_registry():
 
     def _row(name, unit, thunk):
         # Lazy row: the measurement only runs if the row isn't skipped.
-        return () if _skip(name) else ((name, thunk(), unit),)
+        # A raising row is reported and dropped instead of killing the
+        # whole registry (a Mosaic lowering error in one kernel voided
+        # 14 rows + roofline + full verify on 2026-08-19).
+        if _skip(name):
+            return ()
+        try:
+            return ((name, thunk(), unit),)
+        except Exception as e:
+            print(f"bench: row {name} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+            return ()
 
     def _lazy(fn):
         """Memoized zero-arg setup closure: device-side row setup only
@@ -184,10 +194,9 @@ def _bench_registry():
 
     # Per-domain Pallas eval numbers.
     for ib in (14, 16, 20):
-        if _skip(f"dpf_eval_chacha_uint_{ib}bit"):
-            continue
-        v, _ = _bench_dpf_eval(ib, LOG2_BATCH, iters=8)
-        yield (f"dpf_eval_chacha_uint_{ib}bit", v, "evals/s/chip")
+        yield from _row(
+            f"dpf_eval_chacha_uint_{ib}bit", "evals/s/chip",
+            lambda ib=ib: _bench_dpf_eval(ib, LOG2_BATCH, iters=8)[0])
 
     # DPF gen, batched keys (bench_gpu.cu BM_DpfGen shape).
     prg2 = ChaCha(mul=2, nonce=nonce)

@@ -1047,12 +1047,16 @@ def _make_gen_kernel(in_bits: int, key_pats):
         tr_cw = t0r ^ t1r ^ ab
 
         # Emit the eval kernel's cw layout: 128 planes (plane 12 zero) +
-        # tl + tr planes.
-        cw_planes = jnp.concatenate([v.reshape(16, R, L) for v in cwb],
-                                    axis=0)
-        cw_planes = cw_planes.at[12].set(jnp.zeros_like(cw_planes[12]))
+        # tl + tr planes. Plane 12 (global) is row 12 of the first
+        # 16-plane part; zero it via static slice+concat — a value-level
+        # .at[12].set lowers to `scatter`, which Mosaic cannot compile
+        # (campaign crash 2026-08-19; interpret mode accepted it).
+        parts = [v.reshape(16, R, L) for v in cwb]
+        parts[0] = jnp.concatenate(
+            [parts[0][:12], jnp.zeros_like(parts[0][12:13]),
+             parts[0][13:]], axis=0)
         cwo_ref[0] = jnp.concatenate(
-            [cw_planes, tl_cw[None], tr_cw[None]], axis=0)
+            parts + [tl_cw[None], tr_cw[None]], axis=0)
 
         # Descend on the alpha path, applying the cw where t is set
         # (dpf.cuh:124-147).

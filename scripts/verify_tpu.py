@@ -343,14 +343,18 @@ def check_gen_kernels(interpret, quick=False):
             raise Mismatch(f"dpf_gen[{_cid(case)}]: key bytes differ")
         n_cfg += 1
 
-    if quick:
-        return n_cfg
-
-    # Plane-domain AES gen kernel (ops/aes_pallas.gen_batch).
+    # Plane-domain AES gen kernel (ops/aes_pallas.gen_batch). Runs in
+    # quick mode too (one config): the first-ever Mosaic lowering of
+    # this kernel happened mid-registry and killed the 2026-08-19
+    # campaign on an unimplemented `scatter` — the gate must compile it
+    # before anything is timed.
     from fss_tpu.ops import aes_pallas
+    n_aes = 0
     for case in _load("dpf")["cases"]:
         if case["prg"] != "aes" or case["in_bits"] > 32:
             continue
+        if quick and n_aes:
+            break
         g = _group(case)
         keys = tuple(_h2b(k) for k in case["aes_keys"][:2])
         s0s, alphas, betas = gen_inputs(case)
@@ -361,8 +365,14 @@ def check_gen_kernels(interpret, quick=False):
         if not np.array_equal(cws, np.broadcast_to(exp, cws.shape)):
             raise Mismatch(f"dpf_gen_aes[{_cid(case)}]: key bytes differ")
         n_cfg += 1
+        n_aes += 1
 
+    # One config per remaining gen-kernel family in quick mode (the
+    # registry times all of them; each must compile in the gate).
+    n_fam = 0
     for case in _load("dcf")["cases"]:
+        if quick and n_fam:
+            break
         g = _group(case)
         if (case["prg"] != "chacha" or case["in_bits"] > 32
                 or not dcf_pallas.gen_kernel_supports_group(g)):
@@ -376,8 +386,12 @@ def check_gen_kernels(interpret, quick=False):
         if not np.array_equal(cws, np.broadcast_to(exp, cws.shape)):
             raise Mismatch(f"dcf_gen[{_cid(case)}]: key bytes differ")
         n_cfg += 1
+        n_fam += 1
 
+    n_fam = 0
     for case in _load("half_tree")["cases"]:
+        if quick and n_fam:
+            break
         if (case["prg"] != "chacha" or case["in_bits"] < 2
                 or case["in_bits"] > 32):
             continue
@@ -399,8 +413,12 @@ def check_gen_kernels(interpret, quick=False):
                                               np.asarray(ocw).shape)):
             raise Mismatch(f"ht_gen[{_cid(case)}]: ocw bytes differ")
         n_cfg += 1
+        n_fam += 1
 
+    n_fam = 0
     for case in _load("vdpf")["cases"]:
+        if quick and n_fam:
+            break
         if case["prg"] != "chacha" or case["in_bits"] > 32:
             continue
         g = _group(case)
@@ -424,6 +442,7 @@ def check_gen_kernels(interpret, quick=False):
                                               np.asarray(ocw).shape)):
             raise Mismatch(f"vdpf_gen[{_cid(case)}]: ocw differ")
         n_cfg += 1
+        n_fam += 1
     return n_cfg
 
 
