@@ -426,8 +426,14 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
             jax.ShapeDtypeStruct((4, nrows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((nrows, LANES), jnp.uint32),
         ],
+        # Wide domains keep the whole [in_bits, 8, R, 128] key table
+        # VMEM-resident; at in_bits=128 the block + kernel stack is
+        # 16.2 MB, just over Mosaic's default 16 MB scoped limit
+        # (compile OOM observed on-chip 2026-08-19). v5e has 128 MB of
+        # VMEM — raise the per-kernel cap for >64-bit domains.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=(32 * 2**20 if in_bits > 64 else None)),
         interpret=interpret,
     )(seeds4, cws_t, xs2)
     return so, t

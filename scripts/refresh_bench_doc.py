@@ -84,6 +84,8 @@ UNIT_WORD = {"evals/s/chip": "M/s", "keys/s/chip": "M keys/s",
 
 
 def _fmt(value: float, unit: str) -> str:
+    if value < 1e6:  # e.g. whole-database PIR lookups
+        return f"{value:,.1f} {unit.replace('/s/chip', '/s')}"
     word = UNIT_WORD.get(unit, unit)
     txt = f"{value / 1e6:.1f} {word}"
     if "queries" in unit:
