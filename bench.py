@@ -359,6 +359,28 @@ def _bench_registry():
         lambda: _timeit(fvaes, L_vdpf_aes(), Ba))
     from fss_tpu.ops import dpf_pallas as _dpfk
     alphas_u32 = rng.integers(0, 2**ib, size=B, dtype=np.uint32)
+
+    # Gen emitting the PACKED (plane) key layout the fused eval kernel
+    # consumes directly — the gen->eval pipeline shape, with no
+    # wire-format word-layout assembly (that conversion costs ~15%;
+    # scripts/artifacts/gen_sweep.out).
+    @_lazy
+    def L_gen_packed():
+        s8, a2, _ = jax.jit(
+            _dpfk.pack_gen_inputs,
+            static_argnames=("in_bits", "block_rows"))(
+                s0sb, alphas_u32, in_bits=ib)
+        return jax.device_put(s8), jax.device_put(a2)
+
+    @jax.jit
+    def fgp(s8, a2):
+        outs = _dpfk.gen_packed(s8, a2, ib, nonce)
+        return jnp.sum(outs[0][0, 0, 0]) + jnp.sum(outs[3][0])
+
+    yield from _row(
+        "dpf_gen_packed_chacha_uint_16bit", "keys/s/chip",
+        lambda: _timeit(fgp, L_gen_packed(), B))
+
     fg = jax.jit(lambda s, a, b: jnp.sum(_dpfk.gen_batch(
         nonce, g, ib, s, a, b)[:, 0, 0]))
     yield from _row(

@@ -45,6 +45,9 @@ TABLE = [
      "0.34 M/s (CPU, 2959 ns)"),
     ("dpf_gen_chacha_uint_16bit", "DPF Gen 16-bit",
      "190 M/s (GPU, 20-bit)"),
+    ("dpf_gen_packed_chacha_uint_16bit",
+     "DPF Gen 16-bit, packed key layout (gen->eval pipeline shape)",
+     "(no wire-format assembly; reference always materializes keys)"),
     ("dpf_gen_aes_uint_16bit",
      "DPF Gen 16-bit, AES PRG (plane-domain kernel)",
      "(host-only in reference: AES gen traps on device)"),
