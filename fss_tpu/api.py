@@ -72,6 +72,22 @@ def _kernel_inputs(xs, in_bits: int):
 
 # --- jitted kernels, specialized on (prg, group, in_bits, party) -----------
 
+# Largest key batch an XLA-fallback gen runs in ONE device dispatch:
+# the bitsliced-AES/plane-transpose gen graphs crash the TPU worker in
+# a single >= 2^19-instance dispatch even when chunked in-program
+# (CLAUDE.md; scripts/artifacts/triage_dcf_aes.jsonl). gen_batch
+# fallbacks split bigger batches into separate host dispatches.
+import os as _os
+
+_SAFE_DISPATCH_ROWS = int(_os.environ.get("FSS_TPU_SAFE_DISPATCH_ROWS",
+                                          str(1 << 17)))
+
+
+def _host_chunked(fn, args):
+    rows = int(jnp.asarray(jax.tree_util.tree_leaves(args)[0]).shape[0])
+    return blk.map_rows_host(fn, args, rows, _SAFE_DISPATCH_ROWS)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _dpf_gen(prg, group, in_bits, s0s, a_lanes, beta):
     return _dpf.gen(prg, group, in_bits, s0s, a_lanes, beta)
@@ -188,8 +204,10 @@ class Dpf:
                 jnp.asarray(s0s), jnp.asarray(alphas, dtype=jnp.uint32),
                 jnp.asarray(betas))
         a = blk.pack_inputs(alphas, self.in_bits)
-        return _dpf_gen_batch(self.prg, self.group, self.in_bits,
-                              s0s, a, betas)
+        return _host_chunked(
+            lambda t: _dpf_gen_batch(self.prg, self.group, self.in_bits,
+                                     *t),
+            (jnp.asarray(s0s), a, jnp.asarray(betas)))
 
     def eval(self, party: int, s0, cws, xs):
         if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
@@ -253,9 +271,11 @@ class Dcf:
                 jnp.asarray(alphas, dtype=jnp.uint32),
                 jnp.asarray(betas), rounds=self.prg.rounds)
         a = blk.pack_inputs(alphas, self.in_bits)
-        return jax.vmap(lambda s, al, be: _dcf_gen(
-            self.prg, self.group, self.in_bits, self.pred, s, al, be))(
-            jnp.asarray(s0s), a, jnp.asarray(betas))
+        return _host_chunked(
+            lambda t: jax.vmap(lambda s, al, be: _dcf_gen(
+                self.prg, self.group, self.in_bits, self.pred,
+                s, al, be))(*t),
+            (jnp.asarray(s0s), a, jnp.asarray(betas)))
 
     def eval(self, party: int, s0, cws, xs):
         if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
@@ -383,10 +403,13 @@ class Vdpf:
                     self.prg.nonce, self.xor_hash, self.group,
                     self.in_bits, s, a_u32, b, rounds=self.prg.rounds)
         else:
-            gen_v = jax.jit(jax.vmap(
+            gen_inner = jax.jit(jax.vmap(
                 lambda s, a, b: _vdpf.gen(self.prg, self.xor_hash,
                                           self.group, self.in_bits, s, a,
                                           b)))
+
+            def gen_v(s, a, b):
+                return _host_chunked(lambda t: gen_inner(*t), (s, a, b))
 
         s0s = np.asarray(blk.block(rng.integers(0, 2**32, size=(B, 2, 4))))
         cws, cs, ocw, fail = gen_v(jnp.asarray(s0s), a_lanes, betas)
@@ -574,8 +597,10 @@ class HalfTreeDpf:
                 jnp.asarray(alphas, dtype=jnp.uint32),
                 jnp.asarray(betas), rounds=self.prg.rounds)
         a = blk.pack_inputs(alphas, self.in_bits)
-        return _ht_gen_batch(self.prg, self.group, self.in_bits,
-                             self.hash_key, s0s, a, betas)
+        return _host_chunked(
+            lambda t: _ht_gen_batch(self.prg, self.group, self.in_bits,
+                                    self.hash_key, *t),
+            (jnp.asarray(s0s), a, jnp.asarray(betas)))
 
     def eval(self, party: int, s0, cws, ocw, xs):
         if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)

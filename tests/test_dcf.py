@@ -96,3 +96,24 @@ def test_alpha_edges(rng):
             hits = (xs < alpha) if pred == "lt" else (xs > alpha)
             exp = np.where(hits[:, None], beta_val[None, :], 0)
             assert np.array_equal(rec, exp), (alpha, pred)
+
+
+def test_gen_batch_fallback_host_chunked(rng, monkeypatch):
+    """The XLA-fallback gen_batch path (AES PRG: no fused DCF gen
+    kernel) splits large batches into separate host dispatches
+    (api._SAFE_DISPATCH_ROWS; TPU-worker dispatch-size crash) — chunked
+    output must equal single-dispatch output."""
+    import fss_tpu.api as api
+    from fss_tpu.prg.aes import Aes128Mmo
+
+    keys4 = tuple(bytes(range(16 * i, 16 * i + 16)) for i in range(4))
+    c = Dcf(8, group=groups.Uint(64),
+            prg=Aes128Mmo(mul=4, keys=keys4, backend="table"))
+    B = 8
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**8, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    whole = np.asarray(c.gen_batch(s0s, alphas, betas))
+    monkeypatch.setattr(api, "_SAFE_DISPATCH_ROWS", 2)
+    chunked = np.asarray(c.gen_batch(s0s, alphas, betas))
+    assert np.array_equal(whole, chunked)
