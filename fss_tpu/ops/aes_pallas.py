@@ -1221,3 +1221,345 @@ def gen_batch(prg_keys, group, in_bits: int, s0s: jax.Array,
         [group.into_block(v_cw), jnp.zeros((B, 4), dtype=jnp.uint32)],
         axis=-1)
     return jnp.concatenate([rows, last[:, None, :]], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Fused batched DCF Gen kernel in the plane domain (dcf.cuh:108-194):
+# both parties' tree walks run bitsliced — 8 AES per level (4 MMO lanes
+# x 2 parties) — with the running group value v, the value CW
+# construction, and the conditional negations all as bitsliced
+# ripple-carry chains over the value bit-planes (Bytes group: plain
+# XOR). Emits dcf_pack_eval's [258]-plane cw layout per level, so
+# gen -> eval chains stay in plane space. The reference generates
+# AES-config DCF keys host-only (its device AES traps).
+# ---------------------------------------------------------------------------
+
+
+def _flat_planes(groups8):
+    """8 bit-groups [4, 4, R, L] -> flat list of 128 [R, L] planes."""
+    return [groups8[p // 16][(p % 16) // 4, (p % 16) % 4]
+            for p in range(128)]
+
+
+def _bits_add(a, b):
+    """Bitsliced a + b over bit-indexed lists (wrapping at len(a))."""
+    out, carry = [], None
+    for k in range(len(a)):
+        axb = a[k] ^ b[k]
+        if carry is None:
+            out.append(axb)
+            carry = a[k] & b[k]
+        else:
+            out.append(axb ^ carry)
+            carry = (a[k] & b[k]) | (carry & axb)
+    return out
+
+
+def _bits_sub(a, b):
+    """Bitsliced a - b (= a + ~b + 1) over bit-indexed lists."""
+    out, carry = [], None
+    for k in range(len(a)):
+        nb = ~b[k]
+        axb = a[k] ^ nb
+        if carry is None:
+            out.append(~axb)  # + carry-in 1
+            carry = a[k] | nb
+        else:
+            out.append(axb ^ carry)
+            carry = (a[k] & nb) | (carry & axb)
+    return out
+
+
+def _bits_neg(a):
+    """Bitsliced two's-complement negation (~a + 1)."""
+    out, carry = [], None
+    for k in range(len(a)):
+        na = ~a[k]
+        if carry is None:
+            out.append(a[k])  # na ^ 1
+            carry = na
+        else:
+            out.append(na ^ carry)
+            carry = na & carry
+    return out
+
+
+def _sel_list(mask, a, b):
+    """Per-plane mask ? a : b over equal-length lists."""
+    return [y ^ (mask & (x ^ y)) for x, y in zip(a, b)]
+
+
+def dcf_gen_kernel_supports_group(group) -> bool:
+    """Bytes, or wrapping Uint up to 64 bits (value bit k of a <=64-bit
+    group never lands on the clamped-bit plane 12; 128-bit groups keep
+    the scheme fallback)."""
+    from fss_tpu import groups as _groups
+    if isinstance(group, _groups.Bytes):
+        return True
+    return (isinstance(group, _groups.Uint) and group.mod == 0
+            and group.bits <= 64)
+
+
+def _make_dcf_gen_kernel(in_bits: int, key_pats, pred: str,
+                         group_is_xor: bool, group_bits: int):
+    """key_pats: 4 per-key round-key patterns (the mul=4 MMO lanes)."""
+    gplanes = ([None] if group_is_xor else
+               [_plane_index(k) for k in range(group_bits)])
+
+    def kernel(sp0_ref, sp1_ref, bp_ref, ap_ref, cwo_ref, s0o_ref,
+               s1o_ref, vo_ref, t0o_ref, t1o_ref):
+        i = pl.program_id(1)
+        byte_idx = _byte_iota()
+        mask96 = ~_pattern_mask(byte_idx, 1 << 12)
+
+        @pl.when(i == 0)
+        def _init():
+            s0o_ref[...] = sp0_ref[...]
+            s0o_ref[12] = jnp.zeros_like(s0o_ref[12])
+            s1o_ref[...] = sp1_ref[...]
+            s1o_ref[12] = jnp.zeros_like(s1o_ref[12])
+            vo_ref[...] = jnp.zeros_like(vo_ref)
+            t0o_ref[...] = jnp.zeros(t0o_ref.shape, dtype=jnp.uint32)
+            t1o_ref[...] = jnp.full(t1o_ref.shape, _FULL,
+                                    dtype=jnp.uint32)
+
+        R, L = s0o_ref.shape[1], s0o_ref.shape[2]
+
+        def gval(flat):
+            """Group value from 128 flat planes (drops non-group bits
+            for Uint; keeps all planes for Bytes)."""
+            if group_is_xor:
+                return list(flat)
+            return [flat[p] for p in gplanes]
+
+        def expand(st_ref):
+            s_bits = [st_ref[16 * b:16 * (b + 1)].reshape(4, 4, R, L)
+                      for b in range(8)]
+            kids = []
+            for k in range(4):  # s_l, v_l, s_r, v_r (dcf.cuh:119)
+                e = _aes_bits(s_bits, key_pats[k], byte_idx)
+                kids.append([e[b] ^ s_bits[b] for b in range(8)])
+            return kids
+
+        k0, k1 = expand(s0o_ref), expand(s1o_ref)
+        s0l, v0l8, s0r, v0r8 = k0
+        s1l, v1l8, s1r, v1r8 = k1
+        t0l, t0r = s0l[0][3, 0], s0r[0][3, 0]
+        t1l, t1r = s1l[0][3, 0], s1r[0][3, 0]
+        for kid in (s0l, s0r, s1l, s1r, v0l8, v0r8, v1l8, v1r8):
+            kid[0] = kid[0] & mask96  # clear the clamped-bit plane
+
+        ab = ap_ref[0]  # [R, L] alpha-bit plane (MSB-first level order)
+
+        # Seed CW = off-path sibling XOR (dcf.cuh:135-139).
+        cwb = []
+        for b in range(8):
+            lx = s0l[b] ^ s1l[b]
+            rx = s0r[b] ^ s1r[b]
+            cwb.append(rx ^ (ab[None, None] & (lx ^ rx)))
+        tl_cw = t0l ^ t1l ^ ab ^ _FULL
+        tr_cw = t0r ^ t1r ^ ab
+
+        # Value blocks as group bit-lists.
+        v0l = gval(_flat_planes(v0l8))
+        v0r = gval(_flat_planes(v0r8))
+        v1l = gval(_flat_planes(v1l8))
+        v1r = gval(_flat_planes(v1r8))
+        bv = gval([bp_ref[p] for p in range(128)])
+        v = gval([vo_ref[p] for p in range(128)])
+        t1 = t1o_ref[...]
+
+        # v_cw = -v + v1_off - v0_off (+ b on the predicate side),
+        # negated where t1 (dcf.cuh:145-153).
+        v1_off = _sel_list(ab, v1l, v1r)
+        v0_off = _sel_list(ab, v0l, v0r)
+        if group_is_xor:
+            v_cw = [x ^ y ^ z for x, y, z in zip(v, v1_off, v0_off)]
+        else:
+            v_cw = _bits_sub(_bits_sub(v1_off, v0_off), v)
+        add_b = ab if pred == "lt" else ~ab
+        if group_is_xor:
+            v_cw = _sel_list(add_b, [x ^ y for x, y in zip(v_cw, bv)],
+                             v_cw)
+        else:
+            v_cw = _sel_list(add_b, _bits_add(v_cw, bv), v_cw)
+            v_cw = _sel_list(t1, _bits_neg(v_cw), v_cw)
+
+        # Thread the running value (dcf.cuh:155-158):
+        # v += v0_on - v1_on + (t1 ? -v_cw : v_cw).
+        v1_on = _sel_list(ab, v1r, v1l)
+        v0_on = _sel_list(ab, v0r, v0l)
+        if group_is_xor:
+            v = [a ^ b ^ c ^ d for a, b, c, d in
+                 zip(v, v1_on, v0_on, v_cw)]
+        else:
+            v = _bits_add(_bits_sub(v, v1_on), v0_on)
+            v = _bits_add(v, _sel_list(t1, _bits_neg(v_cw), v_cw))
+
+        # Emit dcf_pack_eval's cw layout: 128 s planes | 128 v planes
+        # (clamped plane zero in both) | tl | tr.
+        s_parts = [p.reshape(16, R, L) for p in cwb]
+        zero = jnp.zeros((R, L), dtype=jnp.uint32)
+        if group_is_xor:
+            v_planes = list(v_cw)
+            v_planes[12] = zero
+        else:
+            v_planes = [zero] * 128
+            for k, p in enumerate(gplanes):
+                v_planes[p] = v_cw[k]
+        cwo_ref[0] = jnp.concatenate(
+            s_parts + [jnp.stack(v_planes), tl_cw[None], tr_cw[None]],
+            axis=0)
+
+        # Descend on the alpha path (dcf.cuh:160-188).
+        tcw = tl_cw ^ (ab & (tl_cw ^ tr_cw))
+        for st_ref, tt_ref, (lk, rk), (tl, tr) in (
+                (s0o_ref, t0o_ref, (s0l, s0r), (t0l, t0r)),
+                (s1o_ref, t1o_ref, (s1l, s1r), (t1l, t1r))):
+            t = tt_ref[...]
+            nb = []
+            for b in range(8):
+                keep = lk[b] ^ (ab[None, None] & (lk[b] ^ rk[b]))
+                cm = cwb[b] & t[None, None]
+                if b == 0:
+                    cm = cm & mask96
+                nb.append(keep ^ cm)
+            tt_ref[...] = (tl ^ (ab & (tl ^ tr))) ^ (t & tcw)
+            st_ref[...] = jnp.concatenate(
+                [x.reshape(16, R, L) for x in nb], axis=0)
+
+        # Persist the running value planes.
+        if group_is_xor:
+            vo_ref[...] = jnp.stack(v)
+        else:
+            vfull = [zero] * 128
+            for k, p in enumerate(gplanes):
+                vfull[p] = v[k]
+            vo_ref[...] = jnp.stack(vfull)
+
+    return kernel
+
+
+def _pack_block_planes(blocks: jax.Array, T: int):
+    """[Bp, 4] uint32 blocks -> [128, T, LANES] planes."""
+    sbytes = jnp.stack([(blocks[:, c // 4] >> np.uint32(8 * (c % 4)))
+                        & np.uint32(0xFF) for c in range(16)])
+    sp8 = _bytes_to_planes(sbytes)
+    return jnp.transpose(sp8, (1, 0, 2)).reshape(128, T, LANES)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("in_bits", "keys", "pred",
+                                    "group_is_xor", "group_bits",
+                                    "block_rows", "interpret"))
+def dcf_gen_packed(sp0, sp1, bp, ap, in_bits: int, keys, pred: str,
+                   group_is_xor: bool, group_bits: int,
+                   block_rows: int = DEFAULT_BLOCK_ROWS,
+                   interpret: bool = False):
+    """Run the fused plane-domain DCF Gen kernel. Returns
+    (cwp [in_bits, 258, T, 128] — dcf_pack_eval's layout — final seed
+    planes s0f/s1f, running-value planes vf, and t planes t0/t1)."""
+    T = sp0.shape[1]
+    assert T % block_rows == 0
+    key_pats = tuple(
+        tuple(map(tuple, _key_patterns(_round_key_bytes(k))))
+        for k in keys)
+    kern = _make_dcf_gen_kernel(in_bits, key_pats, pred, group_is_xor,
+                                group_bits)
+    R = block_rows
+    plane_spec = pl.BlockSpec((128, R, LANES), lambda w, i: (0, w, 0),
+                              memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((R, LANES), lambda w, i: (w, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(T // R, in_bits),
+        in_specs=[
+            plane_spec, plane_spec, plane_spec,
+            pl.BlockSpec((1, R, LANES), lambda w, i: (i, w, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 258, R, LANES), lambda w, i: (i, 0, w, 0),
+                         memory_space=pltpu.VMEM),
+            plane_spec, plane_spec, plane_spec, t_spec, t_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((in_bits, 258, T, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((128, T, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((128, T, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((128, T, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((T, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((T, LANES), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # 8 AES expansions + the ripple chains per level need more
+            # scoped-VMEM stack than the 16 MB default (cf. the DCF
+            # eval kernel's 18.78 M at block_rows=16).
+            vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(sp0, sp1, bp, ap)
+
+
+def unpack_dcf_cws(cwp: jax.Array, batch: int) -> jax.Array:
+    """DCF gen-kernel cw planes [in_bits, 258, T, 128] -> standard word
+    rows [B, in_bits, 8] (tl in word 3 bit 0, tr in word 7 bit 0)."""
+    n = cwp.shape[0]
+    W = cwp.shape[2] * LANES
+    planes = cwp.reshape(n, 258, W)
+    planes_s = planes[:, :128].at[:, 12].set(planes[:, 256])
+    planes_v = planes[:, 128:256].at[:, 12].set(planes[:, 257])
+    words = []
+    for src in (planes_s, planes_v):
+        for w in range(4):
+            rows = [src[:, 16 * (j % 8) + 4 * w + j // 8]
+                    for j in range(32)]
+            tr32 = _transpose32(jnp.stack(rows, axis=-1))  # [n, W, 32]
+            words.append(tr32.reshape(n, W * 32))
+    rows8 = jnp.stack(words, axis=-1)  # [n, Bp, 8]
+    return jnp.transpose(rows8, (1, 0, 2))[:batch]
+
+
+def dcf_gen_batch(prg_keys, group, in_bits: int, pred: str,
+                  s0s: jax.Array, alphas: jax.Array, betas: jax.Array,
+                  block_rows: int = DEFAULT_BLOCK_ROWS,
+                  interpret: bool = False) -> jax.Array:
+    """Batched AES-MMO DCF key generation on the fused plane-domain
+    kernel; returns the standard [B, in_bits+1, 8] cws layout (bit-exact
+    with schemes.dcf.gen; dcf.cuh:108-194)."""
+    from fss_tpu import block as blk
+    from fss_tpu import groups as _groups
+
+    assert dcf_gen_kernel_supports_group(group)
+    group_is_xor = isinstance(group, _groups.Bytes)
+    gbits = 0 if group_is_xor else group.bits
+    keys = tuple(bytes(k) for k in prg_keys)
+    sp0, sp1, ap, B = pack_gen(jnp.asarray(s0s),
+                               jnp.asarray(alphas, dtype=jnp.uint32),
+                               in_bits, block_rows)
+    T = sp0.shape[1]
+    b_buf = blk.clear_lsb(jnp.asarray(betas))
+    tile = 32 * LANES * block_rows
+    (b_pad,), _ = _pad_batch([b_buf], B, tile)
+    bp = _pack_block_planes(b_pad, T)
+
+    cwp, s0f, s1f, vf, _t0, t1 = dcf_gen_packed(
+        sp0, sp1, bp, ap, in_bits=in_bits, keys=keys, pred=pred,
+        group_is_xor=group_is_xor, group_bits=gbits,
+        block_rows=block_rows, interpret=interpret)
+    rows = unpack_dcf_cws(cwp, B)
+    s0w, _ = unpack_out(s0f, t1, B)
+    s1w, t1b = unpack_out(s1f, t1, B)
+    vw, _ = unpack_out(vf, t1, B)
+
+    # Final CW (dcf.cuh:191-193): v_last = s1 - s0 - v, negated if t1.
+    v_last = group.add(
+        group.add(group.from_block(s1w), group.neg(group.from_block(s0w))),
+        group.neg(group.from_block(vw)))
+    v_last = jnp.where((t1b & np.uint32(1)).astype(jnp.bool_)[:, None],
+                       group.neg(v_last), v_last)
+    last = jnp.concatenate(
+        [jnp.zeros((B, 4), dtype=jnp.uint32), group.into_block(v_last)],
+        axis=-1)
+    return jnp.concatenate([rows, last[:, None, :]], axis=1)

@@ -183,3 +183,26 @@ def test_gen_kernel(rng):
         KEYS, g, in_bits, s0s, alphas, betas, block_rows=1,
         interpret=True))
     assert np.array_equal(got, want)
+
+
+def test_dcf_gen_kernel(rng):
+    """Plane-domain DCF-AES Gen kernel == schemes.dcf.gen (interpret):
+    identical [B, in_bits+1, 8] key bytes over Bytes/Uint32/Uint64
+    groups and both predicates."""
+    from fss_tpu.schemes import dcf as _dcf
+
+    in_bits, B = 8, 2048
+    keys4 = tuple(bytes(range(16 * i, 16 * i + 16)) for i in range(4))
+    prg = Aes128Mmo(mul=4, keys=keys4, backend="table")
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    a_lanes = blk.pack_inputs(alphas, in_bits)
+    for g, pred in ((groups.Uint(32), "lt"), (groups.Uint(64), "gt"),
+                    (groups.Bytes(), "lt")):
+        want = np.asarray(jax.jit(jax.vmap(lambda s, a, b: _dcf.gen(
+            prg, g, in_bits, pred, s, a, b)))(s0s, a_lanes, betas))
+        got = np.asarray(aes_pallas.dcf_gen_batch(
+            keys4, g, in_bits, pred, s0s, alphas, betas, block_rows=1,
+            interpret=True))
+        assert np.array_equal(got, want), f"{g} {pred}"
