@@ -315,6 +315,18 @@ def _bench_registry():
         "dcf_eval_aes_uint_16bit", "evals/s/chip",
         lambda: _timeit(fdca, L_dcf_aes(), Ba))
 
+    # DCF gen with the AES-MMO PRG on the fused plane-domain kernel
+    # (ops/aes_pallas.dcf_gen_batch): 8 bitsliced AES per level + the
+    # ripple-carry value chain in one Pallas program. Same 2^16 batch
+    # as the DPF-AES gen row (per-level cw planes are [ib, 258, T, 128]).
+    Bga = 1 << 16
+    fdga = jax.jit(lambda s, a, b: jnp.sum(_aesk.dcf_gen_batch(
+        aes_keys4, g, ib, "lt", s, a, b)[:, 0, 0]))
+    yield from _row(
+        "dcf_gen_aes_uint_16bit", "keys/s/chip",
+        lambda: _timeit(fdga, (s0sb[:Bga], jnp.asarray(alphas_u32[:Bga]),
+                         betas[:Bga]), Bga, inner=4))
+
     # VDPF eval with the AES-MMO PRG + SHA-256 (staged keys; the hash and
     # finalize run per point outside the kernel, as in the reference's
     # Eval -> pi-tilde shape, vdpf.cuh:189-242).

@@ -260,7 +260,8 @@ class Dcf:
 
     def gen_batch(self, s0s, alphas, betas):
         """Vectorized gen over a leading key-batch axis (fused Pallas
-        kernel on TPU for ChaCha + Bytes/wrapping-Uint groups)."""
+        kernels on TPU: ChaCha word-domain for Bytes/wrapping-Uint
+        groups, AES-MMO plane-domain for Bytes/<=64-bit Uint)."""
         from fss_tpu.ops import dcf_pallas
         if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
                 and _plain_u32_inputs(alphas, self.in_bits)
@@ -270,6 +271,16 @@ class Dcf:
                 jnp.asarray(s0s),
                 jnp.asarray(alphas, dtype=jnp.uint32),
                 jnp.asarray(betas), rounds=self.prg.rounds)
+        if (_use_tpu_kernels() and isinstance(self.prg, Aes128Mmo)
+                and self.prg.mul == 4
+                and _plain_u32_inputs(alphas, self.in_bits)):
+            from fss_tpu.ops import aes_pallas
+            if aes_pallas.dcf_gen_kernel_supports_group(self.group):
+                return aes_pallas.dcf_gen_batch(
+                    self.prg.keys, self.group, self.in_bits, self.pred,
+                    jnp.asarray(s0s),
+                    jnp.asarray(alphas, dtype=jnp.uint32),
+                    jnp.asarray(betas))
         a = blk.pack_inputs(alphas, self.in_bits)
         return _host_chunked(
             lambda t: jax.vmap(lambda s, al, be: _dcf_gen(

@@ -388,6 +388,24 @@ def check_gen_kernels(interpret, quick=False):
         n_cfg += 1
         n_fam += 1
 
+    # Plane-domain DCF-AES gen kernel (ops/aes_pallas.dcf_gen_batch):
+    # compile + byte-check before the registry can time it (same rule
+    # as the DPF-AES gen above).
+    for case in _load("dcf")["cases"]:
+        g = _group(case)
+        if (case["prg"] != "aes" or case["in_bits"] > 32
+                or not aes_pallas.dcf_gen_kernel_supports_group(g)):
+            continue
+        keys = tuple(_h2b(k) for k in case["aes_keys"][:4])
+        s0s, alphas, betas = gen_inputs(case)
+        cws = np.asarray(aes_pallas.dcf_gen_batch(
+            keys, g, case["in_bits"], case["pred"], jnp.asarray(s0s),
+            alphas, betas, interpret=interpret))
+        exp = _rows(case["cws"])
+        if not np.array_equal(cws, np.broadcast_to(exp, cws.shape)):
+            raise Mismatch(f"dcf_gen_aes[{_cid(case)}]: key bytes differ")
+        n_cfg += 1
+
     n_fam = 0
     for case in _load("half_tree")["cases"]:
         if quick and n_fam:
