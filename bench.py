@@ -125,7 +125,7 @@ def _timeit(step, args, per_iter_items: int, iters: int = 8,
     return per_iter_items / dt
 
 
-def _bench_registry():
+def _bench_registry(deadline: float | None = None):
     """Secondary metrics mirroring the reference bench registry
     (src/bench_cpu.cu / bench_gpu.cu shapes), emitted on stderr.
 
@@ -159,6 +159,10 @@ def _bench_registry():
         # A raising row is reported and dropped instead of killing the
         # whole registry (a Mosaic lowering error in one kernel voided
         # 14 rows + roofline + full verify on 2026-08-19).
+        if deadline is not None and time.time() >= deadline:
+            print(f"bench: skipping {name} (deadline passed)",
+                  file=sys.stderr)
+            return ()
         if _skip(name):
             return ()
         try:
@@ -203,8 +207,8 @@ def _bench_registry():
     B = 1 << 19
     ib = 16
     s0sb = jnp.asarray(blk.block(rng.integers(0, 2**32, size=(B, 2, 4))))
-    a_l = blk.pack_inputs(
-        rng.integers(0, 2**ib, size=B, dtype=np.uint32), ib)
+    alphas_u32 = rng.integers(0, 2**ib, size=B, dtype=np.uint32)
+    a_l = blk.pack_inputs(alphas_u32, ib)
     betas = jnp.asarray(blk.block(rng.integers(0, 2**32, size=(B, 4))))
 
     # DPF eval with the AES-MMO PRG: fused bitsliced plane-domain kernel
@@ -370,7 +374,6 @@ def _bench_registry():
         "vdpf_eval_aes_sha256_uint_16bit", "evals/s/chip",
         lambda: _timeit(fvaes, L_vdpf_aes(), Ba))
     from fss_tpu.ops import dpf_pallas as _dpfk
-    alphas_u32 = rng.integers(0, 2**ib, size=B, dtype=np.uint32)
 
     # Gen emitting the PACKED (plane) key layout the fused eval kernel
     # consumes directly — the gen->eval pipeline shape, with no
@@ -656,11 +659,17 @@ def _bench_registry():
 
 
 
-def _verify_gate() -> bool:
-    """Byte-check the hot kernels against reference-produced golden
-    vectors ON THE DEVICE before timing anything (scripts/verify_tpu.py
-    --quick). A silent XLA:TPU/Mosaic miscompile would otherwise time
-    garbage; no headline is printed on mismatch."""
+def _verify_gate(families=None, deadline: float | None = None) -> bool:
+    """Byte-check hot kernels against reference-produced golden vectors
+    ON THE DEVICE before timing anything (scripts/verify_tpu.py --quick).
+    A silent XLA:TPU/Mosaic miscompile would otherwise time garbage; no
+    headline is printed on mismatch.
+
+    ``families`` restricts the gate: the HEADLINE only needs its own
+    family verified (2 configs) — gating it on all ~31 quick configs let
+    a contended window burn the whole driver budget before any number
+    was printed (BENCH_r04: rc=124, parsed=null). The remaining families
+    are verified later, as the REGISTRY's gate, with a ``deadline``."""
     import os
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "scripts"))
@@ -677,13 +686,15 @@ def _verify_gate() -> bool:
                           "error": str(e)[:300]}))
         return False
     try:
-        n = verify_tpu.run(quick=True, interpret=not on_tpu)
+        n = verify_tpu.run(quick=True, interpret=not on_tpu,
+                           families=families, deadline=deadline)
     except verify_tpu.Mismatch as e:
         print(json.dumps({"metric": "VERIFY_FAILED", "value": 0,
                           "unit": "configs", "vs_baseline": 0,
                           "error": str(e)[:300]}))
         return False
-    print(f"verify gate: {n} kernel configs byte-exact "
+    scope = "all families" if families is None else ",".join(families)
+    print(f"verify gate [{scope}]: {n} kernel configs byte-exact "
           f"({'tpu' if on_tpu else 'cpu-interpret'})", file=sys.stderr)
     return True
 
@@ -710,31 +721,103 @@ def _wait_for_device(budget_s: float) -> None:
         if time.time() >= deadline:
             print(f"bench: device wait exhausted: {err}", file=sys.stderr)
             return
-        print("bench: TPU unavailable, retrying in 60s", file=sys.stderr)
-        time.sleep(60)
+        pause = min(60.0, max(1.0, deadline - time.time()))
+        print(f"bench: TPU unavailable, retrying in {pause:.0f}s",
+              file=sys.stderr)
+        time.sleep(pause)
+
+
+HEADLINE_METRIC = f"dpf_eval_chacha_uint_{IN_BITS}bit_batch2e{LOG2_BATCH}"
 
 
 def main():
+    """Budget discipline (the round-4 lesson — BENCH_r04 recorded rc=124
+    with no number despite a completed on-chip campaign the day before):
+
+    1. An OVERALL deadline (FSS_TPU_BENCH_DEADLINE_S, default 35 min)
+       bounds everything: the device wait shrinks to fit it, the
+       headline runs extra noise-rejection passes only while time
+       remains, and the registry gate + registry stop at it.
+    2. The headline is gated on ONLY its own kernel family (2 golden
+       configs), not the full ~31-config quick sweep; the remaining
+       families gate the registry, after the headline is out.
+    3. SIGTERM/SIGINT flush the best measurement so far as the honest
+       JSON line before dying, so a driver timeout can no longer erase
+       a completed measurement."""
     import os
-    _wait_for_device(float(os.environ.get("FSS_TPU_BENCH_WAIT_S", 1200)))
-    if not _verify_gate():
+    import signal
+    deadline = time.time() + float(
+        os.environ.get("FSS_TPU_BENCH_DEADLINE_S", 2100))
+    state = {"best": None, "printed": False}
+
+    def _emit(partial=False):
+        if state["printed"]:
+            return
+        state["printed"] = True
+        if state["best"] is None:
+            res = {"metric": "BENCH_INCOMPLETE", "value": 0,
+                   "unit": "evals/s/chip", "vs_baseline": 0,
+                   "partial": True}
+        else:
+            res = {"metric": HEADLINE_METRIC,
+                   "value": round(state["best"], 1),
+                   "unit": "evals/s/chip",
+                   "vs_baseline": round(
+                       state["best"] / BASELINE_EVALS_PER_S, 4)}
+            if partial:
+                res["partial"] = True
+        print(json.dumps(res), flush=True)
+
+    def _on_term(signum, frame):
+        _emit(partial=True)
+        sys.stdout.flush()
+        os._exit(1 if state["best"] is None else 0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    # The device wait must leave room for gate + at least one measured
+    # pass (~8 min cold on a quiet chip) inside the overall deadline.
+    reserve_s = 600.0
+    _wait_for_device(min(
+        float(os.environ.get("FSS_TPU_BENCH_WAIT_S", 1200)),
+        max(60.0, deadline - time.time() - reserve_s)))
+    if not _verify_gate(families=("dpf_eval",)):
         sys.exit(1)
-    # Best of 3 measurement passes: throughput over the tunneled chip has
-    # ~+-8% run-to-run noise from unrelated host activity; the max is the
-    # least-interference estimate of device throughput (the same reason
-    # latency benches report min).
-    evals_per_s = max(
-        _bench_dpf_eval(IN_BITS, LOG2_BATCH)[0] for _ in range(3))
-    result = {
-        "metric": f"dpf_eval_chacha_uint_{IN_BITS}bit_batch2e{LOG2_BATCH}",
-        "value": round(evals_per_s, 1),
-        "unit": "evals/s/chip",
-        "vs_baseline": round(evals_per_s / BASELINE_EVALS_PER_S, 4),
-    }
-    print(json.dumps(result))
+    # Noise rejection: throughput over the tunneled chip has ~+-8%
+    # run-to-run noise from unrelated host activity; the max over up to
+    # 3 passes is the least-interference estimate (the same reason
+    # latency benches report min). Pass 1 always runs; later passes only
+    # if their (conservatively pass-1-cost-estimated) time fits the
+    # deadline. state["best"] updates after every pass so a SIGTERM
+    # mid-pass-2 still flushes pass 1's number.
+    for _ in range(3):
+        t_pass = time.time()
+        try:
+            v = _bench_dpf_eval(IN_BITS, LOG2_BATCH)[0]
+        except Exception as e:
+            # A transient device loss mid-pass must not erase a number
+            # already measured — emit the best so far (or the honest
+            # zero) instead of dying with a traceback and no JSON.
+            print(f"bench: headline pass FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+            break
+        state["best"] = max(state["best"] or 0.0, v)
+        pass_cost = time.time() - t_pass
+        if time.time() + 1.2 * pass_cost >= deadline:
+            break
+    _emit()
+    if state["best"] is None:
+        sys.exit(1)
 
     if "--all" in sys.argv:
-        for metric, value, unit in _bench_registry():
+        # Registry gate: the families the headline gate skipped, still
+        # before anything else is timed, still under the deadline.
+        rest = ("dpf_eval_aes", "dcf_eval", "ht_eval", "vdpf_eval",
+                "gen_kernels", "eval_all", "grotto_prefix", "vdmpf")
+        if not _verify_gate(families=rest, deadline=deadline):
+            sys.exit(1)
+        for metric, value, unit in _bench_registry(deadline=deadline):
             print(json.dumps({
                 "metric": metric, "value": round(value, 1), "unit": unit,
                 "vs_baseline": round(value / BASELINE_EVALS_PER_S, 4)}),

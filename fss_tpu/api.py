@@ -199,10 +199,13 @@ class Dpf:
         if (_use_tpu_kernels() and isinstance(self.prg, Aes128Mmo)
                 and _plain_u32_inputs(alphas, self.in_bits)):
             from fss_tpu.ops import aes_pallas
-            return aes_pallas.gen_batch(
-                self.prg.keys, self.group, self.in_bits,
-                jnp.asarray(s0s), jnp.asarray(alphas, dtype=jnp.uint32),
-                jnp.asarray(betas))
+            # Host-chunked: the plane-transpose gen graphs crash the TPU
+            # worker above ~2^17 instances in one dispatch (CLAUDE.md).
+            return _host_chunked(
+                lambda t: aes_pallas.gen_batch(
+                    self.prg.keys, self.group, self.in_bits, *t),
+                (jnp.asarray(s0s), jnp.asarray(alphas, dtype=jnp.uint32),
+                 jnp.asarray(betas)))
         a = blk.pack_inputs(alphas, self.in_bits)
         return _host_chunked(
             lambda t: _dpf_gen_batch(self.prg, self.group, self.in_bits,
@@ -276,11 +279,15 @@ class Dcf:
                 and _plain_u32_inputs(alphas, self.in_bits)):
             from fss_tpu.ops import aes_pallas
             if aes_pallas.dcf_gen_kernel_supports_group(self.group):
-                return aes_pallas.dcf_gen_batch(
-                    self.prg.keys, self.group, self.in_bits, self.pred,
-                    jnp.asarray(s0s),
-                    jnp.asarray(alphas, dtype=jnp.uint32),
-                    jnp.asarray(betas))
+                # Host-chunked: same >2^17-instance dispatch crash class
+                # as the DPF-AES gen (CLAUDE.md, triage_dcf_aes.jsonl).
+                return _host_chunked(
+                    lambda t: aes_pallas.dcf_gen_batch(
+                        self.prg.keys, self.group, self.in_bits,
+                        self.pred, *t),
+                    (jnp.asarray(s0s),
+                     jnp.asarray(alphas, dtype=jnp.uint32),
+                     jnp.asarray(betas)))
         a = blk.pack_inputs(alphas, self.in_bits)
         return _host_chunked(
             lambda t: jax.vmap(lambda s, al, be: _dcf_gen(
