@@ -396,6 +396,32 @@ def _bench_registry(deadline: float | None = None):
         "dpf_gen_packed_chacha_uint_16bit", "keys/s/chip",
         lambda: _timeit(fgp, L_gen_packed(), B))
 
+    # Eval consuming the PACKED key (api.PackedDpfKeys): the same fused
+    # walk but streaming 5/8 of the wire-format cw bytes per level —
+    # the eval half of the packed gen->eval pipeline.
+    @_lazy
+    def L_packedkey():
+        cws_t, ocw, _ = _dpfk.gen_batch_packed(
+            nonce, g, ib, s0sb, jnp.asarray(alphas_u32), betas)
+        tile_rows = cws_t.shape[2] * 128
+        s0p = jnp.pad(s0sb[:, 0], ((0, tile_rows - B), (0, 0)))
+        seeds4 = jnp.transpose(s0p, (1, 0)).reshape(4, -1, 128)
+        xs2 = jnp.pad(jnp.asarray(alphas_u32),
+                      (0, tile_rows - B)).reshape(-1, 128)
+        return (jax.device_put(seeds4), jax.device_put(cws_t),
+                jax.device_put(xs2), jax.device_put(ocw))
+
+    @jax.jit
+    def fpk(seeds4, cws_t, xs2, ocw):
+        so, t = _dpfk.eval_packed(seeds4, cws_t, xs2, in_bits=ib,
+                                  party=0, nonce=nonce)
+        y = _dpfk.finalize(g, 0, so, t, ocw, B)
+        return jnp.sum(y[:, 0])
+
+    yield from _row(
+        "dpf_eval_packedkey_chacha_uint_16bit", "evals/s/chip",
+        lambda: _timeit(fpk, L_packedkey(), B))
+
     fg = jax.jit(lambda s, a, b: jnp.sum(_dpfk.gen_batch(
         nonce, g, ib, s, a, b)[:, 0, 0]))
     yield from _row(

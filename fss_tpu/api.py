@@ -12,6 +12,7 @@ accepted as Python ints or arrays.
 
 from __future__ import annotations
 
+import typing
 from functools import partial
 
 import jax
@@ -33,6 +34,58 @@ from fss_tpu.prp.feistel import ceil_log2
 from fss_tpu.hash.blake3 import Blake3
 
 DEFAULT_NONCE = (0x243F6A88, 0x85A308D3)  # pi digits; nothing up my sleeve
+
+
+class PackedDpfKeys(typing.NamedTuple):
+    """A DPF key batch in the eval kernel's native plane layout.
+
+    ``Dpf.gen_batch(..., layout="packed")`` returns this instead of the
+    wire-format [B, in_bits+1, 8] rows; ``Dpf.eval`` accepts it wherever
+    wire keys go. Skips the gen-side wire-row assembly (~15% of gen —
+    measured 105.3 vs 86.3 M keys/s, docs/benchmarks.md) and streams 5/8
+    of the wire cw bytes on the eval side. Use for SAME-PROCESS gen->eval
+    pipelines; keys that cross a process or network boundary need the
+    wire layout (``layout="wire"``, the default — byte-compatible with
+    the reference, whose bench always materializes wire keys,
+    bench_gpu.cu:70-93). NamedTuples are pytrees, so this passes through
+    jit/vmap/device_put unchanged.
+
+    Fields: cws_t [in_bits, 5, T, 128] uint32 shared cw planes;
+    ocw [B, 4] uint32 output CW.
+    """
+
+    cws_t: jax.Array
+    ocw: jax.Array
+
+    @property
+    def batch(self):
+        return self.ocw.shape[0]
+
+    def to_wire(self, in_bits: int):
+        """Materialize the standard [B, in_bits+1, 8] wire rows."""
+        T = self.cws_t.shape[2]
+        B = self.ocw.shape[0]
+        rows = jnp.transpose(self.cws_t.reshape(in_bits, 5, T * 128),
+                             (2, 0, 1))[:B]
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((B, in_bits, 3), dtype=jnp.uint32)], axis=-1)
+        last = jnp.concatenate(
+            [self.ocw, jnp.zeros((B, 4), dtype=jnp.uint32)], axis=-1)
+        return jnp.concatenate([rows, last[:, None, :]], axis=1)
+
+    @classmethod
+    def from_wire(cls, cws, in_bits: int,
+                  block_rows: int = 32) -> "PackedDpfKeys":
+        """Stage wire rows into the packed plane layout."""
+        cws = jnp.asarray(cws)
+        B = cws.shape[0]
+        tile = block_rows * 128
+        Bp = ((B + tile - 1) // tile) * tile
+        T = Bp // 128
+        cwsp = jnp.pad(cws[:, :in_bits, :5],
+                       ((0, Bp - B), (0, 0), (0, 0)))
+        cws_t = jnp.transpose(cwsp, (1, 2, 0)).reshape(in_bits, 5, T, 128)
+        return cls(cws_t, cws[:, in_bits, 0:4])
 
 
 def _use_tpu_kernels() -> bool:
@@ -186,16 +239,35 @@ class Dpf:
         a = blk.pack_inputs(alpha, self.in_bits)
         return _dpf_gen(self.prg, self.group, self.in_bits, s0s, a, beta)
 
-    def gen_batch(self, s0s, alphas, betas):
+    def gen_batch(self, s0s, alphas, betas, layout: str = "wire"):
         """Vectorized gen over a leading key-batch axis (fused Pallas
-        kernels on TPU: ChaCha word-domain, AES-MMO plane-domain)."""
+        kernels on TPU: ChaCha word-domain, AES-MMO plane-domain).
+
+        ``layout="packed"`` returns :class:`PackedDpfKeys` (the eval
+        kernel's native plane layout — faster gen AND eval for
+        same-process pipelines; see its docstring for when wire format
+        is required)."""
+        assert layout in ("wire", "packed"), layout
         if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
                 and _plain_u32_inputs(alphas, self.in_bits)):
             from fss_tpu.ops import dpf_pallas
+            if layout == "packed":
+                cws_t, ocw, _ = dpf_pallas.gen_batch_packed(
+                    self.prg.nonce, self.group, self.in_bits,
+                    jnp.asarray(s0s),
+                    jnp.asarray(alphas, dtype=jnp.uint32),
+                    jnp.asarray(betas), rounds=self.prg.rounds)
+                return PackedDpfKeys(cws_t, ocw)
             return dpf_pallas.gen_batch(
                 self.prg.nonce, self.group, self.in_bits,
                 jnp.asarray(s0s), jnp.asarray(alphas, dtype=jnp.uint32),
                 jnp.asarray(betas), rounds=self.prg.rounds)
+        if layout == "packed":
+            # No fused-gen path here (CPU backend / AES PRG / packed
+            # alphas): stage the wire keys into the packed layout so the
+            # API stays total; the eval side still streams 5/8 words.
+            cws = self.gen_batch(s0s, alphas, betas)
+            return PackedDpfKeys.from_wire(cws, self.in_bits)
         if (_use_tpu_kernels() and isinstance(self.prg, Aes128Mmo)
                 and _plain_u32_inputs(alphas, self.in_bits)):
             from fss_tpu.ops import aes_pallas
@@ -213,6 +285,16 @@ class Dpf:
             (jnp.asarray(s0s), a, jnp.asarray(betas)))
 
     def eval(self, party: int, s0, cws, xs):
+        if isinstance(cws, PackedDpfKeys):
+            if _use_tpu_kernels() and isinstance(self.prg, ChaCha):
+                xk = _kernel_inputs(xs, self.in_bits)
+                if xk is not None:
+                    from fss_tpu.ops import dpf_pallas
+                    return dpf_pallas.eval_points_packedkey(
+                        self.prg.nonce, self.group, self.in_bits,
+                        int(party), jnp.asarray(s0), cws.cws_t, cws.ocw,
+                        xk, rounds=self.prg.rounds)
+            return self.eval(party, s0, cws.to_wire(self.in_bits), xs)
         if (_use_tpu_kernels() and isinstance(self.prg, ChaCha)
                 and jnp.asarray(cws).ndim == 3):
             xk = _kernel_inputs(xs, self.in_bits)

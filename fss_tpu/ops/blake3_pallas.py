@@ -130,15 +130,22 @@ def _untile(planes, n, out_blocks: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("iv", "block_rows", "interpret"))
-def xor_hash_batch(a, b, iv, block_rows: int = DEFAULT_BLOCK_ROWS,
-                   interpret: bool = False):
-    """Batched XorHash: a, b [N, 4] -> [N, 4, 4] (blake3.cuh:160-171)."""
-    a4, n = _tile(a[:, None, :], block_rows)
-    b4, _ = _tile(b[:, None, :], block_rows)
+def xor_hash_planes(a4, b4, iv, block_rows: int = DEFAULT_BLOCK_ROWS,
+                    interpret: bool = False):
+    """Batched XorHash on ALREADY-TILED word planes.
+
+    a4, b4: [4, T, 128] uint32 planes (the tree kernels' native SoA
+    output layout — feeding them here directly skips the SoA->row->SoA
+    transpose round trip that cost VDPF eval ~2x). Returns pi planes
+    [16, T, 128]; `_untile(out, n, 4)` recovers [N, 4, 4] rows."""
     nrows = a4.shape[1]
+    # Callers tile with power-of-two row blocks; halve down to a divisor
+    # so any upstream pack granularity (e.g. a small test batch) works.
+    while nrows % block_rows:
+        block_rows //= 2
     grid = (nrows // block_rows,)
     kern = _make_xor_hash_kernel(tuple(int(w) for w in iv), not interpret)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
@@ -153,6 +160,15 @@ def xor_hash_batch(a, b, iv, block_rows: int = DEFAULT_BLOCK_ROWS,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(a4, b4, _perm_arr())
+
+
+def xor_hash_batch(a, b, iv, block_rows: int = DEFAULT_BLOCK_ROWS,
+                   interpret: bool = False):
+    """Batched XorHash: a, b [N, 4] -> [N, 4, 4] (blake3.cuh:160-171)."""
+    a4, n = _tile(a[:, None, :], block_rows)
+    b4, _ = _tile(b[:, None, :], block_rows)
+    out = xor_hash_planes(a4, b4, iv, block_rows=block_rows,
+                          interpret=interpret)
     return _untile(out, n, 4)
 
 

@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fss_tpu import groups
+from fss_tpu.ops import dpf_pallas
 from fss_tpu.ops._chacha_core import (FULL, NOTONE, ONE, add128,
                                       chacha_block)
 
@@ -211,6 +212,10 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
                 block_rows: int = DEFAULT_BLOCK_ROWS,
                 interpret: bool = False):
     nrows = seeds4.shape[1]
+    # Same wide-domain VMEM clamp as dpf_pallas.eval_packed: the cw
+    # block is 16.78 MB at in_bits=128 / block_rows=32 (> Mosaic's
+    # 16 MB scoped budget).
+    block_rows = dpf_pallas.clamp_block_rows(in_bits, block_rows)
     assert nrows % block_rows == 0
     grid = (nrows // block_rows,)
     nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)

@@ -43,6 +43,26 @@ LANES = 128
 DEFAULT_BLOCK_ROWS = 32
 
 
+def clamp_block_rows(in_bits: int, block_rows: int,
+                     words_per_level: int = 8) -> int:
+    """Shrink ``block_rows`` so the per-grid-step cw block fits VMEM.
+
+    The eval kernel streams a [in_bits, words, block_rows, 128] uint32 cw
+    block per grid step; at in_bits=128 / block_rows=32 that is 16.78 MB
+    — over Mosaic's 16 MB scoped-VMEM budget (compile OOM observed
+    on-chip, scripts/artifacts/window_campaign.err). Cap the block at
+    8 MB (the size the in_bits=64 path already runs at on-chip) by
+    halving block_rows, floor 8. No-op for in_bits <= 64 at the default
+    block_rows. Reference supports in_bits <= 128 unconditionally
+    (dpf.cuh:61-63); so must we."""
+    budget = 8 * 2**20
+    while (block_rows > 8
+           and in_bits * words_per_level * block_rows * LANES * 4
+           > budget):
+        block_rows //= 2
+    return block_rows
+
+
 def _rotl(x, n: int):
     return (x << np.uint32(n)) | (x >> np.uint32(32 - n))
 
@@ -354,6 +374,66 @@ def gen_batch(prg_nonce, group, in_bits: int, s0s: jax.Array,
     return gen_finalize(group, in_bits, cws_t, s0f, s1f, t1, betas, B)
 
 
+def gen_batch_packed(prg_nonce, group, in_bits: int, s0s: jax.Array,
+                     alphas: jax.Array, betas: jax.Array,
+                     rounds: int = 20,
+                     block_rows: int = DEFAULT_BLOCK_ROWS,
+                     interpret: bool = False):
+    """Batched Gen emitting the PACKED key layout the eval kernel
+    consumes directly: (cws_t [in_bits, 5, T, 128], ocw [B, 4], B).
+
+    Skips the wire-format row assembly (~15% of gen: the word<->plane
+    transpose, scripts/artifacts/gen_sweep.out) AND lets eval stream
+    5/8 of the wire cw bytes. Use for same-process gen->eval pipelines;
+    keys that cross a process/network boundary need ``gen_batch``'s
+    wire layout (the reference always materializes wire keys,
+    bench_gpu.cu:70-93 — this shortcut is TPU-first-only). Convert with
+    ``pack_keys``/``unpack`` paths if interop is needed later."""
+    seeds8, a2, B = pack_gen_inputs(s0s, alphas, in_bits, block_rows)
+    cws_t, s0f, s1f, _t0, t1 = gen_packed(
+        seeds8, a2, in_bits=in_bits, nonce=tuple(prg_nonce),
+        rounds=rounds, block_rows=block_rows, interpret=interpret)
+    s0 = jnp.transpose(s0f.reshape(4, -1), (1, 0))[:B]
+    s1 = jnp.transpose(s1f.reshape(4, -1), (1, 0))[:B]
+    t1b = t1.reshape(-1)[:B]
+    b_buf = blk.clear_lsb(betas)
+    v_cw = group.add(
+        group.add(group.from_block(b_buf),
+                  group.neg(group.from_block(s0))),
+        group.from_block(s1))
+    v_cw = jnp.where((t1b & _ONE).astype(jnp.bool_)[:, None],
+                     group.neg(v_cw), v_cw)
+    return cws_t, group.into_block(v_cw), B
+
+
+def eval_points_packedkey(prg_nonce, group, in_bits: int, party: int,
+                          s0: jax.Array, cws_t: jax.Array,
+                          ocw: jax.Array, xs: jax.Array,
+                          rounds: int = 20,
+                          interpret: bool = False) -> jax.Array:
+    """Eval against a ``gen_batch_packed`` key: s0 [B, 4] (this party's
+    seeds), cws_t [in_bits, 5, T, 128], ocw [B, 4], xs [B] (or [B, 4]
+    packed lanes). Bit-exact with the wire-format path."""
+    T = cws_t.shape[2]
+    Bp = T * LANES
+    B = xs.shape[0]
+    assert B <= Bp, (B, Bp)
+
+    def padb(a):
+        return jnp.pad(a, [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1))
+
+    seeds4 = jnp.transpose(padb(s0), (1, 0)).reshape(4, T, LANES)
+    xsp = padb(jnp.asarray(xs, dtype=jnp.uint32))
+    if xsp.ndim == 2:
+        xs2 = jnp.transpose(xsp, (1, 0)).reshape(4, T, LANES)
+    else:
+        xs2 = xsp.reshape(T, LANES)
+    so, t = eval_packed(seeds4, cws_t, xs2, in_bits=in_bits, party=party,
+                        nonce=tuple(prg_nonce), rounds=rounds,
+                        interpret=interpret)
+    return finalize(group, party, so, t, ocw, B)
+
+
 def pack_keys(s0: jax.Array, cws: jax.Array, xs: jax.Array, in_bits: int,
               block_rows: int = DEFAULT_BLOCK_ROWS):
     """Stage per-instance keys into the kernel's SoA device layout.
@@ -397,7 +477,16 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
     ``finalize`` for the group conversion.
     """
     nrows = seeds4.shape[1]
-    assert nrows % block_rows == 0
+    # The kernel reads 5 cw words per level; wire-format keys stream the
+    # full 8-word rows ([in_bits, 8, T, 128]), the packed-pipeline key
+    # layout (gen_packed's native output, see api.PackedDpfKeys) streams
+    # only the 5 used words — 37.5% less cw HBM traffic.
+    cw_words = cws_t.shape[1]
+    assert cw_words in (5, 8), cw_words
+    block_rows = clamp_block_rows(in_bits, block_rows, cw_words)
+    while nrows % block_rows:  # rows tiled at a finer granularity
+        block_rows //= 2
+    assert block_rows >= 1
     grid = (nrows // block_rows,)
     nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
     kern = _make_eval_kernel(in_bits, party, nonce, rounds, unroll)
@@ -412,7 +501,7 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
         in_specs=[
             pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_bits, 8, block_rows, LANES),
+            pl.BlockSpec((in_bits, cw_words, block_rows, LANES),
                          lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
             x_spec,
         ],

@@ -117,6 +117,10 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
                 block_rows: int = DEFAULT_BLOCK_ROWS,
                 interpret: bool = False):
     nrows = seeds4.shape[1]
+    # Same wide-domain VMEM clamp as dpf_pallas.eval_packed (16.78 MB
+    # cw block at in_bits=128 / block_rows=32 > Mosaic's 16 MB budget).
+    from fss_tpu.ops import dpf_pallas as _dpfk
+    block_rows = _dpfk.clamp_block_rows(in_bits, block_rows)
     assert nrows % block_rows == 0
     grid = (nrows // block_rows,)
     nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)

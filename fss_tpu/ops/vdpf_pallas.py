@@ -114,8 +114,27 @@ def eval_points(prg_nonce, xor_hash, group, in_bits: int, party: int,
     if party:
         y = group.neg(y)
 
-    x_lanes = blk.pack_inputs(xs, in_bits)
-    pi = xor_hash(x_lanes, s)
+    # pi~ = H(x, s) ^ (t ? cs : 0). With a BLAKE3 hash the compression
+    # runs on the fused Pallas kernel IN THE KERNEL'S SoA PLANE LAYOUT:
+    # the walk's seed planes `so` feed the hash directly, with no
+    # SoA->row->SoA transpose round trip (that glue held VDPF eval at
+    # 91.9 M/s vs the walk's own 215 M/s; vdpf.cuh:189-242 fuses
+    # eval->pi per point the same way).
+    from fss_tpu.ops.eval_all_pallas import _blake3_iv_of
+    iv = _blake3_iv_of(xor_hash)
+    if iv is not None:
+        from fss_tpu.ops import blake3_pallas as _b3
+        if in_bits > 32:
+            x4 = xs2  # already [4, T, 128] packed lanes
+        else:
+            x4 = jnp.stack([xs2] + [jnp.zeros_like(xs2)] * 3)
+        pi_planes = _b3.xor_hash_planes(x4, so, iv,
+                                        block_rows=block_rows,
+                                        interpret=interpret)
+        pi = _b3._untile(pi_planes, B, 4)
+    else:
+        x_lanes = blk.pack_inputs(xs, in_bits)
+        pi = xor_hash(x_lanes, s)
     pi = jnp.where(tb.astype(jnp.bool_)[:, None, None],
                    jnp.bitwise_xor(pi, cs), pi)
     return group.into_block(y), pi

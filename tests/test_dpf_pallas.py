@@ -102,3 +102,61 @@ def test_grotto_eval_all_pallas(rng):
     got = np.asarray(eval_all_pallas.grotto_eval_all(
         prg, in_bits, 0, s0s[0], cws, interpret=True))
     assert np.array_equal(got, ref)
+
+
+def test_packed_key_pipeline_matches_wire(rng):
+    """gen_batch_packed -> eval_points_packedkey is bit-exact with the
+    wire-format kernel path AND the XLA reference (the packed layout
+    skips wire-row assembly and streams 5/8 cw words; api.PackedDpfKeys)."""
+    import jax
+    in_bits = 9
+    B = 300  # not a tile multiple => padding exercised
+    g = groups.Uint(32)
+    prg = ChaCha(mul=2, nonce=NONCE)
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    xs = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+
+    wire = np.asarray(dpf_pallas.gen_batch(
+        NONCE, g, in_bits, s0s, alphas, betas, block_rows=8,
+        interpret=True))
+    cws_t, ocw, _ = dpf_pallas.gen_batch_packed(
+        NONCE, g, in_bits, jax.numpy.asarray(s0s), alphas,
+        jax.numpy.asarray(betas), block_rows=8, interpret=True)
+
+    # Packed planes carry the same bytes as the wire rows.
+    from fss_tpu.api import PackedDpfKeys
+    pk = PackedDpfKeys(cws_t, ocw)
+    assert np.array_equal(np.asarray(pk.to_wire(in_bits)), wire)
+    rt = PackedDpfKeys.from_wire(wire, in_bits, block_rows=8)
+    assert np.array_equal(np.asarray(rt.to_wire(in_bits)), wire)
+
+    for party in (0, 1):
+        ref = np.asarray(_dpf.eval_points(prg, g, in_bits, party,
+                                          s0s[:, party], wire, xs))
+        got = np.asarray(dpf_pallas.eval_points_packedkey(
+            NONCE, g, in_bits, party, s0s[:, party], cws_t, ocw, xs,
+            interpret=True))
+        assert np.array_equal(got, ref), f"party {party}"
+
+
+def test_api_packed_layout(rng):
+    """api.Dpf: gen_batch(layout='packed') + eval on the packed key give
+    the wire path's bytes (CPU fallback path: from_wire/to_wire)."""
+    from fss_tpu.api import Dpf, PackedDpfKeys
+    in_bits = 8
+    B = 64
+    g = groups.Uint(32)
+    d = Dpf(in_bits, group=g, prg=ChaCha(mul=2, nonce=NONCE))
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    wire = np.asarray(d.gen_batch(s0s, alphas, betas))
+    pk = d.gen_batch(s0s, alphas, betas, layout="packed")
+    assert isinstance(pk, PackedDpfKeys)
+    assert np.array_equal(np.asarray(pk.to_wire(in_bits)), wire)
+    for party in (0, 1):
+        ref = np.asarray(d.eval(party, s0s[:, party], wire, alphas))
+        got = np.asarray(d.eval(party, s0s[:, party], pk, alphas))
+        assert np.array_equal(got, ref), f"party {party}"

@@ -26,6 +26,7 @@ def _run(name):
 @pytest.mark.parametrize("name,needle", [
     ("dpf_dcf_basic.py", "OK"),
     ("dpf_batched_tpu.py", "OK"),
+    ("dpf_packed_pipeline.py", "matches the wire-format gen. OK"),
     ("vdpf_vdmpf_verified.py", "proofs match. OK"),
     ("pir_tpu.py", "retrieved privately"),
 ])
