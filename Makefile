@@ -3,11 +3,18 @@
 
 PY ?= python
 
-.PHONY: test test-fast bench bench-all bench-native bench-ref asan format lint \
-        dryrun golden verify-tpu docs
+.PHONY: test test-fast test-smoke bench bench-all bench-native bench-ref \
+        asan format lint dryrun golden verify-tpu docs scaling
 
 test:
 	$(PY) -m pytest tests/ -q
+
+# Smoke tier: always finishes in <5 min even with a COLD compile cache
+# (no large XLA:CPU crypto graphs: block packing, group algebra, wire
+# validation, cuckoo tables). Use when iterating on plumbing.
+test-smoke:
+	$(PY) -m pytest tests/test_block.py tests/test_groups.py \
+	  tests/test_crypto_validation.py -q -x
 
 # Iteration default: skip the slow full-domain/native-build tiers.
 # Wall time is dominated by XLA:CPU compiles and therefore by the
@@ -25,6 +32,12 @@ bench:
 # Full registry (stderr lines mirror the reference bench names).
 bench-all:
 	$(PY) bench.py --all
+
+# Multi-device scaling-efficiency proxy on the virtual CPU mesh
+# (BASELINE.md target 3; scripts/artifacts/scaling_cpu.json). On a real
+# pod slice use: python scripts/scaling_bench.py --tpu-pod
+scaling:
+	$(PY) scripts/scaling_bench.py
 
 # Native host engine single-core numbers (reference bench_cpu shapes).
 bench-native:
