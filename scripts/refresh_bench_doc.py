@@ -48,8 +48,14 @@ TABLE = [
     ("dpf_gen_packed_chacha_uint_16bit",
      "DPF Gen 16-bit, packed key layout (gen->eval pipeline shape)",
      "(no wire-format assembly; reference always materializes keys)"),
+    ("dpf_eval_packedkey_chacha_uint_16bit",
+     "DPF Eval 16-bit, packed key (5/8 cw words streamed)",
+     "(no reference analog; api.PackedDpfKeys)"),
     ("dpf_gen_aes_uint_16bit",
      "DPF Gen 16-bit, AES PRG (plane-domain kernel)",
+     "(host-only in reference: AES gen traps on device)"),
+    ("dcf_gen_aes_uint_16bit",
+     "DCF Gen 16-bit, AES PRG (8 AES/level + bitsliced value chain)",
      "(host-only in reference: AES gen traps on device)"),
     ("dcf_gen_chacha_uint_16bit", "DCF Gen 16-bit (fused kernel)",
      "177 M/s (GPU, 20-bit)"),
