@@ -557,18 +557,38 @@ def _bench_registry(deadline: float | None = None):
     h3 = Blake3((0x11111111, 0x22222222, 0x33333333, 0x44444444,
                  0x55555555, 0x66666666, 0x77777777, 0x88888888))
 
+    # Staged keys (like every other eval row — the methodology stages
+    # keys on device before the timed region); the timed step is the
+    # fused walk+hash kernel plus finalize/untile/cs-mix.
     @_lazy
     def L_vdpf_chacha():
         vcws, vcs, vocw, _ = jax.jit(jax.vmap(
             lambda s, a, b: _vdpf.gen(prg2, h3.xor_hash, g, ib,
                                       s, a, b)))(s0sb, a_l, betas)
-        return s0sb[:, 0], vcws, vcs, vocw, L_xsd()
+        vseeds, vcws_t, vxs2, _ = jax.jit(
+            vdpf_pallas.pack_keys,
+            static_argnames=("in_bits", "block_rows"))(
+                s0sb[:, 0], vcws, L_xsd(), in_bits=ib)
+        return vseeds, vcws_t, vxs2, vcs, vocw
+
+    h3_iv = tuple(int(w) for w in h3.iv)
 
     @jax.jit
-    def fv(s0, cws, cs, ocw, xs):
-        y, p = vdpf_pallas.eval_points(nonce, h3.xor_hash, g, ib, 0, s0,
-                                       cws, cs, ocw, xs)
-        return jnp.sum(y[:, 0]) + jnp.sum(p[:, 0, 0])
+    def fv(seeds4, cws_t, xs2, cs, ocw):
+        from fss_tpu.ops import blake3_pallas as _b3
+        so, t, pi_planes = vdpf_pallas.fused_eval_packed(
+            seeds4, cws_t, xs2, in_bits=ib, party=0, nonce=nonce,
+            iv=h3_iv)
+        Bv = cs.shape[0]
+        s = jnp.transpose(so.reshape(4, -1), (1, 0))[:Bv]
+        tb = t.reshape(-1)[:Bv]
+        y = g.from_block(s)
+        y = jnp.where(tb.astype(jnp.bool_)[:, None],
+                      g.add(y, g.from_block(ocw)), y)
+        pi = _b3._untile(pi_planes, Bv, 4)
+        pi = jnp.where(tb.astype(jnp.bool_)[:, None, None],
+                       jnp.bitwise_xor(pi, cs), pi)
+        return jnp.sum(g.into_block(y)[:, 0]) + jnp.sum(pi[:, 0, 0])
 
     yield from _row(
         "vdpf_eval_chacha_blake3_uint_16bit", "evals/s/chip",

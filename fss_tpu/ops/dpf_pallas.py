@@ -98,73 +98,82 @@ def _chacha2(k0, k1, k2, k3, nonce, rounds: int):
     return left, right
 
 
+def walk(s_ref, c_ref, x_ref, *, in_bits: int, party: int, nonce,
+         rounds: int, unroll: bool = False):
+    """The DPF tree walk on kernel refs: returns the final seed words
+    (w0..w3) and control bit t. Shared by the plain eval kernel and the
+    fused VDPF eval kernel (which hashes the result in-kernel).
+
+    in_bits > 32: x arrives as 4 uint32 lanes ([4, rows, 128] block) and
+    each level picks bit (in_bits-1-i) out of the right lane
+    (dpf.cuh:61-63 allows In up to __uint128_t).
+    """
+    wide = in_bits > 32
+    w = [s_ref[i] for i in range(4)]
+    w[3] = w[3] & _NOTONE
+    t = jnp.zeros_like(w[0]) + np.uint32(party)
+    x = None if wide else x_ref[:]
+
+    def level(i, carry):
+        w0, w1, w2, w3, t = carry
+        (l0, l1, l2, l3), (r0, r1, r2, r3) = _chacha2(
+            w0, w1, w2, w3, nonce, rounds)
+        tl = l3 & _ONE
+        l3 = l3 & _NOTONE
+        tr = r3 & _ONE
+        r3 = r3 & _NOTONE
+        cw0, cw1, cw2 = c_ref[i, 0], c_ref[i, 1], c_ref[i, 2]
+        cw3r, cw4 = c_ref[i, 3], c_ref[i, 4]
+        tl_cw = cw3r & _ONE
+        cw3 = cw3r & _NOTONE
+        tr_cw = cw4 & _ONE
+        tm = np.uint32(0) - t  # t is 0/1: arithmetic mask, no select
+        m0 = cw0 & tm
+        m1 = cw1 & tm
+        m2 = cw2 & tm
+        m3 = cw3 & tm
+        l0 ^= m0
+        l1 ^= m1
+        l2 ^= m2
+        l3 ^= m3
+        r0 ^= m0
+        r1 ^= m1
+        r2 ^= m2
+        r3 ^= m3
+        tl = tl ^ (t & tl_cw)
+        tr = tr ^ (t & tr_cw)
+        pos = (np.uint32(in_bits - 1) - i.astype(jnp.uint32)
+               if not isinstance(i, int)
+               else np.uint32(in_bits - 1 - i))
+        if wide:
+            xb = ((x_ref[pos >> np.uint32(5)]
+                   >> (pos & np.uint32(31))) & _ONE).astype(jnp.bool_)
+        else:
+            xb = ((x >> pos) & _ONE).astype(jnp.bool_)
+        w0 = jnp.where(xb, r0, l0)
+        w1 = jnp.where(xb, r1, l1)
+        w2 = jnp.where(xb, r2, l2)
+        w3 = jnp.where(xb, r3, l3)
+        t = jnp.where(xb, tr, tl)
+        return (w0, w1, w2, w3, t)
+
+    # Rolled over levels by default (tiny trip count, big body — keeps
+    # Mosaic compile time sane; the rounds inside are fully unrolled).
+    # unroll=True trades compile time for static cw indexing.
+    if unroll:
+        carry = (*w, t)
+        for i in range(in_bits):
+            carry = level(i, carry)
+        return carry
+    return jax.lax.fori_loop(0, in_bits, level, (*w, t))
+
+
 def _make_eval_kernel(in_bits: int, party: int, nonce, rounds: int,
                       unroll: bool = False):
-    # in_bits > 32: x arrives as 4 uint32 lanes ([4, rows, 128] block) and
-    # each level picks bit (in_bits-1-i) out of the right lane
-    # (dpf.cuh:61-63 allows In up to __uint128_t).
-    wide = in_bits > 32
-
     def kernel(s_ref, c_ref, x_ref, so_ref, t_ref):
-        w = [s_ref[i] for i in range(4)]
-        w[3] = w[3] & _NOTONE
-        t = jnp.zeros_like(w[0]) + np.uint32(party)
-        x = None if wide else x_ref[:]
-
-        def level(i, carry):
-            w0, w1, w2, w3, t = carry
-            (l0, l1, l2, l3), (r0, r1, r2, r3) = _chacha2(
-                w0, w1, w2, w3, nonce, rounds)
-            tl = l3 & _ONE
-            l3 = l3 & _NOTONE
-            tr = r3 & _ONE
-            r3 = r3 & _NOTONE
-            cw0, cw1, cw2 = c_ref[i, 0], c_ref[i, 1], c_ref[i, 2]
-            cw3r, cw4 = c_ref[i, 3], c_ref[i, 4]
-            tl_cw = cw3r & _ONE
-            cw3 = cw3r & _NOTONE
-            tr_cw = cw4 & _ONE
-            tm = np.uint32(0) - t  # t is 0/1: arithmetic mask, no select
-            m0 = cw0 & tm
-            m1 = cw1 & tm
-            m2 = cw2 & tm
-            m3 = cw3 & tm
-            l0 ^= m0
-            l1 ^= m1
-            l2 ^= m2
-            l3 ^= m3
-            r0 ^= m0
-            r1 ^= m1
-            r2 ^= m2
-            r3 ^= m3
-            tl = tl ^ (t & tl_cw)
-            tr = tr ^ (t & tr_cw)
-            pos = (np.uint32(in_bits - 1) - i.astype(jnp.uint32)
-                   if not isinstance(i, int)
-                   else np.uint32(in_bits - 1 - i))
-            if wide:
-                xb = ((x_ref[pos >> np.uint32(5)]
-                       >> (pos & np.uint32(31))) & _ONE).astype(jnp.bool_)
-            else:
-                xb = ((x >> pos) & _ONE).astype(jnp.bool_)
-            w0 = jnp.where(xb, r0, l0)
-            w1 = jnp.where(xb, r1, l1)
-            w2 = jnp.where(xb, r2, l2)
-            w3 = jnp.where(xb, r3, l3)
-            t = jnp.where(xb, tr, tl)
-            return (w0, w1, w2, w3, t)
-
-        # Rolled over levels by default (tiny trip count, big body — keeps
-        # Mosaic compile time sane; the rounds inside are fully unrolled).
-        # unroll=True trades compile time for static cw indexing.
-        if unroll:
-            carry = (*w, t)
-            for i in range(in_bits):
-                carry = level(i, carry)
-            w0, w1, w2, w3, t = carry
-        else:
-            w0, w1, w2, w3, t = jax.lax.fori_loop(0, in_bits, level,
-                                                  (*w, t))
+        w0, w1, w2, w3, t = walk(s_ref, c_ref, x_ref, in_bits=in_bits,
+                                 party=party, nonce=nonce, rounds=rounds,
+                                 unroll=unroll)
         so_ref[0] = w0
         so_ref[1] = w1
         so_ref[2] = w2

@@ -10,14 +10,112 @@ fraction of the in_bits ChaCha blocks the kernel already did).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from fss_tpu import block as blk
 from fss_tpu.ops import dpf_pallas
 
 LANES = dpf_pallas.LANES
+
+
+def _make_fused_eval_kernel(in_bits: int, party: int, nonce, rounds: int,
+                            iv, unroll: bool, hash_unroll: bool):
+    """DPF walk + the two BLAKE3 XorHash compressions in ONE kernel
+    (vdpf.cuh:189-242 is the same per-point fusion): the walk's final
+    seed words feed the hash straight from vregs — no intermediate HBM
+    round trip, no second dispatch."""
+    from fss_tpu.ops import blake3_pallas as _b3
+    wide = in_bits > 32
+
+    def kernel(s_ref, c_ref, x_ref, p_ref, so_ref, t_ref, pi_ref):
+        w0, w1, w2, w3, t = dpf_pallas.walk(
+            s_ref, c_ref, x_ref, in_bits=in_bits, party=party,
+            nonce=nonce, rounds=rounds, unroll=unroll)
+        so_ref[0] = w0
+        so_ref[1] = w1
+        so_ref[2] = w2
+        so_ref[3] = w3
+        t_ref[:] = t
+
+        zero = jnp.zeros_like(w0)
+        if wide:
+            a0, a1, a2, a3 = (x_ref[0], x_ref[1], x_ref[2], x_ref[3])
+        else:
+            a0, a1, a2, a3 = x_ref[:], zero, zero, zero
+        perm = None if hash_unroll else p_ref[0, :]
+        bw = [w0, w1, w2, w3]
+        for lsb in (0, 1):
+            a_l = [a0, a1, a2,
+                   (a3 & dpf_pallas._NOTONE) | np.uint32(lsb)]
+            m = a_l + bw + [zero] * 8
+            out = _b3._compress(iv, m, 32, hash_unroll, perm)
+            for k in range(8):
+                pi_ref[8 * lsb + k] = out[k]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("in_bits", "party", "nonce", "rounds",
+                                    "iv", "block_rows", "interpret",
+                                    "unroll"))
+def fused_eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int,
+                      nonce, iv, rounds: int = 20,
+                      block_rows: int = dpf_pallas.DEFAULT_BLOCK_ROWS,
+                      interpret: bool = False, unroll: bool = False):
+    """Fused walk+hash on pre-packed inputs. Returns (so [4, T, 128],
+    t [T, 128], pi planes [16, T, 128])."""
+    from fss_tpu.ops import blake3_pallas as _b3
+    nrows = seeds4.shape[1]
+    block_rows = dpf_pallas.clamp_block_rows(in_bits, block_rows)
+    while nrows % block_rows:
+        block_rows //= 2
+    grid = (nrows // block_rows,)
+    nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
+    kern = _make_fused_eval_kernel(in_bits, party, nonce, rounds,
+                                   tuple(int(w) for w in iv), unroll,
+                                   hash_unroll=not interpret)
+    x_spec = (pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+              if in_bits > 32 else
+              pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM))
+    so, t, pi = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_bits, 8, block_rows, LANES),
+                         lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+            x_spec,
+            pl.BlockSpec((1, 16), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, nrows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((nrows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((16, nrows, LANES), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seeds4, cws_t, xs2, _b3._perm_arr())
+    return so, t, pi
 
 
 def pack_keys(s0: jax.Array, cws: jax.Array, xs: jax.Array, in_bits: int,
@@ -99,10 +197,29 @@ def eval_points(prg_nonce, xor_hash, group, in_bits: int, party: int,
     schemes.vdpf.eval_points."""
     xs = jnp.asarray(xs, dtype=jnp.uint32)
     seeds4, cws_t, xs2, B = pack_keys(s0, cws, xs, in_bits, block_rows)
-    so, t = dpf_pallas.eval_packed(seeds4, cws_t, xs2, in_bits=in_bits,
-                                   party=party, nonce=tuple(prg_nonce),
-                                   rounds=rounds, block_rows=block_rows,
-                                   interpret=interpret)
+
+    # pi~ = H(x, s) ^ (t ? cs : 0). With a BLAKE3 hash the walk AND both
+    # hash compressions run in ONE fused kernel — the final seed words
+    # feed the compression from vregs, with no intermediate HBM round
+    # trip or second dispatch (the two-dispatch plane-kernel version
+    # measured 133.5 M/s, the rolled-jnp glue before it 91.9, vs the
+    # bare walk's 207; vdpf.cuh:189-242 fuses eval->pi per point the
+    # same way).
+    from fss_tpu.ops.eval_all_pallas import _blake3_iv_of
+    iv = _blake3_iv_of(xor_hash)
+    if iv is not None:
+        from fss_tpu.ops import blake3_pallas as _b3
+        so, t, pi_planes = fused_eval_packed(
+            seeds4, cws_t, xs2, in_bits=in_bits, party=party,
+            nonce=tuple(prg_nonce), iv=tuple(int(w) for w in iv),
+            rounds=rounds, block_rows=block_rows, interpret=interpret)
+        pi = _b3._untile(pi_planes, B, 4)
+    else:
+        so, t = dpf_pallas.eval_packed(
+            seeds4, cws_t, xs2, in_bits=in_bits, party=party,
+            nonce=tuple(prg_nonce), rounds=rounds,
+            block_rows=block_rows, interpret=interpret)
+        pi = None
     s = jnp.transpose(so.reshape(4, -1), (1, 0))[:B]
     tb = t.reshape(-1)[:B]
 
@@ -114,25 +231,7 @@ def eval_points(prg_nonce, xor_hash, group, in_bits: int, party: int,
     if party:
         y = group.neg(y)
 
-    # pi~ = H(x, s) ^ (t ? cs : 0). With a BLAKE3 hash the compression
-    # runs on the fused Pallas kernel IN THE KERNEL'S SoA PLANE LAYOUT:
-    # the walk's seed planes `so` feed the hash directly, with no
-    # SoA->row->SoA transpose round trip (that glue held VDPF eval at
-    # 91.9 M/s vs the walk's own 215 M/s; vdpf.cuh:189-242 fuses
-    # eval->pi per point the same way).
-    from fss_tpu.ops.eval_all_pallas import _blake3_iv_of
-    iv = _blake3_iv_of(xor_hash)
-    if iv is not None:
-        from fss_tpu.ops import blake3_pallas as _b3
-        if in_bits > 32:
-            x4 = xs2  # already [4, T, 128] packed lanes
-        else:
-            x4 = jnp.stack([xs2] + [jnp.zeros_like(xs2)] * 3)
-        pi_planes = _b3.xor_hash_planes(x4, so, iv,
-                                        block_rows=block_rows,
-                                        interpret=interpret)
-        pi = _b3._untile(pi_planes, B, 4)
-    else:
+    if pi is None:
         x_lanes = blk.pack_inputs(xs, in_bits)
         pi = xor_hash(x_lanes, s)
     pi = jnp.where(tb.astype(jnp.bool_)[:, None, None],

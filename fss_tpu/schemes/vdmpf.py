@@ -397,10 +397,25 @@ def _inner_eval(prg2, xor_hash, group, bucket_bits, party, key: VdmpfKey,
     else:
         xs2 = jnp.pad(jflat, (0, Ep - E)).reshape(T, LANES)
 
-    so, tb = dpf_pallas.eval_packed(
-        seeds4, cws_t, xs2, in_bits=bucket_bits, party=party,
-        nonce=tuple(prg_obj.nonce), rounds=prg_obj.rounds,
-        block_rows=block_rows)
+    # Walk + pi~ hash in one fused kernel when the hash is BLAKE3 (same
+    # fusion as vdpf_pallas.eval_points; the hash input lanes are built
+    # in-kernel from xs2, which holds exactly jflat's packed lanes).
+    from fss_tpu.ops.eval_all_pallas import _blake3_iv_of
+    iv = _blake3_iv_of(xor_hash)
+    if iv is not None:
+        from fss_tpu.ops import blake3_pallas as _b3
+        from fss_tpu.ops import vdpf_pallas as _vk
+        so, tb, pi_planes = _vk.fused_eval_packed(
+            seeds4, cws_t, xs2, in_bits=bucket_bits, party=party,
+            nonce=tuple(prg_obj.nonce), iv=tuple(int(w) for w in iv),
+            rounds=prg_obj.rounds, block_rows=block_rows)
+        pt_pre = _b3._untile(pi_planes, E, 4)
+    else:
+        so, tb = dpf_pallas.eval_packed(
+            seeds4, cws_t, xs2, in_bits=bucket_bits, party=party,
+            nonce=tuple(prg_obj.nonce), rounds=prg_obj.rounds,
+            block_rows=block_rows)
+        pt_pre = None
     s = jnp.transpose(so.reshape(4, -1), (1, 0))[:E]
     t = tb.reshape(-1)[:E]
 
@@ -419,13 +434,10 @@ def _inner_eval(prg2, xor_hash, group, bucket_bits, party, key: VdmpfKey,
     if party:
         y = group.neg(y)
 
-    x_lanes = blk.pack_inputs(jflat, bucket_bits)
-    from fss_tpu.ops.eval_all_pallas import _blake3_iv_of
-    iv = _blake3_iv_of(xor_hash)
-    if iv is not None:  # fused BLAKE3 kernel for the per-point hashes
-        from fss_tpu.ops import blake3_pallas as _b3
-        pt = _b3.xor_hash_batch(x_lanes, s, iv)
+    if pt_pre is not None:
+        pt = pt_pre
     else:
+        x_lanes = blk.pack_inputs(jflat, bucket_bits)
         pt = xor_hash(x_lanes, s)
     pt = jnp.where(t.astype(jnp.bool_)[:, None, None],
                    jnp.bitwise_xor(pt, cs_e), pt)
