@@ -134,7 +134,9 @@ def _bench_registry(deadline: float | None = None):
     on the shared pool are precious) still surfaces every completed
     row instead of losing the whole batch.
 
-    ``FSS_BENCH_SKIP`` (comma-separated metric-name prefixes) skips
+    ``FSS_BENCH_ONLY`` (comma-separated metric-name prefixes) restricts
+    the registry to matching rows — the focused-window inverse of
+    ``FSS_BENCH_SKIP`` (comma-separated metric-name prefixes), which skips
     matching rows: a row whose kernel faults the shared TPU worker
     (observed 2026-08-19 on dcf_eval_aes) poisons the process backend,
     so a rerun must be able to route around it without losing the
@@ -146,8 +148,12 @@ def _bench_registry(deadline: float | None = None):
     import os as _os
     _skips = tuple(s for s in
                    _os.environ.get("FSS_BENCH_SKIP", "").split(",") if s)
+    _onlys = tuple(s for s in
+                   _os.environ.get("FSS_BENCH_ONLY", "").split(",") if s)
 
     def _skip(name: str) -> bool:
+        if _onlys and not any(name.startswith(p) for p in _onlys):
+            return True
         if any(name.startswith(p) for p in _skips):
             print(f"bench: skipping {name} (FSS_BENCH_SKIP)",
                   file=sys.stderr)
@@ -356,8 +362,11 @@ def _bench_registry(deadline: float | None = None):
                 L_xsa(), in_bits=ib)
         return vasp, vacwp, vaxp, vcsa, vocwa, L_xsa()
 
+    sh_key = tuple(int(w) for w in sh.key)
+
     @jax.jit
     def fvaes(sp, cwp, xp, cs, ocw, xs):
+        from fss_tpu.ops import sha256_pallas as _shk
         so, to = _aesk.eval_packed(sp, cwp, xp, in_bits=ib, party=0,
                                    keys=aes_keys)
         s, t = _aesk.unpack_out(so, to, Ba)
@@ -365,7 +374,7 @@ def _bench_registry(deadline: float | None = None):
         y = jnp.where(t.astype(jnp.bool_)[:, None],
                       g.add(y, g.from_block(ocw)), y)
         x_lanes = blk.pack_inputs(xs, ib)
-        pi = sh.xor_hash(x_lanes, s)
+        pi = _shk.xor_hash_batch(x_lanes, s, sh_key)
         pi = jnp.where(t.astype(jnp.bool_)[:, None, None],
                        jnp.bitwise_xor(pi, cs), pi)
         return jnp.sum(g.into_block(y)[:, 0]) + jnp.sum(pi[:, 0, 0])

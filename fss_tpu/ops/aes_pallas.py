@@ -436,7 +436,22 @@ def vdpf_eval_points(prg_keys, xor_hash, group, in_bits: int, party: int,
 
     from fss_tpu import block as blk
     x_lanes = blk.pack_inputs(xs, in_bits)
-    pi = xor_hash(x_lanes, s)
+    # Batched hash kernels when the config matches (sha256_pallas /
+    # blake3_pallas); rolled jnp otherwise.
+    from fss_tpu.ops import sha256_pallas as _shk
+    from fss_tpu.ops.eval_all_pallas import _blake3_iv_of
+    skey = _shk.sha256_key_of(xor_hash)
+    b3iv = _blake3_iv_of(xor_hash)
+    if skey is not None:
+        pi = _shk.xor_hash_batch(x_lanes, s, skey, block_rows=block_rows,
+                                 interpret=interpret)
+    elif b3iv is not None:
+        from fss_tpu.ops import blake3_pallas as _b3k
+        pi = _b3k.xor_hash_batch(x_lanes, s, tuple(int(w) for w in b3iv),
+                                 block_rows=block_rows,
+                                 interpret=interpret)
+    else:
+        pi = xor_hash(x_lanes, s)
     pi = jnp.where(t.astype(jnp.bool_)[:, None, None],
                    jnp.bitwise_xor(pi, csb), pi)
     return group.into_block(y), pi

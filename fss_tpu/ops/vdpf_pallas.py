@@ -219,7 +219,22 @@ def eval_points(prg_nonce, xor_hash, group, in_bits: int, party: int,
             seeds4, cws_t, xs2, in_bits=in_bits, party=party,
             nonce=tuple(prg_nonce), rounds=rounds,
             block_rows=block_rows, interpret=interpret)
-        pi = None
+        from fss_tpu.ops import sha256_pallas as _sh
+        skey = _sh.sha256_key_of(xor_hash)
+        if skey is not None:
+            # SHA-256 config: hash on the fused kernel in the walk's
+            # plane layout (sha has no in-walk fusion yet — one extra
+            # dispatch, still no SoA<->row round trip).
+            if in_bits > 32:
+                x4 = xs2
+            else:
+                x4 = jnp.stack([xs2] + [jnp.zeros_like(xs2)] * 3)
+            pi_planes = _sh.xor_hash_planes(x4, so, skey,
+                                            block_rows=block_rows,
+                                            interpret=interpret)
+            pi = _sh._untile(pi_planes, B, 4)
+        else:
+            pi = None
     s = jnp.transpose(so.reshape(4, -1), (1, 0))[:B]
     tb = t.reshape(-1)[:B]
 

@@ -656,6 +656,15 @@ def check_hash_kernels(interpret):
         got = np.asarray(jax.jit(h.xor_hash)(blk.block(a), blk.block(b)))
         if _as_bytes(got[0]) != _h2b(entry["xor_hash"]):
             raise Mismatch("sha256_xor_hash device: bytes differ")
+        # Fused Pallas XorHash kernel (ops/sha256_pallas.py).
+        from fss_tpu.ops import sha256_pallas as shk
+        got = np.asarray(shk.xor_hash_batch(
+            jnp.asarray(a), jnp.asarray(b),
+            tuple(int(w) for w in _h2u32(entry["key"])),
+            interpret=interpret))
+        if _as_bytes(got[0]) != _h2b(entry["xor_hash"]) or \
+                not (got == got[0]).all():
+            raise Mismatch("sha256_xor_hash kernel: bytes differ")
         n_cfg += 1
     return n_cfg
 

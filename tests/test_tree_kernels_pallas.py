@@ -114,6 +114,59 @@ def test_vdpf_pallas_matches_reference(rng):
         assert np.array_equal(np.asarray(p_got), np.asarray(p_ref))
 
 
+@pytest.mark.parametrize("in_bits", [8, 64])
+def test_vdpf_pallas_sha256_matches_reference(in_bits, rng):
+    """Same as test_vdpf_pallas_matches_reference but with the SHA-256
+    XorHash, exercising the sha256_pallas plane-kernel pi~ path."""
+    from fss_tpu.hash.sha256 import Sha256
+    from fss_tpu.ops import vdpf_pallas
+    from fss_tpu.schemes import vdpf as _vdpf
+
+    B = 200
+    g = groups.Bytes()
+    prg = ChaCha(mul=2, nonce=NONCE)
+    h = Sha256(tuple(range(11, 15)))
+    s0s = blk.block(rng.integers(0, 2**32, size=(B, 2, 4)))
+    alphas = blk.pack_inputs(
+        [int(v) for v in rng.integers(0, 2**min(in_bits, 63), size=B)],
+        in_bits)
+    betas = blk.block(rng.integers(0, 2**32, size=(B, 4)))
+    cws, cs, ocw, _ = jax.vmap(
+        lambda s, a, b: _vdpf.gen(prg, h.xor_hash, g, in_bits, s, a, b))(
+            s0s, alphas, betas)
+    xs = blk.pack_inputs(
+        [int(v) for v in rng.integers(0, 2**min(in_bits, 63), size=B)],
+        in_bits) if in_bits > 32 else \
+        rng.integers(0, 2**in_bits, size=B, dtype=np.uint32)
+    for party in (0, 1):
+        y_ref, p_ref = _vdpf.eval_points(prg, h.xor_hash, g, in_bits,
+                                         party, s0s[:, party], cws, cs,
+                                         ocw, xs)
+        y_got, p_got = vdpf_pallas.eval_points(
+            NONCE, h.xor_hash, g, in_bits, party, s0s[:, party], cws, cs,
+            ocw, xs, block_rows=8, interpret=True)
+        assert np.array_equal(np.asarray(y_got), np.asarray(y_ref))
+        assert np.array_equal(np.asarray(p_got), np.asarray(p_ref))
+
+
+def test_sha256_kernel_matches_jnp(rng):
+    from fss_tpu.hash.sha256 import Sha256
+    from fss_tpu.ops import sha256_pallas as shk
+
+    key = tuple(int(v) for v in rng.integers(0, 2**32, size=4))
+    h = Sha256(key)
+    a = rng.integers(0, 2**32, size=(300, 4), dtype=np.uint32)
+    b = rng.integers(0, 2**32, size=(300, 4), dtype=np.uint32)
+    assert np.array_equal(
+        np.asarray(shk.xor_hash_batch(a, b, key, block_rows=8,
+                                      interpret=True)),
+        np.asarray(h.xor_hash(a, b)))
+    assert shk.sha256_key_of(h.xor_hash) == tuple(
+        int(w) for w in h.key)
+    from fss_tpu.hash.blake3 import Blake3
+    assert shk.sha256_key_of(Blake3(key + key).xor_hash) is None
+
+
 def test_blake3_kernels_match_jnp(rng):
     from fss_tpu.hash.blake3 import Blake3
     from fss_tpu.ops import blake3_pallas as b3k

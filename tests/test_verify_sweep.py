@@ -27,4 +27,9 @@ def test_quick_gate_interpret():
 @pytest.mark.slow
 def test_full_sweep_interpret():
     n = verify_tpu.run(quick=False, interpret=True)
-    assert n >= 100  # 10 families; round-3 full sweep counted >= 100
+    # 10 families. The round-4 verification hardening consolidated
+    # double-counted configs down to 94 (campaign_verify.json agrees
+    # on-chip); the SHA-256 XorHash kernel check added one more. Growing
+    # golden coverage may raise this floor — never lower it without a
+    # matching on-chip campaign_verify.json.
+    assert n >= 95
