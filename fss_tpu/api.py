@@ -390,8 +390,8 @@ class Dcf:
                     rounds=self.prg.rounds)
         if (_use_tpu_kernels() and isinstance(self.prg, Aes128Mmo)
                 and _plain_u32_inputs(xs, self.in_bits)):
-            from fss_tpu.ops import aes_pallas, dcf_pallas
-            if dcf_pallas.kernel_supports_group(self.group):
+            from fss_tpu.ops import aes_pallas
+            if aes_pallas.dcf_kernel_supports_group(self.group):
                 return aes_pallas.dcf_eval_points(
                     self.prg.keys, self.group, self.in_bits, int(party),
                     jnp.asarray(s0), jnp.asarray(cws),

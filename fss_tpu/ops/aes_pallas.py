@@ -966,6 +966,14 @@ def dcf_eval_packed(sp, cwp, xp, in_bits: int, party: int, keys,
     return vo, so, to
 
 
+def dcf_kernel_supports_group(group) -> bool:
+    """The plane-domain AES DCF value thread handles XOR and wrapping
+    adds only (mod groups take the XLA or ChaCha-kernel paths)."""
+    from fss_tpu import groups as _groups
+    return isinstance(group, _groups.Bytes) or (
+        isinstance(group, _groups.Uint) and group.mod == 0)
+
+
 def dcf_eval_points(prg_keys, group, in_bits: int, party: int,
                     s0: jax.Array, cws: jax.Array, xs: jax.Array,
                     block_rows: int = DEFAULT_BLOCK_ROWS,

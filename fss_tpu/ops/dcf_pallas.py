@@ -17,16 +17,22 @@ generic over the same kinds), one mode per algebra:
           are masked to the group width before the add, so the lane
           accumulator holds the EXACT integer sum (<= 2^(bits+7) fits
           128 bits); finalize long-divides it by mod once.
-  mod128  Uint bits == 128 (mod is a power of two <= 2^127 by
-          construction, groups.Uint.__post_init__): contributions are
-          decoded out of the clamped-bit block encoding (value bits
-          96..126 live in word-3 bits 1..31) before the add; finalize
-          masks the wrapped sum to the modulus width.
+  mod128  Uint bits == 128 with a power-of-two mod (<= 2^127,
+          groups.Uint.__post_init__): contributions are decoded out of
+          the clamped-bit block encoding (value bits 96..126 live in
+          word-3 bits 1..31) before the add; finalize masks the wrapped
+          sum to the modulus width.
+  mod128np  Uint bits == 128 with a NON-power-of-two mod: decoded
+          contributions (< 2^127 each, <= 2*in_bits + 1 of them) are
+          accumulated EXACTLY in a 5-word 160-bit lane accumulator
+          (sum < 2^135); finalize long-divides the low 128 bits once
+          and folds the high word with a static ``2^128 mod m``
+          double-and-add (8 steps — the high word is < 2^8). This is
+          the generalization sketched in docs/design.md; reference
+          group/uint.cuh:59-81 is generic over the same Uint<u128, mod>.
 
-Only bits == 128 with a non-power-of-two mod falls back to the XLA path
-(the decoded sum could overflow 2^128, which a non-pow2 modulus does not
-survive). Party negation distributes over the abelian group sum, so it
-happens once at finalize.
+Party negation distributes over the abelian group sum, so it happens
+once at finalize.
 """
 
 from __future__ import annotations
@@ -56,7 +62,7 @@ def _group_mode(group) -> str | None:
     if not isinstance(group, groups.Uint):
         return None
     if group.bits == 128:
-        return "mod128" if group._mod_is_pow2 else None
+        return "mod128" if group._mod_is_pow2 else "mod128np"
     if group.mod == 0 or group._mod_is_pow2:
         return "wrap"
     return "mod64"
@@ -68,7 +74,7 @@ def _value_mask(group) -> tuple:
     mode = _group_mode(group)
     if mode in ("xor", "wrap"):
         return (FULL, FULL, FULL, FULL)  # finalize masks (pow2 algebra)
-    if mode == "mod128":
+    if mode in ("mod128", "mod128np"):
         return (FULL, FULL, FULL, NOTONE)  # clamped t bit, then decode
     bits = group.bits
     return tuple(
@@ -82,13 +88,33 @@ def kernel_supports_group(group) -> bool:
     return _group_mode(group) is not None
 
 
+def acc_words(group_mode: str) -> int:
+    """Value-accumulator lane words: 5 (160-bit exact sum) for the
+    non-pow2 128-bit mode, 4 otherwise."""
+    return 5 if group_mode == "mod128np" else 4
+
+
 def _make_kernel(in_bits: int, party: int, nonce, rounds: int,
                  group_mode: str, vmask: tuple):
     wide = in_bits > 32  # x as 4 packed uint32 lanes
+    nacc = acc_words(group_mode)
 
     def acc(a, b):
         if group_mode == "xor":
             return tuple(x ^ y for x, y in zip(a, b))
+        if group_mode == "mod128np":
+            # 160-bit carry-chain add; b is a 4-word contribution.
+            out, c = [], None
+            for i in range(5):
+                s = a[i] + (b[i] if i < 4 else np.uint32(0))
+                cn = (s < a[i]).astype(jnp.uint32)
+                if c is not None:
+                    sc = s + c
+                    cn = cn + (sc < s).astype(jnp.uint32)
+                    s = sc
+                out.append(s)
+                c = cn
+            return tuple(out)
         return add128(a, b)
 
     def vfix(c):
@@ -97,7 +123,7 @@ def _make_kernel(in_bits: int, party: int, nonce, rounds: int,
         if group_mode in ("xor", "wrap"):
             return c
         c = tuple(w & m for w, m in zip(c, vmask))
-        if group_mode == "mod128":
+        if group_mode in ("mod128", "mod128np"):
             c = (c[0], c[1], c[2], c[3] >> np.uint32(1))
         return c
 
@@ -107,10 +133,12 @@ def _make_kernel(in_bits: int, party: int, nonce, rounds: int,
         t = jnp.zeros_like(w[0]) + np.uint32(party)
         x = None if wide else x_ref[:]
         zero = jnp.zeros_like(w[0])
-        v = (zero, zero, zero, zero)
+        v = (zero,) * nacc
 
         def level(i, carry):
-            w0, w1, w2, w3, t, v0, v1, v2, v3 = carry
+            w0, w1, w2, w3, t = carry[:5]
+            v0, v1, v2, v3 = carry[5:9]
+            vhi = carry[9:]
             o = chacha_block(w0, w1, w2, w3, nonce, 4, rounds)
             (l0, l1, l2, l3), (vl0, vl1, vl2, vl3), \
                 (r0, r1, r2, r3), (vr0, vr1, vr2, vr3) = o
@@ -151,7 +179,7 @@ def _make_kernel(in_bits: int, party: int, nonce, rounds: int,
                          for a, b in zip((vr0, vr1, vr2, vr3),
                                          (vl0, vl1, vl2, vl3)))
             vcm = tuple(c & tm for c in v_cw)
-            v = acc(acc((v0, v1, v2, v3), vfix(step)), vfix(vcm))
+            v = acc(acc((v0, v1, v2, v3, *vhi), vfix(step)), vfix(vcm))
 
             w0 = jnp.where(xb, r0, l0)
             w1 = jnp.where(xb, r1, l1)
@@ -160,12 +188,10 @@ def _make_kernel(in_bits: int, party: int, nonce, rounds: int,
             t = jnp.where(xb, tr, tl)
             return (w0, w1, w2, w3, t, *v)
 
-        w0, w1, w2, w3, t, v0, v1, v2, v3 = jax.lax.fori_loop(
-            0, in_bits, level, (*w, t, *v))
-        vo_ref[0] = v0
-        vo_ref[1] = v1
-        vo_ref[2] = v2
-        vo_ref[3] = v3
+        out = jax.lax.fori_loop(0, in_bits, level, (*w, t, *v))
+        w0, w1, w2, w3, t = out[:5]
+        for k in range(nacc):
+            vo_ref[k] = out[5 + k]
         so_ref[0] = w0
         so_ref[1] = w1
         so_ref[2] = w2
@@ -220,6 +246,7 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
     grid = (nrows // block_rows,)
     nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
     kern = _make_kernel(in_bits, party, nonce, rounds, group_mode, vmask)
+    nacc = acc_words(group_mode)
     x_spec = (pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
               if in_bits > 32 else
@@ -236,7 +263,7 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
             x_spec,
         ],
         out_specs=[
-            pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
+            pl.BlockSpec((nacc, block_rows, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -244,7 +271,7 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((4, nrows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((nacc, nrows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((4, nrows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((nrows, LANES), jnp.uint32),
         ],
@@ -264,6 +291,31 @@ def _acc_to_value(group, v_raw: jax.Array) -> jax.Array:
         # Lanes are already decoded values; the wrapped sum's residue
         # mod a power of two dividing 2^128 is exact.
         return groups._mask_to_bits(v_raw, group.mod.bit_length() - 1)
+    if mode == "mod128np":
+        # v_raw [B, 5] is the EXACT 160-bit sum (< 2^135). Reduce the
+        # low 128 bits by long division, then fold the high word with a
+        # static 2^128 mod m via 8-step double-and-add (high word
+        # < 2^8; every intermediate stays < 2^128 because m <= 2^127).
+        m = jnp.asarray(group._mod_lanes())
+        c128 = (1 << 128) % group.mod
+        c128_l = jnp.asarray(np.array(
+            [(c128 >> (32 * i)) & 0xFFFFFFFF for i in range(4)],
+            dtype=np.uint32))
+
+        def _cond_sub(s):
+            ge = groups._ge128(s, m)
+            return jnp.where(ge[..., None], groups._sub128(s, m), s)
+
+        lo = groups._mod_reduce(v_raw[..., :4], group._mod_lanes(), 128)
+        hi = v_raw[..., 4]
+        r2 = jnp.zeros_like(lo)
+        for b in range(7, -1, -1):
+            r2 = _cond_sub(groups._add128(r2, r2))
+            bit = ((hi >> np.uint32(b)) & np.uint32(1)).astype(jnp.bool_)
+            addend = jnp.where(bit[..., None], c128_l,
+                               jnp.zeros_like(c128_l))
+            r2 = _cond_sub(groups._add128(r2, addend))
+        return _cond_sub(groups._add128(lo, r2))
     # mod64: v_raw is the exact sum of <= 2*128 masked terms, each
     # < 2^bits, so it fits in bits+8 bits.
     return groups._mod_reduce(v_raw, group._mod_lanes(),
@@ -273,7 +325,7 @@ def _acc_to_value(group, v_raw: jax.Array) -> jax.Array:
 def finalize(group, party: int, vo, so, t, v_last: jax.Array,
              batch: int) -> jax.Array:
     """Group-convert kernel outputs to [B, 4] shares (dcf.cuh:258-276)."""
-    v_raw = jnp.transpose(vo.reshape(4, -1), (1, 0))[:batch]
+    v_raw = jnp.transpose(vo.reshape(vo.shape[0], -1), (1, 0))[:batch]
     s = jnp.transpose(so.reshape(4, -1), (1, 0))[:batch]
     tb = t.reshape(-1)[:batch]
     v = _acc_to_value(group, v_raw)

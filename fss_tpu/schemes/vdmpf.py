@@ -194,8 +194,13 @@ def route(key: VdmpfKey, in_bits: int, xs, kappa: int = KAPPA):
     for k in range(1, kappa):
         same = jnp.zeros(bucket.shape[:-1], dtype=jnp.bool_)
         for kp in range(k):
+            # index is [eta, kappa, 4]: compare the full 4-lane value of
+            # entries kp and k (indexing [..., kp] would pick the LANE
+            # axis and false-positive whenever two hash functions land
+            # the same bucket — caught by the uint64/33-bit golden case).
             same = same | ((bucket[..., kp] == bucket[..., k])
-                           & (index[..., kp] == index[..., k]).all(-1))
+                           & (index[..., kp, :]
+                              == index[..., k, :]).all(-1))
         dup = dup.at[..., k].set(same)
     return bucket, index, dup
 

@@ -822,6 +822,9 @@ int main(int argc, char **argv) {
   using U64 = fss::group::Uint<uint64_t>;
   using U32 = fss::group::Uint<uint32_t>;
   using U127 = fss::group::Uint<__uint128_t, (static_cast<__uint128_t>(1) << 127)>;
+  // Non-power-of-two 128-bit modulus (group/uint.cuh is generic over it);
+  // exercises the TPU kernel's mod128np 160-bit exact accumulator.
+  using U127M = fss::group::Uint<__uint128_t, (static_cast<__uint128_t>(1) << 127) - 1>;
 
   {
     Json j(outdir + "/primitives.json");
@@ -902,6 +905,9 @@ int main(int argc, char **argv) {
       m = fresh_material();
       dcf_case<16, U127, fss::prg::ChaCha<4>, fss::DcfPred::kLt, uint16_t>(j, "chacha", "uint127",
           fss::prg::ChaCha<4>(m.nonce), m, 999, {998, 999, 1000});
+      m = fresh_material();
+      dcf_case<16, U127M, fss::prg::ChaCha<4>, fss::DcfPred::kLt, uint16_t>(j, "chacha", "uint127m",
+          fss::prg::ChaCha<4>(m.nonce), m, 777, {776, 777, 778});
     }
     j.close_arr();
     j.close_obj();

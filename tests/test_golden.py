@@ -63,6 +63,7 @@ def case_group(case):
         "uint32": groups.Uint(32),
         "uint64": groups.Uint(64),
         "uint127": groups.Uint(128, mod=1 << 127),
+        "uint127m": groups.Uint(128, mod=(1 << 127) - 1),
     }[case["group"]]
 
 

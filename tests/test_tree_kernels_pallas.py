@@ -25,6 +25,9 @@ NONCE = (0x600DCAFE, 0x0BADF00D)
     ("uint16_mod1000", groups.Uint(16, mod=1000)),     # mod64, masked
     ("uint64_mod", groups.Uint(64, mod=(1 << 61) - 1)),   # mod64, wide
     ("uint32_mod2e16", groups.Uint(32, mod=1 << 16)),  # pow2 -> wrap
+    # 128-bit NON-pow2 moduli (mod128np 160-bit exact accumulator):
+    ("uint127_mersenne", groups.Uint(128, mod=(1 << 127) - 1)),
+    ("uint126_odd", groups.Uint(128, mod=(1 << 126) + 12345)),
 ])
 def test_dcf_pallas_matches_reference(gname, g, rng):
     in_bits = 8
@@ -49,12 +52,17 @@ def test_dcf_pallas_matches_reference(gname, g, rng):
 
 
 def test_dcf_pallas_group_support():
-    # Modular Uint groups take the fused kernel now (r3 VERDICT #7);
-    # only bits=128 with a non-pow2 modulus still needs the XLA path.
+    # Every reference group mode takes the fused kernel now, including
+    # bits=128 with a non-pow2 modulus (mod128np, r4 VERDICT #8).
     assert dcf_pallas.kernel_supports_group(groups.Uint(128, mod=1 << 127))
     assert dcf_pallas.kernel_supports_group(groups.Uint(32, mod=1000))
-    assert not dcf_pallas.kernel_supports_group(
+    assert dcf_pallas.kernel_supports_group(
         groups.Uint(128, mod=(1 << 127) - 1))
+    from fss_tpu.ops import aes_pallas
+    # The plane-domain AES DCF kernel remains wrap/xor-only.
+    assert aes_pallas.dcf_kernel_supports_group(groups.Uint(64))
+    assert not aes_pallas.dcf_kernel_supports_group(
+        groups.Uint(32, mod=1000))
 
 
 @pytest.mark.parametrize("gname,g", [
