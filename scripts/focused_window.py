@@ -50,8 +50,10 @@ def main() -> int:
         "FSS_TPU_BENCH_WAIT_S", 2400)))
 
     if fams:
-        n = verify_tpu.run(quick=True, interpret=False, families=fams)
-        print(f"focused: verified {n} configs in {fams}", flush=True)
+        quick = "--full" not in sys.argv
+        n = verify_tpu.run(quick=quick, interpret=False, families=fams)
+        print(f"focused: verified {n} configs in {fams} "
+              f"(quick={quick})", flush=True)
 
     t0 = time.time()
     with open(rows_path, "a") as fh:

@@ -28,6 +28,45 @@ def test_prp_is_permutation_and_matches_host(rng):
         assert prp.permu_host(int(x)) == int(ys[int(x)])
 
 
+def test_wide_route_matches_host_locate(rng):
+    """route() on the wide (in_bits > 29) path == the scalar Locate
+    oracle: bucket = y // b, index = y % b, dup only on EXACT
+    (bucket, index) repeats. Regression for the lane-axis dedup bug
+    (two hash functions sharing a bucket falsely flagged dup)."""
+    from fss_tpu.schemes import vdmpf as vm
+
+    in_bits, kappa = 33, 3
+    n = 1 << in_bits
+    sigma = bytes(rng.integers(0, 256, size=16, dtype=np.uint8))
+    prp = Aes128Feistel(sigma, n * kappa)
+    m_rt = 53
+    b_rt = (n * kappa + m_rt - 1) // m_rt
+    key = vm.VdmpfKey(sigma, m_rt, b_rt,
+                      np.zeros((m_rt, 4), np.uint32),
+                      np.zeros((m_rt, 30, 8), np.uint32),
+                      np.zeros((m_rt, 4, 4), np.uint32),
+                      np.zeros((m_rt, 4), np.uint32))
+    xs = [int(v) for v in rng.choice(n, size=64, replace=False)]
+    bucket, index, dup = vm.route(key, in_bits, xs, kappa)
+    bucket, dup = np.asarray(bucket), np.asarray(dup)
+    idx = np.asarray(index)
+    same_bucket_diff_idx = 0
+    for e, x in enumerate(xs):
+        seen = set()
+        for k in range(kappa):
+            y = prp.permu_host(x + n * k)
+            want_b, want_j = y // b_rt, y % b_rt
+            got_j = sum(int(idx[e, k, i]) << (32 * i) for i in range(4))
+            assert bucket[e, k] == want_b, (e, k)
+            assert got_j == want_j, (e, k)
+            assert bool(dup[e, k]) == ((want_b, want_j) in seen), (e, k)
+            if any(b == want_b for b, j in seen if j != want_j):
+                same_bucket_diff_idx += 1
+            seen.add((want_b, want_j))
+    # The regression scenario must actually occur in this sample.
+    assert same_bucket_diff_idx > 0, "sample never hit a shared bucket"
+
+
 def test_cuckoo_compact(rng):
     """Standalone Compact placement (vdmpf_test.cu:190-218)."""
     n = 1 << IN_BITS
