@@ -587,7 +587,7 @@ def _bench_registry(deadline: float | None = None):
         from fss_tpu.ops import blake3_pallas as _b3
         so, t, pi_planes = vdpf_pallas.fused_eval_packed(
             seeds4, cws_t, xs2, in_bits=ib, party=0, nonce=nonce,
-            iv=h3_iv)
+            hash_const=h3_iv)
         Bv = cs.shape[0]
         s = jnp.transpose(so.reshape(4, -1), (1, 0))[:Bv]
         tb = t.reshape(-1)[:Bv]
@@ -602,6 +602,45 @@ def _bench_registry(deadline: float | None = None):
     yield from _row(
         "vdpf_eval_chacha_blake3_uint_16bit", "evals/s/chip",
         lambda: _timeit(fv, L_vdpf_chacha(), B))
+
+    # Same walk, SHA-256 hash fused in-kernel (the reference cannot run
+    # SHA-256 on device at all — hash/sha256.cuh __trap()s; host CPU
+    # VDPF+SHA is its only analog, ~0.34 M/s).
+    shc = Sha256((0xA1B2C3D4, 0x11223344, 0x55667788, 0x99AABBCC))
+
+    @_lazy
+    def L_vdpf_chacha_sha():
+        vcws, vcs, vocw, _ = jax.jit(jax.vmap(
+            lambda s, a, b: _vdpf.gen(prg2, shc.xor_hash, g, ib,
+                                      s, a, b)))(s0sb, a_l, betas)
+        vseeds, vcws_t, vxs2, _ = jax.jit(
+            vdpf_pallas.pack_keys,
+            static_argnames=("in_bits", "block_rows"))(
+                s0sb[:, 0], vcws, L_xsd(), in_bits=ib)
+        return vseeds, vcws_t, vxs2, vcs, vocw
+
+    shc_key = tuple(int(w) for w in shc.key)
+
+    @jax.jit
+    def fvs(seeds4, cws_t, xs2, cs, ocw):
+        from fss_tpu.ops import blake3_pallas as _b3
+        so, t, pi_planes = vdpf_pallas.fused_eval_packed(
+            seeds4, cws_t, xs2, in_bits=ib, party=0, nonce=nonce,
+            hash_kind="sha256", hash_const=shc_key)
+        Bv = cs.shape[0]
+        s = jnp.transpose(so.reshape(4, -1), (1, 0))[:Bv]
+        tb = t.reshape(-1)[:Bv]
+        y = g.from_block(s)
+        y = jnp.where(tb.astype(jnp.bool_)[:, None],
+                      g.add(y, g.from_block(ocw)), y)
+        pi = _b3._untile(pi_planes, Bv, 4)
+        pi = jnp.where(tb.astype(jnp.bool_)[:, None, None],
+                       jnp.bitwise_xor(pi, cs), pi)
+        return jnp.sum(g.into_block(y)[:, 0]) + jnp.sum(pi[:, 0, 0])
+
+    yield from _row(
+        "vdpf_eval_chacha_sha256_uint_16bit", "evals/s/chip",
+        lambda: _timeit(fvs, L_vdpf_chacha_sha(), B))
 
     # VDPF full-domain with the tree proof fold (ref CPU: 736k items/s).
     L_vdpf_all = _lazy(lambda: jax.jit(

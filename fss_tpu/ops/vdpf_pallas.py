@@ -25,12 +25,17 @@ LANES = dpf_pallas.LANES
 
 
 def _make_fused_eval_kernel(in_bits: int, party: int, nonce, rounds: int,
-                            iv, unroll: bool, hash_unroll: bool):
-    """DPF walk + the two BLAKE3 XorHash compressions in ONE kernel
+                            hash_kind: str, hash_const, unroll: bool,
+                            hash_unroll: bool):
+    """DPF walk + the two XorHash compressions in ONE kernel
     (vdpf.cuh:189-242 is the same per-point fusion): the walk's final
     seed words feed the hash straight from vregs — no intermediate HBM
-    round trip, no second dispatch."""
+    round trip, no second dispatch. ``hash_kind``: "blake3" (hash_const
+    = 8 iv words; p_ref = round-1 schedule SMEM when rolled) or
+    "sha256" (hash_const = 4 key words; p_ref = the K table SMEM when
+    rolled)."""
     from fss_tpu.ops import blake3_pallas as _b3
+    from fss_tpu.ops import sha256_pallas as _sh
     wide = in_bits > 32
 
     def kernel(s_ref, c_ref, x_ref, p_ref, so_ref, t_ref, pi_ref):
@@ -48,30 +53,49 @@ def _make_fused_eval_kernel(in_bits: int, party: int, nonce, rounds: int,
             a0, a1, a2, a3 = (x_ref[0], x_ref[1], x_ref[2], x_ref[3])
         else:
             a0, a1, a2, a3 = x_ref[:], zero, zero, zero
-        perm = None if hash_unroll else p_ref[0, :]
-        bw = [w0, w1, w2, w3]
-        for lsb in (0, 1):
-            a_l = [a0, a1, a2,
-                   (a3 & dpf_pallas._NOTONE) | np.uint32(lsb)]
-            m = a_l + bw + [zero] * 8
-            out = _b3._compress(iv, m, 32, hash_unroll, perm)
-            for k in range(8):
-                pi_ref[8 * lsb + k] = out[k]
+        if hash_kind == "blake3":
+            perm = None if hash_unroll else p_ref[0, :]
+            bw = [w0, w1, w2, w3]
+            for lsb in (0, 1):
+                a_l = [a0, a1, a2,
+                       (a3 & dpf_pallas._NOTONE) | np.uint32(lsb)]
+                m = a_l + bw + [zero] * 8
+                out = _b3._compress(hash_const, m, 32, hash_unroll, perm)
+                for k in range(8):
+                    pi_ref[8 * lsb + k] = out[k]
+        else:  # sha256 (ops/sha256_pallas block layout, 48-byte msg)
+            from fss_tpu.hash.sha256 import bswap32
+            kw = tuple(np.uint32(int(bswap32(np.uint32(k))))
+                       for k in hash_const)
+            bw = [bswap32(w0), bswap32(w1), bswap32(w2), bswap32(w3)]
+            pad = [zero + np.uint32(0x80000000), zero, zero,
+                   zero + np.uint32(384)]
+            for lsb in (0, 1):
+                a3l = (a3 & dpf_pallas._NOTONE) | np.uint32(lsb)
+                m = ([zero + k for k in kw]
+                     + [bswap32(a0), bswap32(a1), bswap32(a2),
+                        bswap32(a3l)]
+                     + bw + pad)
+                d = _sh._compress(m, p_ref, hash_unroll)
+                for k in range(8):
+                    pi_ref[8 * lsb + k] = bswap32(d[k])
 
     return kernel
 
 
 @functools.partial(jax.jit,
                    static_argnames=("in_bits", "party", "nonce", "rounds",
-                                    "iv", "block_rows", "interpret",
-                                    "unroll"))
+                                    "hash_kind", "hash_const",
+                                    "block_rows", "interpret", "unroll"))
 def fused_eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int,
-                      nonce, iv, rounds: int = 20,
+                      nonce, hash_const, hash_kind: str = "blake3",
+                      rounds: int = 20,
                       block_rows: int = dpf_pallas.DEFAULT_BLOCK_ROWS,
                       interpret: bool = False, unroll: bool = False):
     """Fused walk+hash on pre-packed inputs. Returns (so [4, T, 128],
     t [T, 128], pi planes [16, T, 128])."""
     from fss_tpu.ops import blake3_pallas as _b3
+    from fss_tpu.ops import sha256_pallas as _sh
     nrows = seeds4.shape[1]
     block_rows = dpf_pallas.clamp_block_rows(in_bits, block_rows)
     while nrows % block_rows:
@@ -79,8 +103,10 @@ def fused_eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int,
     grid = (nrows // block_rows,)
     nonce = tuple(np.uint32(int(n) & 0xFFFFFFFF) for n in nonce)
     kern = _make_fused_eval_kernel(in_bits, party, nonce, rounds,
-                                   tuple(int(w) for w in iv), unroll,
-                                   hash_unroll=not interpret)
+                                   hash_kind,
+                                   tuple(int(w) for w in hash_const),
+                                   unroll, hash_unroll=not interpret)
+    aux = _b3._perm_arr() if hash_kind == "blake3" else _sh._k_arr()
     x_spec = (pl.BlockSpec((4, block_rows, LANES), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
               if in_bits > 32 else
@@ -95,7 +121,7 @@ def fused_eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int,
             pl.BlockSpec((in_bits, 8, block_rows, LANES),
                          lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
             x_spec,
-            pl.BlockSpec((1, 16), lambda i: (0, 0),
+            pl.BlockSpec((1, aux.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -114,7 +140,7 @@ def fused_eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(seeds4, cws_t, xs2, _b3._perm_arr())
+    )(seeds4, cws_t, xs2, aux)
     return so, t, pi
 
 
@@ -205,13 +231,18 @@ def eval_points(prg_nonce, xor_hash, group, in_bits: int, party: int,
     # measured 133.5 M/s, the rolled-jnp glue before it 91.9, vs the
     # bare walk's 207; vdpf.cuh:189-242 fuses eval->pi per point the
     # same way).
+    from fss_tpu.ops import sha256_pallas as _sh
     from fss_tpu.ops.eval_all_pallas import _blake3_iv_of
     iv = _blake3_iv_of(xor_hash)
-    if iv is not None:
+    skey = _sh.sha256_key_of(xor_hash)
+    if iv is not None or skey is not None:
         from fss_tpu.ops import blake3_pallas as _b3
+        kind, const = (("blake3", iv) if iv is not None
+                       else ("sha256", skey))
         so, t, pi_planes = fused_eval_packed(
             seeds4, cws_t, xs2, in_bits=in_bits, party=party,
-            nonce=tuple(prg_nonce), iv=tuple(int(w) for w in iv),
+            nonce=tuple(prg_nonce), hash_kind=kind,
+            hash_const=tuple(int(w) for w in const),
             rounds=rounds, block_rows=block_rows, interpret=interpret)
         pi = _b3._untile(pi_planes, B, 4)
     else:
@@ -219,22 +250,7 @@ def eval_points(prg_nonce, xor_hash, group, in_bits: int, party: int,
             seeds4, cws_t, xs2, in_bits=in_bits, party=party,
             nonce=tuple(prg_nonce), rounds=rounds,
             block_rows=block_rows, interpret=interpret)
-        from fss_tpu.ops import sha256_pallas as _sh
-        skey = _sh.sha256_key_of(xor_hash)
-        if skey is not None:
-            # SHA-256 config: hash on the fused kernel in the walk's
-            # plane layout (sha has no in-walk fusion yet — one extra
-            # dispatch, still no SoA<->row round trip).
-            if in_bits > 32:
-                x4 = xs2
-            else:
-                x4 = jnp.stack([xs2] + [jnp.zeros_like(xs2)] * 3)
-            pi_planes = _sh.xor_hash_planes(x4, so, skey,
-                                            block_rows=block_rows,
-                                            interpret=interpret)
-            pi = _sh._untile(pi_planes, B, 4)
-        else:
-            pi = None
+        pi = None
     s = jnp.transpose(so.reshape(4, -1), (1, 0))[:B]
     tb = t.reshape(-1)[:B]
 

@@ -402,17 +402,22 @@ def _inner_eval(prg2, xor_hash, group, bucket_bits, party, key: VdmpfKey,
     else:
         xs2 = jnp.pad(jflat, (0, Ep - E)).reshape(T, LANES)
 
-    # Walk + pi~ hash in one fused kernel when the hash is BLAKE3 (same
-    # fusion as vdpf_pallas.eval_points; the hash input lanes are built
-    # in-kernel from xs2, which holds exactly jflat's packed lanes).
+    # Walk + pi~ hash in one fused kernel when the hash is BLAKE3 or
+    # SHA-256 (same fusion as vdpf_pallas.eval_points; the hash input
+    # lanes are built in-kernel from xs2 = jflat's packed lanes).
+    from fss_tpu.ops import sha256_pallas as _shk
     from fss_tpu.ops.eval_all_pallas import _blake3_iv_of
     iv = _blake3_iv_of(xor_hash)
-    if iv is not None:
+    skey = _shk.sha256_key_of(xor_hash)
+    if iv is not None or skey is not None:
         from fss_tpu.ops import blake3_pallas as _b3
         from fss_tpu.ops import vdpf_pallas as _vk
+        kind, const = (("blake3", iv) if iv is not None
+                       else ("sha256", skey))
         so, tb, pi_planes = _vk.fused_eval_packed(
             seeds4, cws_t, xs2, in_bits=bucket_bits, party=party,
-            nonce=tuple(prg_obj.nonce), iv=tuple(int(w) for w in iv),
+            nonce=tuple(prg_obj.nonce), hash_kind=kind,
+            hash_const=tuple(int(w) for w in const),
             rounds=prg_obj.rounds, block_rows=block_rows)
         pt_pre = _b3._untile(pi_planes, E, 4)
     else:
