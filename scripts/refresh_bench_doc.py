@@ -67,6 +67,9 @@ TABLE = [
      "600 M/s (GPU, 20-bit)"),
     ("vdpf_eval_chacha_blake3_uint_16bit", "VDPF Eval 16-bit (BLAKE3)",
      "263 M/s (GPU, 20-bit)"),
+    ("vdpf_eval_chacha_sha256_uint_16bit",
+     "VDPF Eval 16-bit (SHA-256, fused in-walk)",
+     "0.34 M/s (CPU; **its SHA-256 cannot run on device**)"),
     ("dpf_eval_all_chacha_uint_20bit", "DPF EvalAll 20-bit",
      "6.29 M items/s (CPU; **no GPU EvalAll exists**)"),
     ("dcf_eval_all_chacha_uint_20bit", "DCF EvalAll 20-bit",
