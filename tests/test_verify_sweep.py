@@ -27,9 +27,9 @@ def test_quick_gate_interpret():
 @pytest.mark.slow
 def test_full_sweep_interpret():
     n = verify_tpu.run(quick=False, interpret=True)
-    # 10 families. The round-4 verification hardening consolidated
-    # double-counted configs down to 94 (campaign_verify.json agrees
-    # on-chip); the SHA-256 XorHash kernel check added one more. Growing
-    # golden coverage may raise this floor — never lower it without a
-    # matching on-chip campaign_verify.json.
-    assert n >= 95
+    # 10 families. The round-5 on-chip campaign counted 97
+    # (campaign_verify.json: uint127m DCF kernel case, SHA-256 XorHash
+    # kernel check, fused chacha+sha256 VDPF config). Growing golden
+    # coverage may raise this floor — never lower it without a matching
+    # on-chip campaign_verify.json.
+    assert n >= 97
