@@ -373,8 +373,15 @@ def _bench_registry(deadline: float | None = None):
         y = g.from_block(s)
         y = jnp.where(t.astype(jnp.bool_)[:, None],
                       g.add(y, g.from_block(ocw)), y)
+        # pi~ plane-direct: word planes feed the SHA kernel without the
+        # [B, 4] row round trip (XLA CSEs the transposes with unpack).
+        s4 = _aesk.unpack_word_planes(so)
+        Bp = s4.shape[1] * 128
         x_lanes = blk.pack_inputs(xs, ib)
-        pi = _shk.xor_hash_batch(x_lanes, s, sh_key)
+        xp4 = jnp.pad(x_lanes, ((0, Bp - Ba), (0, 0)))
+        x4 = jnp.transpose(xp4, (1, 0)).reshape(4, Bp // 128, 128)
+        pi_planes = _shk.xor_hash_planes(x4, s4, sh_key)
+        pi = _shk._untile(pi_planes, Ba, 4)
         pi = jnp.where(t.astype(jnp.bool_)[:, None, None],
                        jnp.bitwise_xor(pi, cs), pi)
         return jnp.sum(g.into_block(y)[:, 0]) + jnp.sum(pi[:, 0, 0])

@@ -351,6 +351,15 @@ def unpack_out(so: jax.Array, to: jax.Array, batch: int):
     each word came out wrong unless the byte values were also a program
     output. The plane-direct form is both correct and cheaper.)
     """
+    s = jnp.stack(_out_words(so), axis=-1)[:batch]
+    W = so.shape[1] * LANES
+    tbits = _planes_to_bytes(to.reshape(1, 1, W))[0]
+    return s, tbits[:batch]
+
+
+def _out_words(so: jax.Array) -> list:
+    """[128, T, 128] bit-planes -> 4 word arrays [Bp] (flat batch
+    order), via one bit-transpose per word (see unpack_out)."""
     T = so.shape[1]
     W = T * LANES
     planes = so.reshape(128, W)  # plane p = 16*bit + byte
@@ -359,9 +368,16 @@ def unpack_out(so: jax.Array, to: jax.Array, batch: int):
         rows = [planes[16 * (i % 8) + 4 * w + i // 8] for i in range(32)]
         tr = _transpose32(jnp.stack(rows, axis=-1))  # [W, 32]
         words.append(tr.reshape(W * 32))
-    s = jnp.stack(words, axis=-1)[:batch]
-    tbits = _planes_to_bytes(to.reshape(1, 1, W))[0]
-    return s, tbits[:batch]
+    return words
+
+
+def unpack_word_planes(so: jax.Array) -> jax.Array:
+    """[128, T, 128] bit-planes -> [4, 32*T, 128] word-lane tiles — the
+    sha256_pallas.xor_hash_planes input layout, skipping the [B, 4]
+    row materialization + re-tile round trip of unpack_out + _tile."""
+    words = _out_words(so)
+    Bp = words[0].shape[0]
+    return jnp.stack(words).reshape(4, Bp // LANES, LANES)
 
 
 @functools.partial(jax.jit,
@@ -443,8 +459,15 @@ def vdpf_eval_points(prg_keys, xor_hash, group, in_bits: int, party: int,
     skey = _shk.sha256_key_of(xor_hash)
     b3iv = _blake3_iv_of(xor_hash)
     if skey is not None:
-        pi = _shk.xor_hash_batch(x_lanes, s, skey, block_rows=block_rows,
-                                 interpret=interpret)
+        # Plane-direct: hash the walk output in the word-plane layout
+        # (skips the [B, 4] row materialization + re-tile round trip).
+        s4 = unpack_word_planes(so)
+        Bp = s4.shape[1] * LANES
+        xp4 = jnp.pad(x_lanes, ((0, Bp - B), (0, 0)))
+        x4 = jnp.transpose(xp4, (1, 0)).reshape(4, Bp // LANES, LANES)
+        pi_planes = _shk.xor_hash_planes(x4, s4, skey,
+                                         interpret=interpret)
+        pi = _shk._untile(pi_planes, B, 4)
     elif b3iv is not None:
         from fss_tpu.ops import blake3_pallas as _b3k
         pi = _b3k.xor_hash_batch(x_lanes, s, tuple(int(w) for w in b3iv),
