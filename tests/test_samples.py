@@ -29,6 +29,7 @@ def _run(name):
     ("dpf_packed_pipeline.py", "matches the wire-format gen. OK"),
     ("vdpf_vdmpf_verified.py", "proofs match. OK"),
     ("pir_tpu.py", "retrieved privately"),
+    ("dcf_mod_groups.py", "zero above. OK"),
 ])
 def test_sample_runs(name, needle):
     r = _run(name)
