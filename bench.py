@@ -366,6 +366,7 @@ def _bench_registry(deadline: float | None = None):
 
     @jax.jit
     def fvaes(sp, cwp, xp, cs, ocw, xs):
+        from fss_tpu.ops import planes as _planes
         from fss_tpu.ops import sha256_pallas as _shk
         so, to = _aesk.eval_packed(sp, cwp, xp, in_bits=ib, party=0,
                                    keys=aes_keys)
@@ -381,7 +382,7 @@ def _bench_registry(deadline: float | None = None):
         xp4 = jnp.pad(x_lanes, ((0, Bp - Ba), (0, 0)))
         x4 = jnp.transpose(xp4, (1, 0)).reshape(4, Bp // 128, 128)
         pi_planes = _shk.xor_hash_planes(x4, s4, sh_key)
-        pi = _shk._untile(pi_planes, Ba, 4)
+        pi = _planes.untile_blocks(pi_planes, Ba, 4)
         pi = jnp.where(t.astype(jnp.bool_)[:, None, None],
                        jnp.bitwise_xor(pi, cs), pi)
         return jnp.sum(g.into_block(y)[:, 0]) + jnp.sum(pi[:, 0, 0])
@@ -575,37 +576,41 @@ def _bench_registry(deadline: float | None = None):
 
     # Staged keys (like every other eval row — the methodology stages
     # keys on device before the timed region); the timed step is the
-    # fused walk+hash kernel plus finalize/untile/cs-mix.
-    @_lazy
-    def L_vdpf_chacha():
-        vcws, vcs, vocw, _ = jax.jit(jax.vmap(
-            lambda s, a, b: _vdpf.gen(prg2, h3.xor_hash, g, ib,
-                                      s, a, b)))(s0sb, a_l, betas)
-        vseeds, vcws_t, vxs2, _ = jax.jit(
-            vdpf_pallas.pack_keys,
-            static_argnames=("in_bits", "block_rows"))(
-                s0sb[:, 0], vcws, L_xsd(), in_bits=ib)
-        return vseeds, vcws_t, vxs2, vcs, vocw
+    # fused walk+hash kernel plus finalize/untile/cs-mix. One factory
+    # builds both hash configs so the timed bodies cannot drift apart.
+    def _vdpf_row(hashes, hash_kind, hash_const):
+        @_lazy
+        def L_keys():
+            vcws, vcs, vocw, _ = jax.jit(jax.vmap(
+                lambda s, a, b: _vdpf.gen(prg2, hashes.xor_hash, g, ib,
+                                          s, a, b)))(s0sb, a_l, betas)
+            vseeds, vcws_t, vxs2, _ = jax.jit(
+                vdpf_pallas.pack_keys,
+                static_argnames=("in_bits", "block_rows"))(
+                    s0sb[:, 0], vcws, L_xsd(), in_bits=ib)
+            return vseeds, vcws_t, vxs2, vcs, vocw
 
-    h3_iv = tuple(int(w) for w in h3.iv)
+        @jax.jit
+        def fstep(seeds4, cws_t, xs2, cs, ocw):
+            from fss_tpu.ops import planes as _planes
+            so, t, pi_planes = vdpf_pallas.fused_eval_packed(
+                seeds4, cws_t, xs2, in_bits=ib, party=0, nonce=nonce,
+                hash_kind=hash_kind, hash_const=hash_const)
+            Bv = cs.shape[0]
+            s = jnp.transpose(so.reshape(4, -1), (1, 0))[:Bv]
+            tb = t.reshape(-1)[:Bv]
+            y = g.from_block(s)
+            y = jnp.where(tb.astype(jnp.bool_)[:, None],
+                          g.add(y, g.from_block(ocw)), y)
+            pi = _planes.untile_blocks(pi_planes, Bv, 4)
+            pi = jnp.where(tb.astype(jnp.bool_)[:, None, None],
+                           jnp.bitwise_xor(pi, cs), pi)
+            return jnp.sum(g.into_block(y)[:, 0]) + jnp.sum(pi[:, 0, 0])
 
-    @jax.jit
-    def fv(seeds4, cws_t, xs2, cs, ocw):
-        from fss_tpu.ops import blake3_pallas as _b3
-        so, t, pi_planes = vdpf_pallas.fused_eval_packed(
-            seeds4, cws_t, xs2, in_bits=ib, party=0, nonce=nonce,
-            hash_const=h3_iv)
-        Bv = cs.shape[0]
-        s = jnp.transpose(so.reshape(4, -1), (1, 0))[:Bv]
-        tb = t.reshape(-1)[:Bv]
-        y = g.from_block(s)
-        y = jnp.where(tb.astype(jnp.bool_)[:, None],
-                      g.add(y, g.from_block(ocw)), y)
-        pi = _b3._untile(pi_planes, Bv, 4)
-        pi = jnp.where(tb.astype(jnp.bool_)[:, None, None],
-                       jnp.bitwise_xor(pi, cs), pi)
-        return jnp.sum(g.into_block(y)[:, 0]) + jnp.sum(pi[:, 0, 0])
+        return fstep, L_keys
 
+    fv, L_vdpf_chacha = _vdpf_row(
+        h3, "blake3", tuple(int(w) for w in h3.iv))
     yield from _row(
         "vdpf_eval_chacha_blake3_uint_16bit", "evals/s/chip",
         lambda: _timeit(fv, L_vdpf_chacha(), B))
@@ -614,37 +619,8 @@ def _bench_registry(deadline: float | None = None):
     # SHA-256 on device at all — hash/sha256.cuh __trap()s; host CPU
     # VDPF+SHA is its only analog, ~0.34 M/s).
     shc = Sha256((0xA1B2C3D4, 0x11223344, 0x55667788, 0x99AABBCC))
-
-    @_lazy
-    def L_vdpf_chacha_sha():
-        vcws, vcs, vocw, _ = jax.jit(jax.vmap(
-            lambda s, a, b: _vdpf.gen(prg2, shc.xor_hash, g, ib,
-                                      s, a, b)))(s0sb, a_l, betas)
-        vseeds, vcws_t, vxs2, _ = jax.jit(
-            vdpf_pallas.pack_keys,
-            static_argnames=("in_bits", "block_rows"))(
-                s0sb[:, 0], vcws, L_xsd(), in_bits=ib)
-        return vseeds, vcws_t, vxs2, vcs, vocw
-
-    shc_key = tuple(int(w) for w in shc.key)
-
-    @jax.jit
-    def fvs(seeds4, cws_t, xs2, cs, ocw):
-        from fss_tpu.ops import blake3_pallas as _b3
-        so, t, pi_planes = vdpf_pallas.fused_eval_packed(
-            seeds4, cws_t, xs2, in_bits=ib, party=0, nonce=nonce,
-            hash_kind="sha256", hash_const=shc_key)
-        Bv = cs.shape[0]
-        s = jnp.transpose(so.reshape(4, -1), (1, 0))[:Bv]
-        tb = t.reshape(-1)[:Bv]
-        y = g.from_block(s)
-        y = jnp.where(tb.astype(jnp.bool_)[:, None],
-                      g.add(y, g.from_block(ocw)), y)
-        pi = _b3._untile(pi_planes, Bv, 4)
-        pi = jnp.where(tb.astype(jnp.bool_)[:, None, None],
-                       jnp.bitwise_xor(pi, cs), pi)
-        return jnp.sum(g.into_block(y)[:, 0]) + jnp.sum(pi[:, 0, 0])
-
+    fvs, L_vdpf_chacha_sha = _vdpf_row(
+        shc, "sha256", tuple(int(w) for w in shc.key))
     yield from _row(
         "vdpf_eval_chacha_sha256_uint_16bit", "evals/s/chip",
         lambda: _timeit(fvs, L_vdpf_chacha_sha(), B))

@@ -62,16 +62,11 @@ class PackedDpfKeys(typing.NamedTuple):
         return self.ocw.shape[0]
 
     def to_wire(self, in_bits: int):
-        """Materialize the standard [B, in_bits+1, 8] wire rows."""
-        T = self.cws_t.shape[2]
-        B = self.ocw.shape[0]
-        rows = jnp.transpose(self.cws_t.reshape(in_bits, 5, T * 128),
-                             (2, 0, 1))[:B]
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((B, in_bits, 3), dtype=jnp.uint32)], axis=-1)
-        last = jnp.concatenate(
-            [self.ocw, jnp.zeros((B, 4), dtype=jnp.uint32)], axis=-1)
-        return jnp.concatenate([rows, last[:, None, :]], axis=1)
+        """Materialize the standard [B, in_bits+1, 8] wire rows (the
+        one shared assembly, ops.dpf_pallas.wire_rows)."""
+        from fss_tpu.ops import dpf_pallas
+        return dpf_pallas.wire_rows(in_bits, self.cws_t, self.ocw,
+                                    self.ocw.shape[0])
 
     @classmethod
     def from_wire(cls, cws, in_bits: int,

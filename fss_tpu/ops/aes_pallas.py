@@ -467,7 +467,8 @@ def vdpf_eval_points(prg_keys, xor_hash, group, in_bits: int, party: int,
         x4 = jnp.transpose(xp4, (1, 0)).reshape(4, Bp // LANES, LANES)
         pi_planes = _shk.xor_hash_planes(x4, s4, skey,
                                          interpret=interpret)
-        pi = _shk._untile(pi_planes, B, 4)
+        from fss_tpu.ops.planes import untile_blocks
+        pi = untile_blocks(pi_planes, B, 4)
     elif b3iv is not None:
         from fss_tpu.ops import blake3_pallas as _b3k
         pi = _b3k.xor_hash_batch(x_lanes, s, tuple(int(w) for w in b3iv),

@@ -111,21 +111,8 @@ def _perm_arr():
     return jnp.asarray(np.array(_SCHEDULE[1], dtype=np.int32))[None, :]
 
 
-def _tile(words, block_rows):
-    """[N, k, 4] blocks -> [4k, T, 128] word planes + (N, padded N)."""
-    n = words.shape[0]
-    k4 = words.shape[1] * 4
-    tile = block_rows * LANES
-    npad = ((n + tile - 1) // tile) * tile
-    w = jnp.pad(words.reshape(n, k4), ((0, npad - n), (0, 0)))
-    return jnp.transpose(w, (1, 0)).reshape(k4, npad // LANES, LANES), n
-
-
-def _untile(planes, n, out_blocks: int):
-    """[4k, T, 128] -> [N, k, 4]."""
-    k4 = planes.shape[0]
-    flat = jnp.transpose(planes.reshape(k4, -1), (1, 0))[:n]
-    return flat.reshape(n, out_blocks, 4)
+from fss_tpu.ops.planes import tile_blocks as _tile  # noqa: E402
+from fss_tpu.ops.planes import untile_blocks as _untile  # noqa: E402
 
 
 @functools.partial(jax.jit,

@@ -344,16 +344,12 @@ def gen_packed(seeds8, a2, in_bits: int, nonce, rounds: int = 20,
     )(seeds8, a2)
 
 
-def gen_finalize(group, in_bits: int, cws_t, s0f, s1f, t1,
-                 betas: jax.Array, batch: int) -> jax.Array:
-    """Assemble the standard [B, in_bits+1, 8] key layout from kernel
-    outputs plus the group-typed final CW (dpf.cuh:150-152)."""
-    T = cws_t.shape[2]
-    rows = jnp.transpose(cws_t.reshape(in_bits, 5, T * LANES),
-                         (2, 0, 1))[:batch]  # [B, n, 5]
-    pad = jnp.zeros((batch, in_bits, 3), dtype=jnp.uint32)
-    rows = jnp.concatenate([rows, pad], axis=-1)
-
+def output_cw(group, s0f, s1f, t1, betas: jax.Array,
+              batch: int) -> jax.Array:
+    """The group-typed final CW from the gen kernel's leaf outputs
+    (dpf.cuh:150-152): ocw = +-(beta - s0 + s1), negated when t1 is
+    set. The single implementation behind the wire and packed layouts
+    (key layouts are load-bearing — CLAUDE.md)."""
     s0 = jnp.transpose(s0f.reshape(4, -1), (1, 0))[:batch]
     s1 = jnp.transpose(s1f.reshape(4, -1), (1, 0))[:batch]
     t1b = t1.reshape(-1)[:batch]
@@ -364,10 +360,30 @@ def gen_finalize(group, in_bits: int, cws_t, s0f, s1f, t1,
         group.from_block(s1))
     v_cw = jnp.where((t1b & _ONE).astype(jnp.bool_)[:, None],
                      group.neg(v_cw), v_cw)
+    return group.into_block(v_cw)
+
+
+def wire_rows(in_bits: int, cws_t, ocw: jax.Array,
+              batch: int) -> jax.Array:
+    """Assemble the standard [B, in_bits+1, 8] wire rows from packed cw
+    planes + output CW (the one wire-layout assembly, shared with
+    api.PackedDpfKeys.to_wire)."""
+    T = cws_t.shape[2]
+    rows = jnp.transpose(cws_t.reshape(in_bits, 5, T * LANES),
+                         (2, 0, 1))[:batch]  # [B, n, 5]
+    pad = jnp.zeros((batch, in_bits, 3), dtype=jnp.uint32)
+    rows = jnp.concatenate([rows, pad], axis=-1)
     last = jnp.concatenate(
-        [group.into_block(v_cw),
-         jnp.zeros((batch, 4), dtype=jnp.uint32)], axis=-1)
+        [ocw, jnp.zeros((batch, 4), dtype=jnp.uint32)], axis=-1)
     return jnp.concatenate([rows, last[:, None, :]], axis=1)
+
+
+def gen_finalize(group, in_bits: int, cws_t, s0f, s1f, t1,
+                 betas: jax.Array, batch: int) -> jax.Array:
+    """Assemble the standard [B, in_bits+1, 8] key layout from kernel
+    outputs plus the group-typed final CW (dpf.cuh:150-152)."""
+    return wire_rows(in_bits, cws_t,
+                     output_cw(group, s0f, s1f, t1, betas, batch), batch)
 
 
 def gen_batch(prg_nonce, group, in_bits: int, s0s: jax.Array,
@@ -402,17 +418,7 @@ def gen_batch_packed(prg_nonce, group, in_bits: int, s0s: jax.Array,
     cws_t, s0f, s1f, _t0, t1 = gen_packed(
         seeds8, a2, in_bits=in_bits, nonce=tuple(prg_nonce),
         rounds=rounds, block_rows=block_rows, interpret=interpret)
-    s0 = jnp.transpose(s0f.reshape(4, -1), (1, 0))[:B]
-    s1 = jnp.transpose(s1f.reshape(4, -1), (1, 0))[:B]
-    t1b = t1.reshape(-1)[:B]
-    b_buf = blk.clear_lsb(betas)
-    v_cw = group.add(
-        group.add(group.from_block(b_buf),
-                  group.neg(group.from_block(s0))),
-        group.from_block(s1))
-    v_cw = jnp.where((t1b & _ONE).astype(jnp.bool_)[:, None],
-                     group.neg(v_cw), v_cw)
-    return cws_t, group.into_block(v_cw), B
+    return cws_t, output_cw(group, s0f, s1f, t1, betas, B), B
 
 
 def eval_points_packedkey(prg_nonce, group, in_bits: int, party: int,

@@ -150,8 +150,12 @@ def eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int, nonce,
             jax.ShapeDtypeStruct((4, nrows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((nrows, LANES), jnp.uint32),
         ],
+        # Wide-domain scoped-VMEM raise (see dpf_pallas.eval_packed:
+        # the identical cw-block shape is 16.2 MB + stack at
+        # in_bits=128, over Mosaic's 16 MB default).
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=(32 * 2**20 if in_bits > 64 else None)),
         interpret=interpret,
     )(seeds4, cws_t, xs2)
     return ho, lo

@@ -105,20 +105,14 @@ def _k_arr():
     return jnp.asarray(_K.astype(np.int32))[None, :]
 
 
+from fss_tpu.ops.planes import untile_blocks as _untile  # noqa: E402
+
+
 def _tile(words, block_rows):
-    """[N, 4] -> [4, T, 128] word planes + N (pad to tile multiple)."""
-    n = words.shape[0]
-    tile = block_rows * LANES
-    npad = ((n + tile - 1) // tile) * tile
-    w = jnp.pad(words, ((0, npad - n), (0, 0)))
-    return jnp.transpose(w, (1, 0)).reshape(4, npad // LANES, LANES), n
-
-
-def _untile(planes, n, out_blocks: int):
-    """[4k, T, 128] -> [N, k, 4]."""
-    k4 = planes.shape[0]
-    flat = jnp.transpose(planes.reshape(k4, -1), (1, 0))[:n]
-    return flat.reshape(n, out_blocks, 4)
+    """[N, 4] -> [4, T, 128] word planes + N (planes.tile_blocks on
+    single-block rows)."""
+    from fss_tpu.ops.planes import tile_blocks
+    return tile_blocks(words[:, None, :], block_rows)
 
 
 def xor_hash_planes(a4, b4, key, block_rows: int = DEFAULT_BLOCK_ROWS,

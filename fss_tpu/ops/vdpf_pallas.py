@@ -137,8 +137,12 @@ def fused_eval_packed(seeds4, cws_t, xs2, in_bits: int, party: int,
             jax.ShapeDtypeStruct((nrows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((16, nrows, LANES), jnp.uint32),
         ],
+        # Same wide-domain scoped-VMEM raise as dpf_pallas.eval_packed
+        # (the fused kernel streams the identical cw block plus hash
+        # state; 16.2 MB > the 16 MB default at in_bits=128).
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=(32 * 2**20 if in_bits > 64 else None)),
         interpret=interpret,
     )(seeds4, cws_t, xs2, aux)
     return so, t, pi
@@ -236,7 +240,7 @@ def eval_points(prg_nonce, xor_hash, group, in_bits: int, party: int,
     iv = _blake3_iv_of(xor_hash)
     skey = _sh.sha256_key_of(xor_hash)
     if iv is not None or skey is not None:
-        from fss_tpu.ops import blake3_pallas as _b3
+        from fss_tpu.ops.planes import untile_blocks
         kind, const = (("blake3", iv) if iv is not None
                        else ("sha256", skey))
         so, t, pi_planes = fused_eval_packed(
@@ -244,7 +248,7 @@ def eval_points(prg_nonce, xor_hash, group, in_bits: int, party: int,
             nonce=tuple(prg_nonce), hash_kind=kind,
             hash_const=tuple(int(w) for w in const),
             rounds=rounds, block_rows=block_rows, interpret=interpret)
-        pi = _b3._untile(pi_planes, B, 4)
+        pi = untile_blocks(pi_planes, B, 4)
     else:
         so, t = dpf_pallas.eval_packed(
             seeds4, cws_t, xs2, in_bits=in_bits, party=party,

@@ -410,8 +410,8 @@ def _inner_eval(prg2, xor_hash, group, bucket_bits, party, key: VdmpfKey,
     iv = _blake3_iv_of(xor_hash)
     skey = _shk.sha256_key_of(xor_hash)
     if iv is not None or skey is not None:
-        from fss_tpu.ops import blake3_pallas as _b3
         from fss_tpu.ops import vdpf_pallas as _vk
+        from fss_tpu.ops.planes import untile_blocks
         kind, const = (("blake3", iv) if iv is not None
                        else ("sha256", skey))
         so, tb, pi_planes = _vk.fused_eval_packed(
@@ -419,7 +419,7 @@ def _inner_eval(prg2, xor_hash, group, bucket_bits, party, key: VdmpfKey,
             nonce=tuple(prg_obj.nonce), hash_kind=kind,
             hash_const=tuple(int(w) for w in const),
             rounds=prg_obj.rounds, block_rows=block_rows)
-        pt_pre = _b3._untile(pi_planes, E, 4)
+        pt_pre = untile_blocks(pi_planes, E, 4)
     else:
         so, tb = dpf_pallas.eval_packed(
             seeds4, cws_t, xs2, in_bits=bucket_bits, party=party,

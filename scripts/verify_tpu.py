@@ -799,10 +799,25 @@ def run(quick: bool = False, interpret: bool = False,
             f"verify_tpu must run on the real TPU (got platform="
             f"{platform!r}); use --interpret for a CPU self-test")
     total = 0
-    fams = set(families) if families is not None else None
-    for name, fn in (QUICK_CHECKS if quick else FULL_CHECKS):
-        if fams is not None and name not in fams:
-            continue
+    checks = list(QUICK_CHECKS if quick else FULL_CHECKS)
+    if families is not None:
+        # An unknown family must be an error, and a family that exists
+        # only in FULL_CHECKS (e.g. hash_kernels) must fall back to its
+        # full check rather than silently verifying nothing — a gate
+        # that skips a requested family would let its rows be timed
+        # unverified.
+        by_name = dict(checks)
+        full_by_name = dict(FULL_CHECKS)
+        checks = []
+        for f in families:
+            if f in by_name:
+                checks.append((f, by_name[f]))
+            elif f in full_by_name:
+                checks.append((f, full_by_name[f]))
+            else:
+                raise ValueError(f"unknown verify family {f!r}; known: "
+                                 f"{sorted(full_by_name)}")
+    for name, fn in checks:
         if deadline is not None and _t.time() >= deadline:
             print(f"verify_tpu: {name}: SKIPPED (deadline)", file=out)
             continue

@@ -908,6 +908,12 @@ int main(int argc, char **argv) {
       m = fresh_material();
       dcf_case<16, U127M, fss::prg::ChaCha<4>, fss::DcfPred::kLt, uint16_t>(j, "chacha", "uint127m",
           fss::prg::ChaCha<4>(m.nonce), m, 777, {776, 777, 778});
+      // Wide domain (the 128-bit cw-block shape that scoped-VMEM-OOMed
+      // the eval kernels on-chip; point evals only).
+      m = fresh_material();
+      dcf_case<128, U64, fss::prg::ChaCha<4>, fss::DcfPred::kLt, __uint128_t>(j, "chacha", "uint64",
+          fss::prg::ChaCha<4>(m.nonce), m, (static_cast<__uint128_t>(0x1122334455667788ULL) << 64) | 0x99aabbccddeeff00ULL,
+          {((static_cast<__uint128_t>(0x1122334455667788ULL) << 64) | 0x99aabbccddeeff00ULL) - 1, (static_cast<__uint128_t>(0x1122334455667788ULL) << 64) | 0x99aabbccddeeff00ULL, ((static_cast<__uint128_t>(0x1122334455667788ULL) << 64) | 0x99aabbccddeeff00ULL) + 1});
     }
     j.close_arr();
     j.close_obj();
@@ -935,6 +941,10 @@ int main(int argc, char **argv) {
         half_tree_case<8, U64, fss::prg::Aes128Mmo<1>, uint8_t>(j, "aes", "uint64", mmo, m, 200, {200, 0, 199});
         fss::prg::Aes128Mmo<1>::FreeCtxs(ctxs);
       }
+      m = fresh_material();
+      half_tree_case<128, U64, fss::prg::ChaCha<1>, __uint128_t>(j, "chacha", "uint64",
+          fss::prg::ChaCha<1>(m.nonce), m, (static_cast<__uint128_t>(0x1122334455667788ULL) << 64) | 0x99aabbccddeeff00ULL,
+          {(static_cast<__uint128_t>(0x1122334455667788ULL) << 64) | 0x99aabbccddeeff00ULL, 0, ((static_cast<__uint128_t>(0x1122334455667788ULL) << 64) | 0x99aabbccddeeff00ULL) + 1});
     }
     j.close_arr();
     j.close_obj();
@@ -993,6 +1003,13 @@ int main(int argc, char **argv) {
         fss::hash::Blake3 h(cuda::std::span<const int4, 2>(m.blake3_iv, 2));
         vdpf_case<16, U64, fss::prg::ChaCha<2>, fss::hash::Blake3, fss::hash::Blake3, uint16_t>(j, "chacha",
             "blake3", "uint64", fss::prg::ChaCha<2>(m.nonce), h, h, m, 31337, {31337, 0, 65535, 12345});
+      }
+      m = fresh_material();
+      {
+        fss::hash::Blake3 h(cuda::std::span<const int4, 2>(m.blake3_iv, 2));
+        vdpf_case<128, U64, fss::prg::ChaCha<2>, fss::hash::Blake3, fss::hash::Blake3, __uint128_t>(j, "chacha",
+            "blake3", "uint64", fss::prg::ChaCha<2>(m.nonce), h, h, m, (static_cast<__uint128_t>(0x1122334455667788ULL) << 64) | 0x99aabbccddeeff00ULL,
+            {(static_cast<__uint128_t>(0x1122334455667788ULL) << 64) | 0x99aabbccddeeff00ULL, 0, ((static_cast<__uint128_t>(0x1122334455667788ULL) << 64) | 0x99aabbccddeeff00ULL) + 1});
       }
       m = fresh_material();
       {

@@ -17,6 +17,18 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
 import verify_tpu  # noqa: E402
 
 
+def test_family_selection():
+    """families= must reject unknown names and fall back to the FULL
+    check for families that have no quick variant (hash_kernels) — a
+    silently-skipped family would let its rows be timed unverified."""
+    with pytest.raises(ValueError, match="unknown verify family"):
+        verify_tpu.run(quick=True, interpret=True,
+                       families=("no_such_family",))
+    n = verify_tpu.run(quick=True, interpret=True,
+                       families=("hash_kernels",))
+    assert n >= 2  # blake3 + sha256 kernel configs, from FULL_CHECKS
+
+
 @pytest.mark.slow
 def test_quick_gate_interpret():
     n = verify_tpu.run(quick=True, interpret=True)
