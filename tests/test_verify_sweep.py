@@ -39,9 +39,9 @@ def test_quick_gate_interpret():
 @pytest.mark.slow
 def test_full_sweep_interpret():
     n = verify_tpu.run(quick=False, interpret=True)
-    # 10 families. The round-5 on-chip campaign counted 97
-    # (campaign_verify.json: uint127m DCF kernel case, SHA-256 XorHash
-    # kernel check, fused chacha+sha256 VDPF config). Growing golden
-    # coverage may raise this floor — never lower it without a matching
-    # on-chip campaign_verify.json.
-    assert n >= 97
+    # 10 families. The round-5 closing campaign counted 103 on-chip
+    # (campaign_verify.json: uint127m + three 128-bit DCF/HT/VDPF
+    # cases, SHA-256 XorHash kernel check, fused chacha+sha256 VDPF).
+    # Growing golden coverage may raise this floor — never lower it
+    # without a matching on-chip campaign_verify.json.
+    assert n >= 103
